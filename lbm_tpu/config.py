@@ -1,0 +1,189 @@
+"""Configuration dataclasses for the TPU plasma / cavity LBM engine.
+
+The reference hard-codes all physics in main (reference:
+src/main_plasma.cpp:16-51) and recompiles to change anything; here the same
+knobs are plain dataclasses, and the five BASELINE.json configurations are
+exposed as presets.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from .units import LatticeUnits, compute_lattice_units
+
+
+class PoissonSolver(enum.Enum):
+    """Field-solver choices (reference: include/poisson.hpp PoissonType)."""
+
+    NONE = 0
+    GS = 1    # Gauss-Seidel, red-black
+    SOR = 2   # successive over-relaxation, red-black
+    FFT = 3   # spectral (periodic only)
+    NPS = 4   # 9-point stencil, 4-color
+
+
+class BC(enum.Enum):
+    """Streaming boundary conditions (reference: include/streaming.hpp BCType)."""
+
+    PERIODIC = 0
+    BOUNCE_BACK = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class CompatFlags:
+    """Replicate-or-fix switches for the reference's behavioral quirks.
+
+    Defaults replicate the reference so golden-trajectory parity holds; each
+    can be flipped to the "fixed" behavior (SURVEY.md section 7.1.7).
+    """
+
+    # NONE solver zeroes Ex/Ey on its first call, discarding the external
+    # field after step 0 (reference: src/poisson.cpp:34-43). False keeps the
+    # external field forever.
+    none_solver_kills_external_field: bool = True
+
+    # Under periodic BCs the reference dispatches the *Dirichlet* GS/SOR/NPS
+    # sweeps (interior-only, phi=0 walls) instead of its dead periodic
+    # variants (reference: src/poisson.cpp:46-63). False uses true periodic
+    # sweeps.
+    dirichlet_iterative_under_periodic: bool = True
+
+    # UpdateMacro guards: zero out a cell when rho < 1e-10, zero the velocity
+    # when the momentum sum equals +/-rho exactly, clamp rho_q < 1e-15 to 0
+    # (reference: src/plasma.cpp:373-387,453). Always replicated; kept here
+    # for visibility/testing.
+    macro_guards: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PlasmaConfig:
+    """Three-population D2Q9 plasma configuration.
+
+    Defaults are the reference golden run (src/main_plasma.cpp:16-51):
+    200x200 grid, 200 steps, hydrogen ions, FFT Poisson, periodic BCs.
+    """
+
+    NX: int = 200
+    NY: int = 200
+    NZ: int = 0            # 0 => 2-D (D2Q9); >0 => 3-D column (D3Q19)
+    nsteps: int = 200
+
+    Z_ion: int = 1
+    A_ion: int = 1
+    n_e_SI: float = 1e11   # [m^-3]
+    n_n_SI: float = 1e18   # [m^-3]
+    T_e_SI: float = 1e4    # [K]
+    T_i_SI: float = 300.0  # [K]
+    T_n_SI: float = 300.0  # [K]
+    Ex_SI: float = 1e-2    # [V/m]
+    Ey_SI: float = 0.0     # [V/m]
+
+    poisson: PoissonSolver = PoissonSolver.FFT
+    bc: BC = BC.PERIODIC
+    omega_sor: float = 1.8
+    poisson_max_iter: int = 5000
+    poisson_tol: float = 1e-8
+
+    # BGK relaxation times, fixed (reference: src/collisions.cpp:6-7).
+    tau_e: float = 5.0
+    tau_i: float = 3.0
+    tau_n: float = 1.0
+    tau_ei: float = 6.0
+    tau_en: float = 4.0
+    tau_in: float = 2.0
+
+    dtype: jnp.dtype = jnp.float32
+    compat: CompatFlags = CompatFlags()
+
+    def units(self) -> LatticeUnits:
+        return compute_lattice_units(
+            Z_ion=self.Z_ion, A_ion=self.A_ion,
+            n_e_SI=self.n_e_SI, n_n_SI=self.n_n_SI,
+            T_e_SI=self.T_e_SI, T_i_SI=self.T_i_SI, T_n_SI=self.T_n_SI,
+            Ex_SI=self.Ex_SI, Ey_SI=self.Ey_SI,
+        )
+
+    @property
+    def taus(self) -> Tuple[float, float, float, float, float, float]:
+        return (self.tau_e, self.tau_i, self.tau_n,
+                self.tau_ei, self.tau_en, self.tau_in)
+
+
+@dataclasses.dataclass(frozen=True)
+class CavityConfig:
+    """Single-population lid-driven cavity (reference: old codes/LBM_classic).
+
+    Defaults are the Ghia-validated configuration
+    (old codes/LBM_classic/main.cpp:7-11): Re=100, 129^2, u_lid=0.1, 10k steps.
+    """
+
+    NX: int = 129
+    NY: int = 129
+    nsteps: int = 10_000
+    u_lid: float = 0.1
+    Re: float = 100.0
+    # Lid ramp duration: u_lid_dyn = u_lid * t / sigma for t < sigma
+    # (old codes/LBM_classic/LBM.hpp:30, LBM.cpp:180).
+    sigma: float = 10.0
+    dtype: jnp.dtype = jnp.float32
+
+    # Stability-guard mode replicating old codes/LBM_classic/Stability:
+    # if tau falls outside [0.5, 2.0], resize NY (and NX to match) to bring
+    # tau back in range (LBM_f.cpp:31-53).
+    stability_autoresize: bool = False
+
+    @property
+    def tau(self) -> float:
+        # tau = 3 nu + 1/2 with nu = u_lid * NY / Re
+        # (old codes/LBM_classic/LBM.cpp:12).
+        return 3.0 * (self.u_lid * self.NY / self.Re) + 0.5
+
+    def with_stability_guard(self) -> "CavityConfig":
+        """Return a config whose grid has been resized so tau is in [0.5, 2].
+
+        Mirrors the Stability variant's constructor logic
+        (old codes/LBM_classic/Stability/LBM_f.cpp:31-53): tau too small
+        -> NY = Re*0.1/(3*u_lid); tau too large -> NY = Re*1.5/(3*u_lid).
+        """
+        tau = self.tau
+        if 0.5 <= tau <= 2.0:
+            return self
+        if tau < 0.5:
+            ny = int(self.Re * 0.1 / (3.0 * self.u_lid))
+        else:
+            ny = int(self.Re * 1.5 / (3.0 * self.u_lid))
+        ny = max(ny, 2)
+        return dataclasses.replace(self, NX=ny, NY=ny)
+
+
+# ---------------------------------------------------------------------------
+# BASELINE.json presets
+# ---------------------------------------------------------------------------
+
+def preset_golden_plasma() -> PlasmaConfig:
+    """Config #1: 200x200, 200 steps, FFT+Periodic (the C++ golden run)."""
+    return PlasmaConfig()
+
+
+def preset_cavity_ghia() -> CavityConfig:
+    """Config #2: Ghia-validated lid-driven cavity."""
+    return CavityConfig()
+
+
+def preset_plasma_1024() -> PlasmaConfig:
+    """Config #3: 1024^2 plasma, on-device FFT Poisson, single chip."""
+    return PlasmaConfig(NX=1024, NY=1024, nsteps=100)
+
+
+def preset_plasma_4096() -> PlasmaConfig:
+    """Config #4: 4096^2 plasma for the sharded multi-chip run."""
+    return PlasmaConfig(NX=4096, NY=4096, nsteps=100)
+
+
+def preset_plasma_3d(n: int = 64, nz: int = 64) -> PlasmaConfig:
+    """Config #5 (stretch): D3Q19 3-D plasma column."""
+    return PlasmaConfig(NX=n, NY=n, NZ=nz, nsteps=50)

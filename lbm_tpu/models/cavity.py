@@ -1,0 +1,142 @@
+"""Single-population D2Q9 lid-driven cavity (the Ghia-validation workload).
+
+Replicates the semantics of the classic solver (reference:
+old codes/LBM_classic/LBM.cpp): loop order collide -> stream -> macro, pull
+streaming, three bounce-back walls, moving lid with the ramp
+u_lid_dyn = u_lid * t / sigma for t < sigma, and the rho<1e-10 macro guard.
+
+The state carries (f, rho, ux, uy) exactly like the reference (macros are
+updated AFTER streaming and consumed by the next step's collision, so they
+are part of the state, unlike the plasma model where macros are recomputed).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CavityConfig
+from ..constants import D2Q9
+from ..ops.stream import stream_cavity
+
+CS2 = 1.0 / 3.0
+
+
+class CavityState(NamedTuple):
+    f: jnp.ndarray    # (Q, NY, NX)
+    rho: jnp.ndarray  # (NY, NX)
+    ux: jnp.ndarray   # (NY, NX)
+    uy: jnp.ndarray   # (NY, NX)
+    step: jnp.ndarray  # () int32
+
+
+def _equilibrium(rho, ux, uy, dtype):
+    w = jnp.asarray(D2Q9.W, dtype)[:, None, None]
+    cx = jnp.asarray(D2Q9.CX.astype(np.float64), dtype)[:, None, None]
+    cy = jnp.asarray(D2Q9.CY.astype(np.float64), dtype)[:, None, None]
+    u2 = ux * ux + uy * uy
+    cu = cx * ux[None] + cy * uy[None]
+    # the cavity reference hard-codes 3, 4.5, 1.5 (LBM.cpp:55)
+    return w * rho[None] * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * u2[None])
+
+
+def init_state(cfg: CavityConfig) -> CavityState:
+    """rho=1, u=0, f = f_eq = w (old codes/LBM_classic/LBM.cpp:26-41)."""
+    dtype = cfg.dtype
+    NY, NX = cfg.NY, cfg.NX
+    f = jnp.broadcast_to(
+        jnp.asarray(D2Q9.W, dtype)[:, None, None], (D2Q9.Q, NY, NX)
+    ).copy()
+    return CavityState(
+        f=f,
+        rho=jnp.ones((NY, NX), dtype),
+        ux=jnp.zeros((NY, NX), dtype),
+        uy=jnp.zeros((NY, NX), dtype),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_step(cfg: CavityConfig) -> Callable[[CavityState], CavityState]:
+    tau = cfg.tau
+    dtype = cfg.dtype
+
+    def step(state: CavityState) -> CavityState:
+        t = state.step.astype(dtype)
+        u_lid_dyn = jnp.where(
+            t < cfg.sigma, cfg.u_lid / cfg.sigma * t, cfg.u_lid
+        )
+
+        # collide against the equilibrium of the *current* macros
+        feq = _equilibrium(state.rho, state.ux, state.uy, dtype)
+        f = state.f - (state.f - feq) / tau
+
+        # pull streaming + walls + moving lid
+        f = stream_cavity(f, u_lid_dyn)
+
+        # macros with the rho<1e-10 guard (LBM.cpp:74-88)
+        cx = jnp.asarray(D2Q9.CX.astype(np.float64), dtype)[:, None, None]
+        cy = jnp.asarray(D2Q9.CY.astype(np.float64), dtype)[:, None, None]
+        rho_raw = jnp.sum(f, axis=0)
+        px = jnp.sum(f * cx, axis=0)
+        py = jnp.sum(f * cy, axis=0)
+        alive = rho_raw >= 1e-10
+        safe = jnp.where(alive, rho_raw, 1.0)
+        rho = jnp.where(alive, rho_raw, 0.0)
+        ux = jnp.where(alive, px / safe, 0.0)
+        uy = jnp.where(alive, py / safe, 0.0)
+
+        return CavityState(f=f, rho=rho, ux=ux, uy=uy, step=state.step + 1)
+
+    return step
+
+
+def make_rollout(cfg: CavityConfig, n: Optional[int] = None):
+    step = make_step(cfg)
+    n_steps = cfg.nsteps if n is None else n
+
+    def rollout(state: CavityState) -> CavityState:
+        def body(s, _):
+            return step(s), None
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return rollout
+
+
+# ---------------------------------------------------------------------------
+# Ghia, Ghia & Shin (1982) reference data, Re=100, 129x129 grid.
+# Table I (u through vertical centerline) and Table II (v through horizontal
+# centerline). Public benchmark values (y/x in cavity units, lid at y=1).
+# ---------------------------------------------------------------------------
+
+GHIA_Y = np.array([
+    0.0000, 0.0547, 0.0625, 0.0703, 0.1016, 0.1719, 0.2813, 0.4531,
+    0.5000, 0.6172, 0.7344, 0.8516, 0.9531, 0.9609, 0.9688, 0.9766, 1.0000,
+])
+GHIA_U_RE100 = np.array([
+    0.00000, -0.03717, -0.04192, -0.04775, -0.06434, -0.10150, -0.15662,
+    -0.21090, -0.20581, -0.13641, 0.00332, 0.23151, 0.68717, 0.73722,
+    0.78871, 0.84123, 1.00000,
+])
+GHIA_X = np.array([
+    0.0000, 0.0625, 0.0703, 0.0781, 0.0938, 0.1563, 0.2266, 0.2344,
+    0.5000, 0.8047, 0.8594, 0.9063, 0.9453, 0.9531, 0.9609, 0.9688, 1.0000,
+])
+GHIA_V_RE100 = np.array([
+    0.00000, 0.09233, 0.10091, 0.10890, 0.12317, 0.16077, 0.17507, 0.17527,
+    0.05454, -0.24533, -0.22445, -0.16914, -0.10313, -0.08864, -0.07391,
+    -0.05906, 0.00000,
+])
+
+
+def centerline_profiles(state: CavityState, u_lid: float):
+    """(y, u/u_lid at x-center), (x, v/u_lid at y-center) for Ghia comparison."""
+    NY, NX = state.ux.shape
+    xc, yc = NX // 2, NY // 2
+    y = np.arange(NY) / (NY - 1)
+    x = np.arange(NX) / (NX - 1)
+    u_prof = np.asarray(state.ux[:, xc]) / u_lid
+    v_prof = np.asarray(state.uy[yc, :]) / u_lid
+    return (y, u_prof), (x, v_prof)

@@ -1,0 +1,185 @@
+"""Three-population (e/i/n) D2Q9 plasma model: state, init, and the step.
+
+The step pipeline order replicates the reference's time loop
+(reference: src/plasma.cpp:476-523):
+
+    1. update_macro      (moments + half-force + mixtures + rho_q)
+    2. equilibria        (computed inline inside collide)
+    3. collide           (thermal first, then mass — src/collisions.cpp:35-55)
+    4. stream (+ BC)
+    5. Poisson solve -> E
+
+Visualization/probing is NOT inside the step (the reference renders
+synchronously in the loop; here observation is pulled from the returned
+state by the host, off the hot path).
+
+State layout: populations f, g as (3, 9, NY, NX) arrays (species-major,
+direction next, lattice minor so NX maps to TPU lanes).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BC, CompatFlags, PlasmaConfig, PoissonSolver
+from ..constants import D2Q9
+from ..units import LatticeUnits
+from ..ops import poisson as poisson_ops
+from ..ops.collide import collide
+from ..ops.macros import Macros, update_macro
+from ..ops.stream import stream_bounceback, stream_periodic
+
+
+class PlasmaState(NamedTuple):
+    """Full simulation state (a pytree; everything needed to resume)."""
+
+    f: jnp.ndarray    # (3, Q, NY, NX) mass populations (e, i, n)
+    g: jnp.ndarray    # (3, Q, NY, NX) thermal (DDF) populations
+    Ex: jnp.ndarray   # (NY, NX)
+    Ey: jnp.ndarray   # (NY, NX)
+    phi: jnp.ndarray  # (NY, NX) potential, warm-started across steps
+    step: jnp.ndarray  # () int32
+
+
+def init_state(cfg: PlasmaConfig) -> PlasmaState:
+    """Initial condition (reference: src/plasma.cpp:131-158).
+
+    Electrons and ions (mass and thermal populations) are seeded at w_i *
+    rho_init only inside the center box x in (NX/4, 3NX/4), y in (NY/4,
+    3NY/4) (exclusive); neutrals fill the whole domain. E starts at the
+    external field; phi at zero.
+    """
+    u = cfg.units()
+    NX, NY = cfg.NX, cfg.NY
+    dtype = cfg.dtype
+    w = np.asarray(D2Q9.W)  # float64
+
+    box = np.zeros((NY, NX), dtype=np.float64)
+    box[NY // 4 + 1: (3 * NY) // 4, NX // 4 + 1: (3 * NX) // 4] = 1.0
+
+    ones = np.ones((NY, NX), dtype=np.float64)
+    wq = w[:, None, None]
+
+    f = np.stack([
+        wq * (u.rho_e_init * box),
+        wq * (u.rho_i_init * box),
+        wq * (u.rho_n_init * ones),
+    ])
+    g = np.stack([
+        wq * (u.T_e_init * box),
+        wq * (u.T_i_init * box),
+        wq * (u.T_n_init * ones),
+    ])
+
+    return PlasmaState(
+        f=jnp.asarray(f, dtype),
+        g=jnp.asarray(g, dtype),
+        Ex=jnp.full((NY, NX), u.Ex_ext, dtype),
+        Ey=jnp.full((NY, NX), u.Ey_ext, dtype),
+        phi=jnp.zeros((NY, NX), dtype),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _solve_poisson(
+    cfg: PlasmaConfig,
+    rho_q: jnp.ndarray,
+    phi: jnp.ndarray,
+    Ex: jnp.ndarray,
+    Ey: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Poisson dispatch replicating src/poisson.cpp:25-82. Returns (Ex, Ey, phi)."""
+    sol = cfg.poisson
+    compat = cfg.compat
+
+    if sol == PoissonSolver.NONE:
+        if compat.none_solver_kills_external_field:
+            # The reference zeroes E on the first call and never restores it
+            # (src/poisson.cpp:34-43). Since the solve runs every step, the
+            # post-step field is always zero.
+            z = jnp.zeros_like(Ex)
+            return z, z, phi
+        return Ex, Ey, phi
+
+    periodic_bc = cfg.bc == BC.PERIODIC
+
+    if sol == PoissonSolver.FFT:
+        if not periodic_bc:
+            # FFT under bounce-back: the reference returns without solving
+            # (src/poisson.cpp:76-77) — E keeps its previous value.
+            return Ex, Ey, phi
+        phi = poisson_ops.solve_fft(rho_q)
+        Ex2, Ey2 = poisson_ops.efield_periodic(phi)
+        return Ex2, Ey2, phi
+
+    # Iterative solvers. In compat mode the Dirichlet (interior-only) sweeps
+    # run even under periodic BCs, matching the reference's dispatcher; the
+    # E-field reconstruction still follows the BC type.
+    iter_periodic = periodic_bc and not compat.dirichlet_iterative_under_periodic
+    kw = dict(periodic=iter_periodic, max_iter=cfg.poisson_max_iter, tol=cfg.poisson_tol)
+    if sol == PoissonSolver.GS:
+        phi = poisson_ops.solve_gs(phi, rho_q, **kw)
+    elif sol == PoissonSolver.SOR:
+        phi = poisson_ops.solve_gs(phi, rho_q, omega=cfg.omega_sor, **kw)
+    elif sol == PoissonSolver.NPS:
+        phi = poisson_ops.solve_9point(phi, rho_q, **kw)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown solver {sol}")
+
+    if periodic_bc:
+        Ex2, Ey2 = poisson_ops.efield_periodic(phi)
+    else:
+        Ex2, Ey2 = poisson_ops.efield_neumann(phi)
+    return Ex2, Ey2, phi
+
+
+def compute_macros(cfg: PlasmaConfig, state: PlasmaState) -> Macros:
+    """Macroscopic fields for observation/diagnostics (same op as the step)."""
+    u = cfg.units()
+    return update_macro(state.f, state.g, state.Ex, state.Ey,
+                        q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i)
+
+
+def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
+    """Build the jittable single-step function for this configuration."""
+    u = cfg.units()
+    periodic = cfg.bc == BC.PERIODIC
+
+    def step(state: PlasmaState) -> PlasmaState:
+        mac = update_macro(state.f, state.g, state.Ex, state.Ey,
+                           q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i)
+        f_post, g_post = collide(state.f, state.g, mac, state.Ex, state.Ey,
+                                 taus=cfg.taus, q_e=u.q_e, q_i=u.q_i,
+                                 m_e=u.m_e, m_i=u.m_i, cs2=u.cs2, kb=u.kb)
+        if periodic:
+            f = stream_periodic(f_post)
+            g = stream_periodic(g_post)
+        else:
+            # The reference's recycled temp buffers leak stale values into
+            # the corner hole slots: pre-collision f for the f-streaming,
+            # post-collision f for the g-streaming (see stream_bounceback).
+            f = stream_bounceback(f_post, stale=state.f)
+            g = stream_bounceback(g_post, stale=f_post)
+        Ex, Ey, phi = _solve_poisson(cfg, mac.rho_q, state.phi, state.Ex, state.Ey)
+        return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi, step=state.step + 1)
+
+    return step
+
+
+def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):
+    """scan-based multi-step rollout: state -> state after n steps."""
+    step = make_step(cfg)
+    n_steps = cfg.nsteps if n is None else n
+
+    def rollout(state: PlasmaState) -> PlasmaState:
+        def body(s, _):
+            return step(s), None
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return rollout

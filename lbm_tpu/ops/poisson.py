@@ -1,0 +1,198 @@
+"""Electrostatic Poisson solvers and E-field reconstruction.
+
+Solves nabla^2 phi = -rho_q in lattice units each step, then
+E = -grad phi by central differences (reference: src/poisson.cpp).
+
+Solvers:
+  * FFT  — spectral solve with the discrete 5-point eigenvalue
+           4 (sin^2(pi kx/NX) + sin^2(pi ky/NY)) and the k=0 mode zeroed
+           (zero-mean gauge), matching src/poisson.cpp:365-420. On TPU this
+           is an on-device rfft2/irfft2 pair; under sharding XLA inserts the
+           collective transpose.
+  * GS   — red-black Gauss-Seidel. The functional form is exactly the C++
+           sweep: red points (i+j even) update from black neighbors, then
+           black points update from the fresh red values.
+  * SOR  — same stencil, omega-blended update.
+  * NPS  — 9-point stencil with the 4-color ordering
+           color = 2*(i%2) + (j%2), sweeps in order 0,1,2,3.
+
+Iterative solvers run under lax.while_loop with maxIter=5000 / tol=1e-8
+(reference: src/poisson.cpp:13-14) and support both the Dirichlet (phi=0
+walls, interior-only sweep) and periodic variants. Note the reference's
+dispatcher always uses the Dirichlet sweeps — even under periodic BCs — and
+its periodic sweeps are dead code (src/poisson.cpp:46-63); both behaviors
+are available here behind CompatFlags.dirichlet_iterative_under_periodic.
+
+phi persists across steps as part of the simulation state (warm start),
+mirroring the reference's translation-unit-static phi (src/poisson.cpp:9).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Spectral solver
+# ---------------------------------------------------------------------------
+
+def solve_fft(rho_q: jnp.ndarray) -> jnp.ndarray:
+    """Spectral solve of nabla^2 phi = -rho_q with periodic BCs.
+
+    rho_q: (NY, NX) -> phi (NY, NX), zero-mean.
+    """
+    NY, NX = rho_q.shape
+    dtype = rho_q.dtype
+    # FFT in f32 loses too much for the tiny charge densities of the golden
+    # run; compute the transform in f32/f64 matching input dtype.
+    rho_hat = jnp.fft.rfft2(rho_q)          # (NY, NX//2+1)
+    ky = np.fft.fftfreq(NY) * NY            # integer wavenumbers
+    kx = np.arange(NX // 2 + 1)
+    siny2 = np.sin(np.pi * ky / NY) ** 2    # (NY,)
+    sinx2 = np.sin(np.pi * kx / NX) ** 2    # (NX//2+1,)
+    denom = 4.0 * (siny2[:, None] + sinx2[None, :])
+    inv = np.where(denom > 1e-15, 1.0 / np.maximum(denom, 1e-300), 0.0)
+    phi_hat = rho_hat * jnp.asarray(inv, rho_hat.real.dtype)
+    phi = jnp.fft.irfft2(phi_hat, s=(NY, NX))
+    return phi.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Iterative solvers (red-black GS / SOR, 4-color 9-point)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _checker_masks(NX: int, NY: int, interior_only: bool) -> Tuple[np.ndarray, np.ndarray]:
+    ii, jj = np.meshgrid(np.arange(NX), np.arange(NY))  # ii=x, jj=y; shape (NY, NX)
+    red = ((ii + jj) % 2 == 0)
+    black = ~red
+    if interior_only:
+        inside = (ii >= 1) & (ii < NX - 1) & (jj >= 1) & (jj < NY - 1)
+        red &= inside
+        black &= inside
+    return red, black
+
+
+@functools.lru_cache(maxsize=None)
+def _four_color_masks(NX: int, NY: int, interior_only: bool) -> Tuple[np.ndarray, ...]:
+    ii, jj = np.meshgrid(np.arange(NX), np.arange(NY))
+    color = 2 * (ii % 2) + (jj % 2)
+    masks = []
+    for c in range(4):
+        m = color == c
+        if interior_only:
+            m &= (ii >= 1) & (ii < NX - 1) & (jj >= 1) & (jj < NY - 1)
+        masks.append(m)
+    return tuple(masks)
+
+
+def _nb5(phi: jnp.ndarray) -> jnp.ndarray:
+    """Sum of the 4 orthogonal neighbors with wraparound.
+
+    For interior-only (Dirichlet) updates the wrapped edge values are never
+    selected, so one roll-based form serves both variants.
+    """
+    return (
+        jnp.roll(phi, 1, axis=1) + jnp.roll(phi, -1, axis=1)
+        + jnp.roll(phi, 1, axis=0) + jnp.roll(phi, -1, axis=0)
+    )
+
+
+def _nb_diag(phi: jnp.ndarray) -> jnp.ndarray:
+    return (
+        jnp.roll(phi, (1, 1), axis=(0, 1)) + jnp.roll(phi, (1, -1), axis=(0, 1))
+        + jnp.roll(phi, (-1, 1), axis=(0, 1)) + jnp.roll(phi, (-1, -1), axis=(0, 1))
+    )
+
+
+def _iterate(phi0, rho_q, sweep_fn, max_iter: int, tol: float):
+    """lax.while_loop around one full sweep; stops on maxErr < tol."""
+    dtype = phi0.dtype
+
+    def cond(state):
+        it, _, err = state
+        return jnp.logical_and(it < max_iter, err >= tol)
+
+    def body(state):
+        it, phi, _ = state
+        phi, err = sweep_fn(phi, rho_q)
+        return it + 1, phi, err
+
+    # run at least one sweep (C++ do-style loop always sweeps once)
+    _, phi, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), phi0, jnp.asarray(jnp.inf, dtype))
+    )
+    return phi
+
+
+def solve_gs(phi0, rho_q, *, periodic: bool, max_iter: int = 5000, tol: float = 1e-8,
+             omega: float | None = None):
+    """Red-black Gauss-Seidel (or SOR when omega is given)."""
+    NY, NX = rho_q.shape
+    red_np, black_np = _checker_masks(NX, NY, interior_only=not periodic)
+    red = jnp.asarray(red_np)
+    black = jnp.asarray(black_np)
+
+    def half(phi, rho, mask):
+        gs = 0.25 * (_nb5(phi) + rho)
+        new = gs if omega is None else (1.0 - omega) * phi + omega * gs
+        upd = jnp.where(mask, new, phi)
+        err = jnp.max(jnp.where(mask, jnp.abs(upd - phi), 0.0))
+        return upd, err
+
+    def sweep(phi, rho):
+        phi, e1 = half(phi, rho, red)
+        phi, e2 = half(phi, rho, black)
+        return phi, jnp.maximum(e1, e2)
+
+    return _iterate(phi0, rho_q, sweep, max_iter, tol)
+
+
+def solve_9point(phi0, rho_q, *, periodic: bool, max_iter: int = 5000, tol: float = 1e-8):
+    """9-point stencil, 4-color Gauss-Seidel ordering."""
+    NY, NX = rho_q.shape
+    masks = [jnp.asarray(m) for m in _four_color_masks(NX, NY, interior_only=not periodic)]
+
+    def sweep(phi, rho):
+        err = jnp.zeros((), phi.dtype)
+        for mask in masks:
+            new = (4.0 * _nb5(phi) + _nb_diag(phi) + 6.0 * rho) / 20.0
+            upd = jnp.where(mask, new, phi)
+            err = jnp.maximum(err, jnp.max(jnp.where(mask, jnp.abs(upd - phi), 0.0)))
+            phi = upd
+        return phi, err
+
+    return _iterate(phi0, rho_q, sweep, max_iter, tol)
+
+
+# ---------------------------------------------------------------------------
+# E = -grad phi
+# ---------------------------------------------------------------------------
+
+def efield_periodic(phi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Central differences with periodic wrap (src/poisson.cpp:589-607)."""
+    Ex = -0.5 * (jnp.roll(phi, -1, axis=1) - jnp.roll(phi, 1, axis=1))
+    Ey = -0.5 * (jnp.roll(phi, -1, axis=0) - jnp.roll(phi, 1, axis=0))
+    return Ex, Ey
+
+
+def efield_neumann(phi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Central differences on the interior, copy-to-edge Neumann closure
+    (src/poisson.cpp:551-585). Edge fill order matters at the corners: the
+    top/bottom rows are filled from row 1 / NY-2 first, then the left/right
+    columns copy from columns 1 / NX-2 (including the corner cells)."""
+    Ex = -0.5 * (jnp.roll(phi, -1, axis=1) - jnp.roll(phi, 1, axis=1))
+    Ey = -0.5 * (jnp.roll(phi, -1, axis=0) - jnp.roll(phi, 1, axis=0))
+
+    def close(E):
+        E = E.at[0, :].set(E[1, :])
+        E = E.at[-1, :].set(E[-2, :])
+        E = E.at[:, 0].set(E[:, 1])
+        E = E.at[:, -1].set(E[:, -2])
+        return E
+
+    return close(Ex), close(Ey)
