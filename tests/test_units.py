@@ -10,9 +10,11 @@ def test_scales_golden_config():
     # Debye length for n=1e11, T=1e4: lambda_D = sqrt(eps0 kB T/(n e^2))
     lam_d = math.sqrt(U.EPSILON0_SI * U.KB_SI * 1e4 / (1e11 * U.E_CHARGE_SI**2))
     assert abs(u.L0 - lam_d * 1e-2) / u.L0 < 1e-12
-    # plasma frequency omega_p = sqrt(n e^2/(eps0 m_e))
+    # plasma frequency omega_p = sqrt(n e^2/(eps0 m_e));
+    # t0 = 1/(sqrt(3) omega_p) * 1e-2 (the reference's code comment says
+    # "rad(3)/w_p/100" but its formula computes 1/(sqrt(3) w_p)/100)
     w_p = math.sqrt(1e11 * U.E_CHARGE_SI**2 / (U.EPSILON0_SI * U.M_E_SI))
-    assert abs(u.t0 - math.sqrt(3.0) / w_p * 1e-2) / u.t0 < 1e-12
+    assert abs(u.t0 - 1e-2 / (math.sqrt(3.0) * w_p)) / u.t0 < 1e-12
 
 
 def test_lattice_constants():
