@@ -1,0 +1,81 @@
+"""Headline benchmark: 3-species plasma MLUPS on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N}
+
+MLUPS = NX*NY*steps / wall_seconds / 1e6, one site-update = the full
+pipeline (moments + 18 equilibria + triple-BGK collide + Guo forcing + DDF
+thermal + streaming + FFT Poisson + E-field) over all 6 D2Q9 populations —
+the same accounting as BASELINE.md. The C++ reference peaks at ~0.99 MLUPS
+(200x200, 13 cores, FFT+Periodic).
+
+Timing notes: under the axon tunnel block_until_ready returns before the
+device work drains, so we synchronize by fetching a scalar from the final
+state, and we time two different step counts and use the difference to
+cancel the fixed sync/fetch overhead.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+BASELINE_MLUPS = 0.99  # reference best (BASELINE.md: 200x200, 13 cores)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from lbm_tpu.config import PlasmaConfig
+    from lbm_tpu.models import plasma
+
+    n = int(os.environ.get("BENCH_N", "1024"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+
+    cfg = dataclasses.replace(
+        PlasmaConfig(), NX=n, NY=n, nsteps=steps, dtype=jnp.float32
+    )
+    state = plasma.init_state(cfg)
+    step = jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
+
+    def sync(s):
+        # a real device->host read is the only reliable fence here
+        return float(s.f[0, 0, 0, 0])
+
+    for _ in range(warmup):
+        state = step(state)
+    sync(state)
+
+    def timed(k, s):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            s = step(s)
+        sync(s)
+        return time.perf_counter() - t0, s
+
+    t_short, state = timed(max(steps // 4, 1), state)
+    t_long, state = timed(steps, state)
+    dt = t_long - t_short  # overhead-cancelled time for (steps - steps//4)
+    eff_steps = steps - max(steps // 4, 1)
+    if dt <= 0:  # degenerate timing; fall back to the long measurement
+        dt, eff_steps = t_long, steps
+
+    mlups = n * n * eff_steps / dt / 1e6
+    print(json.dumps({
+        "metric": f"plasma_mlups_{n}x{n}_fft_periodic_1chip",
+        "value": round(mlups, 2),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups / BASELINE_MLUPS, 1),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

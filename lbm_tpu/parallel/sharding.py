@@ -1,0 +1,64 @@
+"""GSPMD sharding of the plasma/cavity state and step.
+
+Strategy (round 1): single-controller jit with NamedSharding annotations on
+the state — the (NY, NX) lattice dims are sharded over the (dy, dx) mesh;
+species/direction axes are replicated dims of locally-owned data. XLA then
+partitions every operator:
+
+  * streaming rolls      -> local dynamic-slices + collective-permute of the
+                            1-cell boundary lanes over ICI
+  * elementwise collide  -> fully local
+  * rfft2 Poisson        -> sharded FFT with a collective transpose
+  * while_loop max-error -> all-reduce per sweep
+
+A hand-scheduled shard_map + ppermute halo-exchange path (tighter comm
+control, Pallas-compatible) is the round-2 optimization; this module is the
+correctness- and scaling-bearing baseline.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import PlasmaConfig
+from ..models.plasma import PlasmaState, make_step
+from .mesh import AXIS_X, AXIS_Y
+
+
+def state_shardings(mesh: Mesh) -> PlasmaState:
+    """A PlasmaState-shaped pytree of NamedShardings (lattice-sharded)."""
+    pop = NamedSharding(mesh, P(None, None, AXIS_Y, AXIS_X))   # f, g
+    field = NamedSharding(mesh, P(AXIS_Y, AXIS_X))             # Ex, Ey, phi
+    scalar = NamedSharding(mesh, P())
+    return PlasmaState(f=pop, g=pop, Ex=field, Ey=field, phi=field, step=scalar)
+
+
+def shard_state(state: PlasmaState, mesh: Mesh) -> PlasmaState:
+    """Place an existing state onto the mesh."""
+    sh = state_shardings(mesh)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def make_sharded_step(
+    cfg: PlasmaConfig,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable[[PlasmaState], PlasmaState]:
+    """Jitted single step with lattice-sharded inputs/outputs."""
+    sh = state_shardings(mesh)
+    step = make_step(cfg)
+    return jax.jit(
+        step,
+        in_shardings=(sh,),
+        out_shardings=sh,
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def validate_grid(cfg: PlasmaConfig, mesh: Mesh) -> None:
+    ny, nx = mesh.devices.shape
+    if cfg.NY % ny or cfg.NX % nx:
+        raise ValueError(
+            f"grid {cfg.NY}x{cfg.NX} not divisible by mesh {ny}x{nx}")

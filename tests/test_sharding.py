@@ -1,0 +1,78 @@
+"""Multi-device sharding: parity with single-device and collective sanity.
+
+Runs on 8 virtual CPU devices (conftest forces
+xla_force_host_platform_device_count=8).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.config import BC, PlasmaConfig, PoissonSolver
+from lbm_tpu.models import plasma
+from lbm_tpu.parallel import mesh as mesh_mod
+from lbm_tpu.parallel import sharding as sh
+
+
+def _cfg(**kw):
+    base = dict(NX=32, NY=32, nsteps=3, dtype=jnp.float64)
+    base.update(kw)
+    return dataclasses.replace(PlasmaConfig(), **base)
+
+
+def test_factor_2d():
+    assert mesh_mod.factor_2d(8) == (2, 4)
+    assert mesh_mod.factor_2d(4) == (2, 2)
+    assert mesh_mod.factor_2d(7) == (1, 7)
+    assert mesh_mod.factor_2d(1) == (1, 1)
+
+
+@pytest.mark.parametrize("solver", [PoissonSolver.FFT, PoissonSolver.GS,
+                                    PoissonSolver.NONE])
+def test_sharded_matches_single_device(solver):
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    cfg = _cfg(poisson=solver)
+    m = mesh_mod.make_mesh()          # 2x4 over 8 cpu devices
+    sh.validate_grid(cfg, m)
+
+    s_single = plasma.init_state(cfg)
+    step1 = jax.jit(plasma.make_step(cfg))
+    s_multi = sh.shard_state(plasma.init_state(cfg), m)
+    stepN = sh.make_sharded_step(cfg, m, donate=False)
+
+    for _ in range(3):
+        s_single = step1(s_single)
+        s_multi = stepN(s_multi)
+
+    np.testing.assert_allclose(np.asarray(s_multi.f), np.asarray(s_single.f),
+                               rtol=1e-12, atol=1e-20)
+    np.testing.assert_allclose(np.asarray(s_multi.g), np.asarray(s_single.g),
+                               rtol=1e-12, atol=1e-20)
+    np.testing.assert_allclose(np.asarray(s_multi.Ex), np.asarray(s_single.Ex),
+                               rtol=1e-10, atol=1e-16)
+
+
+def test_sharded_bounceback():
+    cfg = _cfg(bc=BC.BOUNCE_BACK, poisson=PoissonSolver.SOR,
+               poisson_max_iter=40)
+    m = mesh_mod.make_mesh()
+    s_single = plasma.init_state(cfg)
+    step1 = jax.jit(plasma.make_step(cfg))
+    s_multi = sh.shard_state(plasma.init_state(cfg), m)
+    stepN = sh.make_sharded_step(cfg, m, donate=False)
+    for _ in range(2):
+        s_single = step1(s_single)
+        s_multi = stepN(s_multi)
+    np.testing.assert_allclose(np.asarray(s_multi.f), np.asarray(s_single.f),
+                               rtol=1e-12, atol=1e-20)
+
+
+def test_output_stays_sharded():
+    cfg = _cfg()
+    m = mesh_mod.make_mesh()
+    s = sh.shard_state(plasma.init_state(cfg), m)
+    s = sh.make_sharded_step(cfg, m, donate=False)(s)
+    assert len(s.f.sharding.device_set) == 8
+    assert not s.f.is_fully_replicated
