@@ -99,6 +99,10 @@ class PlasmaConfig:
     dtype: jnp.dtype = jnp.float32
     compat: CompatFlags = CompatFlags()
 
+    # Compute backend for the collide stage: "jnp" (XLA-fused elementwise
+    # chain) or "pallas" (single fused VMEM kernel; numerics-identical).
+    backend: str = "jnp"
+
     def units(self) -> LatticeUnits:
         return compute_lattice_units(
             Z_ion=self.Z_ion, A_ion=self.A_ion,

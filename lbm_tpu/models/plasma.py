@@ -149,13 +149,24 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
     """Build the jittable single-step function for this configuration."""
     u = cfg.units()
     periodic = cfg.bc == BC.PERIODIC
+    use_pallas = cfg.backend == "pallas"
 
-    def step(state: PlasmaState) -> PlasmaState:
+    def collide_stage(state: PlasmaState):
+        if use_pallas:
+            from ..kernels.collide_pallas import fused_collide
+            return fused_collide(
+                state.f, state.g, state.Ex, state.Ey,
+                taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb)
         mac = update_macro(state.f, state.g, state.Ex, state.Ey,
                            q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i)
         f_post, g_post = collide(state.f, state.g, mac, state.Ex, state.Ey,
                                  taus=cfg.taus, q_e=u.q_e, q_i=u.q_i,
                                  m_e=u.m_e, m_i=u.m_i, cs2=u.cs2, kb=u.kb)
+        return f_post, g_post, mac.rho_q
+
+    def step(state: PlasmaState) -> PlasmaState:
+        f_post, g_post, rho_q = collide_stage(state)
         if periodic:
             f = stream_periodic(f_post)
             g = stream_periodic(g_post)
@@ -165,7 +176,7 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             # post-collision f for the g-streaming (see stream_bounceback).
             f = stream_bounceback(f_post, stale=state.f)
             g = stream_bounceback(g_post, stale=f_post)
-        Ex, Ey, phi = _solve_poisson(cfg, mac.rho_q, state.phi, state.Ex, state.Ey)
+        Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi, state.Ex, state.Ey)
         return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi, step=state.step + 1)
 
     return step

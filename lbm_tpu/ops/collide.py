@@ -20,25 +20,28 @@ Thermal populations:
 where feq_ab = equilibrium(rho_a, u_ab) against the pairwise mixture
 velocity (reference: src/collisions.cpp:86-114,154-173). The 18 equilibrium
 fields the reference materializes are recomputed inline here; XLA fuses the
-whole operator into a handful of elementwise kernels, and the Pallas path
-evaluates it entirely in VMEM.
+whole operator, and the Pallas kernel evaluates it entirely in VMEM. The
+direction loop is unrolled with scalar stencil constants (Pallas-safe: no
+captured array constants).
 """
 from __future__ import annotations
 
 from typing import Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..constants import D2Q9
-from .equilibrium import equilibrium
+from .equilibrium import equilibrium_dirs
 from .macros import Macros
 
-# Per-species (self, with-first-partner, with-second-partner) tau indices
-# into the pair-velocity axis: species e pairs with (ei, en), i with (ei, in),
-# n with (en, in).
-_PAIR_IDX = ((0, 1), (0, 2), (1, 2))  # pair-axis index used by species s
+_W = [float(w) for w in D2Q9.W]
+_CX = [float(c) for c in D2Q9.CX]
+_CY = [float(c) for c in D2Q9.CY]
 _Q = D2Q9.Q
+
+# species s collides with itself and with its two partners; pair-velocity
+# axis order is (ei, en, in)
+_PAIR_IDX = ((0, 1), (0, 2), (1, 2))
 
 
 def collide(
@@ -46,7 +49,7 @@ def collide(
     g: jnp.ndarray,   # (3, Q, NY, NX)
     mac: Macros,
     Ex: jnp.ndarray,  # (NY, NX)
-    Ey: jnp.ndarray,  # (NY, NX)
+    Ey: jnp.ndarray,
     *,
     taus: Tuple[float, float, float, float, float, float],
     q_e: float,
@@ -57,74 +60,67 @@ def collide(
     kb: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One collision step; returns (f_post, g_post) (pre-streaming)."""
-    dtype = f.dtype
     tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
     tau_self = (tau_e, tau_i, tau_n)
     tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
-
-    w = jnp.asarray(D2Q9.W, dtype)[:, None, None]
-    cx = jnp.asarray(D2Q9.CX.astype(np.float64), dtype)[:, None, None]
-    cy = jnp.asarray(D2Q9.CY.astype(np.float64), dtype)[:, None, None]
-
-    rho, ux, uy, T = mac.rho, mac.ux, mac.uy, mac.T
-    charge_over_mass = (q_e / m_e, q_i / m_i, 0.0)
     charge = (q_e, q_i, 0.0)
     mass = (m_e, m_i, 1.0)
 
-    def thermal_term(rho_s, tau, feq):
-        """Energy-loss factor term_ab (src/collisions.cpp:86-96)."""
-        r = 1.0 - 1.0 / tau
-        num = 2.0 * rho_s[None] * r * r - 2.0 * r * rho_s[None] - _Q * feq / tau
-        den = 2.0 * (2.0 * r + _Q * feq / tau)
-        return num / den
+    rho, ux, uy, T = mac.rho, mac.ux, mac.uy, mac.T
 
     f_out, g_out = [], []
     for s in range(3):
         p1, p2 = _PAIR_IDX[s]
         t_self = tau_self[s]
         t_c1, t_c2 = tau_cross[s]
+        rho_s, ux_s, uy_s = rho[s], ux[s], uy[s]
 
-        feq_self = equilibrium(rho[s], ux[s], uy[s], cs2)
-        feq_p1 = equilibrium(rho[s], mac.ux_pair[p1], mac.uy_pair[p1], cs2)
-        feq_p2 = equilibrium(rho[s], mac.ux_pair[p2], mac.uy_pair[p2], cs2)
-        geq_self = equilibrium(T[s], ux[s], uy[s], cs2)
-        geq_p1 = equilibrium(T[s], mac.ux_pair[p1], mac.uy_pair[p1], cs2)
-        geq_p2 = equilibrium(T[s], mac.ux_pair[p2], mac.uy_pair[p2], cs2)
+        feq_self = equilibrium_dirs(rho_s, ux_s, uy_s, cs2)
+        feq_p1 = equilibrium_dirs(rho_s, mac.ux_pair[p1], mac.uy_pair[p1], cs2)
+        feq_p2 = equilibrium_dirs(rho_s, mac.ux_pair[p2], mac.uy_pair[p2], cs2)
+        geq_self = equilibrium_dirs(T[s], ux_s, uy_s, cs2)
+        geq_p1 = equilibrium_dirs(T[s], mac.ux_pair[p1], mac.uy_pair[p1], cs2)
+        geq_p2 = equilibrium_dirs(T[s], mac.ux_pair[p2], mac.uy_pair[p2], cs2)
 
-        # ---- thermal (DDF) update, done first like the reference ----
-        term = (
-            thermal_term(rho[s], t_self, feq_self)
-            + thermal_term(rho[s], t_c1, feq_p1)
-            + thermal_term(rho[s], t_c2, feq_p2)
-        )
-        u2 = (ux[s] * ux[s] + uy[s] * uy[s])[None]
-        dT = -(rho[s][None] * term * u2) / kb
-        C_T = (
-            -(g[s] - geq_self) / t_self
-            - (g[s] - geq_p1) / t_c1
-            - (g[s] - geq_p2) / t_c2
-        )
-        g_out.append(g[s] + C_T + dT)
+        # constants of the thermal energy-loss terms (src/collisions.cpp:86-96)
+        u2 = ux_s * ux_s + uy_s * uy_s
+        uE = ux_s * Ex + uy_s * Ey
+        charged = charge[s] != 0.0
+        if charged:
+            force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
+                1.0 - 1.0 / (2.0 * t_self))
 
-        # ---- mass update with Guo forcing on charged species ----
-        C = (
-            -(f[s] - feq_self) / t_self
-            - (f[s] - feq_p1) / t_c1
-            - (f[s] - feq_p2) / t_c2
-        )
-        if charge[s] != 0.0:
-            cE = cx * Ex[None] + cy * Ey[None]
-            cu = cx * ux[s][None] + cy * uy[s][None]
-            uE = (ux[s] * Ex + uy[s] * Ey)[None]
-            prefac = (
-                w
-                * (charge_over_mass[s] / cs2)
-                * rho[s][None]
-                * (1.0 - 1.0 / (2.0 * t_self))
-            )
-            F = prefac * (cE + cu * cE / cs2 - uE)
-            f_out.append(f[s] + C + F)
-        else:
-            f_out.append(f[s] + C)
+        def thermal_term(feq_i, tau):
+            # same association order as the reference expression
+            r = 1.0 - 1.0 / tau
+            qf = _Q * feq_i / tau
+            num = 2.0 * rho_s * r * r - 2.0 * r * rho_s - qf
+            den = 2.0 * (2.0 * r + qf)
+            return num / den
+
+        f_dirs, g_dirs = [], []
+        for i in range(_Q):
+            tm = (thermal_term(feq_self[i], t_self)
+                  + thermal_term(feq_p1[i], t_c1)
+                  + thermal_term(feq_p2[i], t_c2))
+            dT = -(rho_s * tm * u2) / kb
+            C_T = (-(g[s, i] - geq_self[i]) / t_self
+                   - (g[s, i] - geq_p1[i]) / t_c1
+                   - (g[s, i] - geq_p2[i]) / t_c2)
+            g_dirs.append(g[s, i] + C_T + dT)
+
+            C = (-(f[s, i] - feq_self[i]) / t_self
+                 - (f[s, i] - feq_p1[i]) / t_c1
+                 - (f[s, i] - feq_p2[i]) / t_c2)
+            if charged:
+                cE = _CX[i] * Ex + _CY[i] * Ey
+                cu = _CX[i] * ux_s + _CY[i] * uy_s
+                F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
+                f_dirs.append(f[s, i] + C + F)
+            else:
+                f_dirs.append(f[s, i] + C)
+
+        f_out.append(jnp.stack(f_dirs))
+        g_out.append(jnp.stack(g_dirs))
 
     return jnp.stack(f_out), jnp.stack(g_out)

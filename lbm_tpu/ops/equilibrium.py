@@ -8,13 +8,39 @@ temperature for the thermal (DDF) populations g — the reference uses the
 identical polynomial for both (reference: src/plasma.cpp:162-308, which
 materializes 18 such fields per step; here they are computed on the fly and
 fused by XLA / consumed in-register by the Pallas kernel).
+
+The direction loop is unrolled with *scalar* stencil constants: no captured
+array constants (a Pallas kernel requirement) and the per-direction algebra
+the VPU sees is exactly the reference's per-i expression.
 """
 from __future__ import annotations
 
+from typing import List
+
 import jax.numpy as jnp
-import numpy as np
 
 from ..constants import D2Q9
+
+_W = [float(w) for w in D2Q9.W]
+_CX = [float(c) for c in D2Q9.CX]
+_CY = [float(c) for c in D2Q9.CY]
+
+
+def equilibrium_dirs(
+    amp: jnp.ndarray,
+    ux: jnp.ndarray,
+    uy: jnp.ndarray,
+    cs2: float,
+) -> List[jnp.ndarray]:
+    """Per-direction equilibrium populations as a list of Q arrays."""
+    inv = 1.0 / cs2
+    u2_term = (ux * ux + uy * uy) * (0.5 * inv)
+    out = []
+    for i in range(D2Q9.Q):
+        cu = _CX[i] * ux + _CY[i] * uy
+        poly = 1.0 + cu * inv + (cu * cu) * (0.5 * inv * inv) - u2_term
+        out.append(_W[i] * amp * poly)
+    return out
 
 
 def equilibrium(
@@ -22,22 +48,6 @@ def equilibrium(
     ux: jnp.ndarray,
     uy: jnp.ndarray,
     cs2: float,
-    *,
-    w: np.ndarray = D2Q9.W,
-    cx: np.ndarray = D2Q9.CX,
-    cy: np.ndarray = D2Q9.CY,
 ) -> jnp.ndarray:
-    """Equilibrium populations, shape (Q, *amp.shape).
-
-    amp/ux/uy: (..., NY, NX) broadcastable fields.
-    """
-    dtype = amp.dtype
-    inv = 1.0 / cs2
-    wq = jnp.asarray(w, dtype)[:, None, None]
-    cxq = jnp.asarray(cx.astype(np.float64), dtype)[:, None, None]
-    cyq = jnp.asarray(cy.astype(np.float64), dtype)[:, None, None]
-
-    u2 = ux * ux + uy * uy                       # (NY, NX)
-    cu = cxq * ux[None] + cyq * uy[None]         # (Q, NY, NX)
-    poly = 1.0 + cu * inv + (cu * cu) * (0.5 * inv * inv) - u2[None] * (0.5 * inv)
-    return wq * amp[None] * poly
+    """Equilibrium populations, shape (Q, *amp.shape)."""
+    return jnp.stack(equilibrium_dirs(amp, ux, uy, cs2))

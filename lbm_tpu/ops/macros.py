@@ -17,6 +17,10 @@ with three stability guards that are part of the golden trajectory:
 plus the pairwise density-weighted mixture velocities u_ei, u_en, u_in and
 the lattice charge density rho_q = q_i rho_i / m_i + q_e rho_e / m_e.
 
+Moment sums accumulate sequentially in direction order 0..8 — the same
+reduction tree as the reference's serial loop — so the exact-equality guard
+fires on identical inputs. All stencil constants are scalars (Pallas-safe).
+
 Species axis order everywhere: 0=electron, 1=ion, 2=neutral.
 Pair axis order: 0=(e,i), 1=(e,n), 2=(i,n).
 """
@@ -25,9 +29,12 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..constants import D2Q9
+
+_CX = [float(c) for c in D2Q9.CX]
+_CY = [float(c) for c in D2Q9.CY]
+_Q = D2Q9.Q
 
 
 class Macros(NamedTuple):
@@ -38,6 +45,25 @@ class Macros(NamedTuple):
     ux_pair: jnp.ndarray  # (3, NY, NX) — (ei, en, in)
     uy_pair: jnp.ndarray  # (3, NY, NX)
     rho_q: jnp.ndarray    # (NY, NX)
+
+
+def _moments(f_s, g_s):
+    """Sequential 0..8 accumulation of rho, px, py, T for one species."""
+    rho = f_s[0]
+    T = g_s[0]
+    px = None
+    py = None
+    for i in range(1, _Q):
+        rho = rho + f_s[i]
+        T = T + g_s[i]
+    for i in range(_Q):
+        if _CX[i] != 0.0:
+            term = f_s[i] if _CX[i] > 0 else -f_s[i]
+            px = term if px is None else px + term
+        if _CY[i] != 0.0:
+            term = f_s[i] if _CY[i] > 0 else -f_s[i]
+            py = term if py is None else py + term
+    return rho, px, py, T
 
 
 def update_macro(
@@ -51,54 +77,45 @@ def update_macro(
     m_e: float,
     m_i: float,
 ) -> Macros:
-    dtype = f.dtype
-    cx = jnp.asarray(D2Q9.CX.astype(np.float64), dtype)[None, :, None, None]
-    cy = jnp.asarray(D2Q9.CY.astype(np.float64), dtype)[None, :, None, None]
+    qom = (q_e / m_e, q_i / m_i, 0.0)
 
-    rho_raw = jnp.sum(f, axis=1)             # (3, NY, NX)
-    px = jnp.sum(f * cx, axis=1)             # momentum sums
-    py = jnp.sum(f * cy, axis=1)
-    T_raw = jnp.sum(g, axis=1)
-
-    alive = rho_raw >= 1e-10                 # per-species cell-is-alive mask
-    safe_rho = jnp.where(alive, rho_raw, 1.0)
-
-    # velocity with the exact-equality anti-blowup guard
-    # (reference: src/plasma.cpp:380-387)
-    ux = jnp.where((px == rho_raw) | (px == -rho_raw), 0.0, px / safe_rho)
-    uy = jnp.where((py == rho_raw) | (py == -rho_raw), 0.0, py / safe_rho)
-
-    # half-step Guo force correction on charged species only
-    # (reference: src/plasma.cpp:389-390,409-410)
-    qom = jnp.asarray(
-        np.array([q_e / m_e, q_i / m_i, 0.0]), dtype
-    )[:, None, None]
-    ux = ux + 0.5 * qom * Ex[None]
-    uy = uy + 0.5 * qom * Ey[None]
-
-    rho = jnp.where(alive, rho_raw, 0.0)
-    ux = jnp.where(alive, ux, 0.0)
-    uy = jnp.where(alive, uy, 0.0)
-    T = jnp.where(alive, T_raw, 0.0)
+    rho_raw, rho_l, ux_l, uy_l, T_l, alive_l = [], [], [], [], [], []
+    for s in range(3):
+        rho, px, py, T = _moments(f[s], g[s])
+        alive = rho >= 1e-10
+        safe_rho = jnp.where(alive, rho, 1.0)
+        # exact-equality anti-blowup guard (reference: src/plasma.cpp:380-387)
+        ux = jnp.where((px == rho) | (px == -rho), 0.0, px / safe_rho)
+        uy = jnp.where((py == rho) | (py == -rho), 0.0, py / safe_rho)
+        if qom[s] != 0.0:
+            # half-step Guo force correction (src/plasma.cpp:389-390)
+            ux = ux + (0.5 * qom[s]) * Ex
+            uy = uy + (0.5 * qom[s]) * Ey
+        rho_raw.append(rho)
+        alive_l.append(alive)
+        rho_l.append(jnp.where(alive, rho, 0.0))
+        ux_l.append(jnp.where(alive, ux, 0.0))
+        uy_l.append(jnp.where(alive, uy, 0.0))
+        T_l.append(jnp.where(alive, T, 0.0))
 
     # Pairwise density-weighted mixture velocities. The reference weights by
-    # the *raw* momentum-sum densities (rho_loc) but the *guarded* velocities
-    # (reference: src/plasma.cpp:426-449), and only zeroes a pair when BOTH
-    # raw densities are below threshold.
-    pairs = ((0, 1), (0, 2), (1, 2))
+    # the *raw* momentum-sum densities but the *guarded* velocities
+    # (src/plasma.cpp:426-449), and only zeroes a pair when BOTH raw
+    # densities are below threshold.
     uxp, uyp = [], []
-    for a, b in pairs:
+    for a, b in ((0, 1), (0, 2), (1, 2)):
         ra, rb = rho_raw[a], rho_raw[b]
-        both_dead = (~alive[a]) & (~alive[b])
+        both_dead = (~alive_l[a]) & (~alive_l[b])
         denom = jnp.where(both_dead, 1.0, ra + rb)
-        uxp.append(jnp.where(both_dead, 0.0, (ra * ux[a] + rb * ux[b]) / denom))
-        uyp.append(jnp.where(both_dead, 0.0, (ra * uy[a] + rb * uy[b]) / denom))
-    ux_pair = jnp.stack(uxp)
-    uy_pair = jnp.stack(uyp)
+        uxp.append(jnp.where(both_dead, 0.0, (ra * ux_l[a] + rb * ux_l[b]) / denom))
+        uyp.append(jnp.where(both_dead, 0.0, (ra * uy_l[a] + rb * uy_l[b]) / denom))
 
     # charge density with the signed < 1e-15 clamp (src/plasma.cpp:452-453)
-    rho_q = q_i * rho[1] / m_i + q_e * rho[0] / m_e
+    rho_q = (q_i / m_i) * rho_l[1] + (q_e / m_e) * rho_l[0]
     rho_q = jnp.where(rho_q < 1e-15, 0.0, rho_q)
 
-    return Macros(rho=rho, ux=ux, uy=uy, T=T,
-                  ux_pair=ux_pair, uy_pair=uy_pair, rho_q=rho_q)
+    return Macros(
+        rho=jnp.stack(rho_l), ux=jnp.stack(ux_l), uy=jnp.stack(uy_l),
+        T=jnp.stack(T_l), ux_pair=jnp.stack(uxp), uy_pair=jnp.stack(uyp),
+        rho_q=rho_q,
+    )
