@@ -1,0 +1,111 @@
+"""Asynchronous video recording: device renders, host encodes off the hot path.
+
+The reference encodes three MP4s synchronously inside the time loop
+(src/plasma.cpp:516, a large serial fraction). Here the colormap/mosaic
+rendering runs on-device (io/colormap.py), the resulting small uint8 frames
+are fetched and encoded on a background thread, and the step loop never
+blocks on IO.
+
+Writer backends, in preference order:
+  1. native C++ uncompressed AVI (native/aviwriter.cpp, no dependencies)
+  2. animated GIF via PIL (pure-Python fallback)
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from . import colormap
+
+
+class _GifBackend:
+    def __init__(self, path: str, fps: int):
+        self.path = os.path.splitext(path)[0] + ".gif"
+        self.fps = fps
+        self.frames: List[np.ndarray] = []
+
+    def write(self, frame: np.ndarray) -> None:
+        self.frames.append(frame)
+
+    def close(self) -> None:
+        if not self.frames:
+            return
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in self.frames]
+        imgs[0].save(self.path, save_all=True, append_images=imgs[1:],
+                     duration=int(1000 / self.fps), loop=0)
+
+
+def _open_writer(path: str, width: int, height: int, fps: int):
+    from . import avi
+
+    if avi.available():
+        return avi.AviWriter(path, width, height, fps)
+    return _GifBackend(path, fps)
+
+
+class VideoRecorder:
+    """Three-stream recorder (density / velocity / temperature).
+
+    Call .record(macros) each step with the Macros namedtuple; frames are
+    rendered on-device and queued; a worker thread encodes them.
+    """
+
+    def __init__(self, out_dir: str, NX: int, NY: int, fps: int = 1):
+        # fps=1 replicates the reference's writers (src/visualize.cpp:57)
+        os.makedirs(out_dir, exist_ok=True)
+        self._paths = {
+            "density": os.path.join(out_dir, "video_density.avi"),
+            "velocity": os.path.join(out_dir, "video_velocity.avi"),
+            "temperature": os.path.join(out_dir, "video_temperature.avi"),
+        }
+        self._writers = {
+            "density": _open_writer(self._paths["density"], 3 * NX, NY, fps),
+            "velocity": _open_writer(self._paths["velocity"], 3 * NX, 2 * NY, fps),
+            "temperature": _open_writer(self._paths["temperature"], 3 * NX, NY, fps),
+        }
+        self._q: "queue.Queue" = queue.Queue(maxsize=8)
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
+        self._err: Optional[BaseException] = None
+
+    def _drain(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                d, v, t = item
+                self._writers["density"].write(np.asarray(d))
+                self._writers["velocity"].write(np.asarray(v))
+                self._writers["temperature"].write(np.asarray(t))
+            except BaseException as e:  # surfaced on close()
+                self._err = e
+
+    def record(self, mac) -> None:
+        """mac: lbm_tpu.ops.macros.Macros (device arrays)."""
+        frames = colormap.render_all(
+            mac.rho[0], mac.rho[1], mac.rho_q,
+            mac.ux[0], mac.uy[0], mac.ux[1], mac.uy[1],
+            mac.T[0], mac.T[1], mac.T[2],
+        )
+        # device_get on the small uint8 frames; enqueue for the encoder
+        self._q.put(tuple(jax.device_get(frames)))
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._worker.join()
+        for w in self._writers.values():
+            w.close()
+        if self._err is not None:
+            raise self._err
+
+    @property
+    def paths(self):
+        return dict(self._paths)

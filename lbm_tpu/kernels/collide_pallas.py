@@ -25,29 +25,37 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.collide import collide
+from ..ops.collide import collide_species_dirs
 from ..ops.macros import update_macro
+
+_Q = 9
 
 
 def _kernel(f_ref, g_ref, ex_ref, ey_ref, fo_ref, go_ref, rq_ref, *, params):
-    f = f_ref[:]
-    g = g_ref[:]
     Ex = ex_ref[:]
     Ey = ey_ref[:]
+    f = f_ref[:]
+    g = g_ref[:]
     mac = update_macro(f, g, Ex, Ey,
                        q_e=params["q_e"], q_i=params["q_i"],
                        m_e=params["m_e"], m_i=params["m_i"])
-    f_post, g_post = collide(f, g, mac, Ex, Ey,
-                             taus=params["taus"],
-                             q_e=params["q_e"], q_i=params["q_i"],
-                             m_e=params["m_e"], m_i=params["m_i"],
-                             cs2=params["cs2"], kb=params["kb"])
-    fo_ref[:] = f_post
-    go_ref[:] = g_post
     rq_ref[:] = mac.rho_q
+    # one species at a time, each direction written straight to the output
+    # ref — keeps the VMEM live-set small (the stacked-everything form blew
+    # the 16 MB scoped-vmem limit)
+    for s in range(3):
+        f_dirs, g_dirs = collide_species_dirs(
+            s, f[s], g[s], mac, Ex, Ey,
+            taus=params["taus"],
+            q_e=params["q_e"], q_i=params["q_i"],
+            m_e=params["m_e"], m_i=params["m_i"],
+            cs2=params["cs2"], kb=params["kb"])
+        for i in range(_Q):
+            fo_ref[s, i] = f_dirs[i]
+            go_ref[s, i] = g_dirs[i]
 
 
-def _pick_tile(n: int, targets=(256, 128, 64, 32, 16, 8)) -> int:
+def _pick_tile(n: int, targets=(128, 64, 32, 16, 8)) -> int:
     for t in targets:
         if n % t == 0:
             return t
@@ -72,7 +80,7 @@ def fused_collide(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (f_post, g_post, rho_q)."""
     S, Q, NY, NX = f.shape
-    ty, tx = _pick_tile(NY), _pick_tile(NX)
+    ty, tx = _pick_tile(NY, targets=(64, 32, 16, 8)), _pick_tile(NX)
     grid = (NY // ty, NX // tx)
 
     pop_spec = pl.BlockSpec((S, Q, ty, tx), lambda i, j: (0, 0, i, j),

@@ -44,6 +44,82 @@ _Q = D2Q9.Q
 _PAIR_IDX = ((0, 1), (0, 2), (1, 2))
 
 
+def collide_species_dirs(
+    s: int,
+    f_s,              # indexable: f_s[i] -> (NY, NX) direction i
+    g_s,
+    mac: Macros,
+    Ex: jnp.ndarray,
+    Ey: jnp.ndarray,
+    *,
+    taus,
+    q_e: float, q_i: float, m_e: float, m_i: float,
+    cs2: float, kb: float,
+):
+    """Post-collision populations for species s as two lists of Q arrays.
+
+    Shared by the XLA path (which stacks the lists) and the Pallas kernel
+    (which writes each direction straight into the output ref, keeping the
+    VMEM live-set to one species at a time).
+    """
+    tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
+    tau_self = (tau_e, tau_i, tau_n)
+    tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
+    charge = (q_e, q_i, 0.0)
+    mass = (m_e, m_i, 1.0)
+
+    p1, p2 = _PAIR_IDX[s]
+    t_self = tau_self[s]
+    t_c1, t_c2 = tau_cross[s]
+    rho_s, ux_s, uy_s, T_s = mac.rho[s], mac.ux[s], mac.uy[s], mac.T[s]
+
+    feq_self = equilibrium_dirs(rho_s, ux_s, uy_s, cs2)
+    feq_p1 = equilibrium_dirs(rho_s, mac.ux_pair[p1], mac.uy_pair[p1], cs2)
+    feq_p2 = equilibrium_dirs(rho_s, mac.ux_pair[p2], mac.uy_pair[p2], cs2)
+    geq_self = equilibrium_dirs(T_s, ux_s, uy_s, cs2)
+    geq_p1 = equilibrium_dirs(T_s, mac.ux_pair[p1], mac.uy_pair[p1], cs2)
+    geq_p2 = equilibrium_dirs(T_s, mac.ux_pair[p2], mac.uy_pair[p2], cs2)
+
+    # constants of the thermal energy-loss terms (src/collisions.cpp:86-96)
+    u2 = ux_s * ux_s + uy_s * uy_s
+    uE = ux_s * Ex + uy_s * Ey
+    charged = charge[s] != 0.0
+    if charged:
+        force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
+            1.0 - 1.0 / (2.0 * t_self))
+
+    def thermal_term(feq_i, tau):
+        # same association order as the reference expression
+        r = 1.0 - 1.0 / tau
+        qf = _Q * feq_i / tau
+        num = 2.0 * rho_s * r * r - 2.0 * r * rho_s - qf
+        den = 2.0 * (2.0 * r + qf)
+        return num / den
+
+    f_dirs, g_dirs = [], []
+    for i in range(_Q):
+        tm = (thermal_term(feq_self[i], t_self)
+              + thermal_term(feq_p1[i], t_c1)
+              + thermal_term(feq_p2[i], t_c2))
+        dT = -(rho_s * tm * u2) / kb
+        C_T = (-(g_s[i] - geq_self[i]) / t_self
+               - (g_s[i] - geq_p1[i]) / t_c1
+               - (g_s[i] - geq_p2[i]) / t_c2)
+        g_dirs.append(g_s[i] + C_T + dT)
+
+        C = (-(f_s[i] - feq_self[i]) / t_self
+             - (f_s[i] - feq_p1[i]) / t_c1
+             - (f_s[i] - feq_p2[i]) / t_c2)
+        if charged:
+            cE = _CX[i] * Ex + _CY[i] * Ey
+            cu = _CX[i] * ux_s + _CY[i] * uy_s
+            F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
+            f_dirs.append(f_s[i] + C + F)
+        else:
+            f_dirs.append(f_s[i] + C)
+    return f_dirs, g_dirs
+
+
 def collide(
     f: jnp.ndarray,   # (3, Q, NY, NX)
     g: jnp.ndarray,   # (3, Q, NY, NX)
@@ -60,67 +136,10 @@ def collide(
     kb: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One collision step; returns (f_post, g_post) (pre-streaming)."""
-    tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
-    tau_self = (tau_e, tau_i, tau_n)
-    tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
-    charge = (q_e, q_i, 0.0)
-    mass = (m_e, m_i, 1.0)
-
-    rho, ux, uy, T = mac.rho, mac.ux, mac.uy, mac.T
-
+    kw = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2, kb=kb)
     f_out, g_out = [], []
     for s in range(3):
-        p1, p2 = _PAIR_IDX[s]
-        t_self = tau_self[s]
-        t_c1, t_c2 = tau_cross[s]
-        rho_s, ux_s, uy_s = rho[s], ux[s], uy[s]
-
-        feq_self = equilibrium_dirs(rho_s, ux_s, uy_s, cs2)
-        feq_p1 = equilibrium_dirs(rho_s, mac.ux_pair[p1], mac.uy_pair[p1], cs2)
-        feq_p2 = equilibrium_dirs(rho_s, mac.ux_pair[p2], mac.uy_pair[p2], cs2)
-        geq_self = equilibrium_dirs(T[s], ux_s, uy_s, cs2)
-        geq_p1 = equilibrium_dirs(T[s], mac.ux_pair[p1], mac.uy_pair[p1], cs2)
-        geq_p2 = equilibrium_dirs(T[s], mac.ux_pair[p2], mac.uy_pair[p2], cs2)
-
-        # constants of the thermal energy-loss terms (src/collisions.cpp:86-96)
-        u2 = ux_s * ux_s + uy_s * uy_s
-        uE = ux_s * Ex + uy_s * Ey
-        charged = charge[s] != 0.0
-        if charged:
-            force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
-                1.0 - 1.0 / (2.0 * t_self))
-
-        def thermal_term(feq_i, tau):
-            # same association order as the reference expression
-            r = 1.0 - 1.0 / tau
-            qf = _Q * feq_i / tau
-            num = 2.0 * rho_s * r * r - 2.0 * r * rho_s - qf
-            den = 2.0 * (2.0 * r + qf)
-            return num / den
-
-        f_dirs, g_dirs = [], []
-        for i in range(_Q):
-            tm = (thermal_term(feq_self[i], t_self)
-                  + thermal_term(feq_p1[i], t_c1)
-                  + thermal_term(feq_p2[i], t_c2))
-            dT = -(rho_s * tm * u2) / kb
-            C_T = (-(g[s, i] - geq_self[i]) / t_self
-                   - (g[s, i] - geq_p1[i]) / t_c1
-                   - (g[s, i] - geq_p2[i]) / t_c2)
-            g_dirs.append(g[s, i] + C_T + dT)
-
-            C = (-(f[s, i] - feq_self[i]) / t_self
-                 - (f[s, i] - feq_p1[i]) / t_c1
-                 - (f[s, i] - feq_p2[i]) / t_c2)
-            if charged:
-                cE = _CX[i] * Ex + _CY[i] * Ey
-                cu = _CX[i] * ux_s + _CY[i] * uy_s
-                F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
-                f_dirs.append(f[s, i] + C + F)
-            else:
-                f_dirs.append(f[s, i] + C)
-
+        f_dirs, g_dirs = collide_species_dirs(s, f[s], g[s], mac, Ex, Ey, **kw)
         f_out.append(jnp.stack(f_dirs))
         g_out.append(jnp.stack(g_dirs))
-
     return jnp.stack(f_out), jnp.stack(g_out)

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Lid-driven cavity driver with Ghia comparison and |u|^2 heatmap video.
+
+The classic validation workload (old codes/LBM_classic): Re=100, 129^2,
+u_lid=0.1, 10k steps, compared against Ghia et al. (1982) centerlines.
+
+    python scripts/run_cavity.py [--nx 129] [--steps 10000] [--re 100]
+                                 [--u-lid 0.1] [--video-every 100]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--nx", type=int, default=129)
+    p.add_argument("--steps", type=int, default=10_000)
+    p.add_argument("--re", type=float, default=100.0)
+    p.add_argument("--u-lid", type=float, default=0.1)
+    p.add_argument("--f64", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default="build/output_cavity")
+    p.add_argument("--video-every", type=int, default=100)
+    p.add_argument("--no-video", action="store_true")
+    p.add_argument("--stability-guard", action="store_true",
+                   help="auto-resize grid if tau leaves [0.5, 2]")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.io import colormap, timing, video
+    from lbm_tpu.models import cavity
+
+    cfg = CavityConfig(NX=args.nx, NY=args.nx, nsteps=args.steps,
+                       u_lid=args.u_lid, Re=args.re,
+                       dtype=jnp.float64 if args.f64 else jnp.float32)
+    if args.stability_guard:
+        cfg = cfg.with_stability_guard()
+    print(f"cavity: {cfg.NX}^2, tau={cfg.tau:.4f}, {cfg.nsteps} steps")
+
+    os.makedirs(args.out, exist_ok=True)
+    state = cavity.init_state(cfg)
+    step = jax.jit(cavity.make_step(cfg), donate_argnums=(0,))
+
+    writer = None
+    if not args.no_video:
+        from lbm_tpu.io.video import _open_writer
+        writer = _open_writer(os.path.join(args.out, "cavity.avi"),
+                              cfg.NX, cfg.NY, fps=10)
+
+    @jax.jit
+    def render(ux, uy):
+        # |u|^2 heatmap with min-max normalization like the reference
+        # (old codes/LBM_classic/LBM.cpp:192-236, PLASMA colormap there;
+        # JET here — the capability is the video, not the palette)
+        m = ux * ux + uy * uy
+        lo, hi = m.min(), m.max()
+        return colormap.jet((m - lo) / jnp.maximum(hi - lo, 1e-30))[::-1]
+
+    timer = timing.StepTimer(cfg.NX, cfg.NY)
+    timer.start()
+    for t in range(cfg.nsteps):
+        state = step(state)
+        timer.tick()
+        if writer is not None and t % args.video_every == 0:
+            writer.write(np.asarray(jax.device_get(render(state.ux, state.uy))))
+    float(state.ux[0, 0])  # sync
+    wall_ms = timer.wall_s * 1000
+    if writer is not None:
+        writer.close()
+
+    (yp, up), (xp, vp) = cavity.centerline_profiles(state, cfg.u_lid)
+    np.savetxt(os.path.join(args.out, "centerline_u.csv"),
+               np.column_stack([yp, up]), delimiter=",", header="y,u/u_lid")
+    np.savetxt(os.path.join(args.out, "centerline_v.csv"),
+               np.column_stack([xp, vp]), delimiter=",", header="x,v/u_lid")
+
+    if cfg.NX == 129 and abs(cfg.Re - 100.0) < 1e-9:
+        ug = np.interp(cavity.GHIA_Y, yp, up)
+        vg = np.interp(cavity.GHIA_X, xp, vp)
+        eu = np.abs(ug - cavity.GHIA_U_RE100).max()
+        ev = np.abs(vg - cavity.GHIA_V_RE100).max()
+        print(f"Ghia check: max|du|={eu:.4f}, max|dv|={ev:.4f}")
+
+    timing.append_timing_csv(
+        os.path.join(args.out, "simulation_time_details.csv"),
+        NX=cfg.NX, NY=cfg.NY, nsteps=cfg.nsteps,
+        n_devices=len(jax.devices()), poisson=-1, bc=-1, wall_ms=wall_ms)
+    print(f"cavity done: {wall_ms:.0f} ms ({timer.mlups:.2f} MLUPS)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Plasma simulation driver — the reference's main_plasma.cpp as a real CLI.
+
+Runs the three-population plasma with probes, on-device video rendering,
+timing CSV, optional checkpoints and the small-grid debug-dump harness.
+
+Examples:
+    python scripts/run_plasma.py                      # golden 200x200/200
+    python scripts/run_plasma.py --preset 1024        # 1024^2 single chip
+    python scripts/run_plasma.py --nx 64 --ny 64 --steps 50 --poisson SOR
+    python scripts/run_plasma.py --backend pallas --no-video
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", choices=["golden", "1024", "4096"],
+                   default="golden")
+    p.add_argument("--nx", type=int)
+    p.add_argument("--ny", type=int)
+    p.add_argument("--steps", type=int)
+    p.add_argument("--poisson", choices=["NONE", "GS", "SOR", "FFT", "NPS"])
+    p.add_argument("--bc", choices=["periodic", "bounceback"])
+    p.add_argument("--omega-sor", type=float)
+    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("--f64", action="store_true",
+                   help="float64 parity mode (CPU)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--out", default="build/output")
+    p.add_argument("--no-video", action="store_true")
+    p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--video-every", type=int, default=1)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--debug-dump", action="store_true",
+                   help="stage dumps on small grids (NX<11)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from lbm_tpu import config as C
+    from lbm_tpu.io import checkpoint as ckpt
+    from lbm_tpu.io import debug_dump, probes, timing, video
+    from lbm_tpu.models import plasma
+
+    cfg = {
+        "golden": C.preset_golden_plasma(),
+        "1024": C.preset_plasma_1024(),
+        "4096": C.preset_plasma_4096(),
+    }[args.preset]
+
+    over = {}
+    if args.nx: over["NX"] = args.nx
+    if args.ny: over["NY"] = args.ny
+    if args.steps: over["nsteps"] = args.steps
+    if args.poisson: over["poisson"] = C.PoissonSolver[args.poisson]
+    if args.bc: over["bc"] = (C.BC.PERIODIC if args.bc == "periodic"
+                              else C.BC.BOUNCE_BACK)
+    if args.omega_sor: over["omega_sor"] = args.omega_sor
+    over["backend"] = args.backend
+    over["dtype"] = jnp.float64 if args.f64 else jnp.float32
+    cfg = dataclasses.replace(cfg, **over)
+
+    os.makedirs(args.out, exist_ok=True)
+    state = (ckpt.load(args.resume, dtype=cfg.dtype) if args.resume
+             else plasma.init_state(cfg))
+    step = jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
+
+    rec = probes.ProbeRecorder(cfg.NX, cfg.NY)
+    vid = None
+    if not args.no_video:
+        vid = video.VideoRecorder(os.path.join(args.out, "video"),
+                                  cfg.NX, cfg.NY)
+    dmp = debug_dump.DebugDumper(
+        cfg, os.path.join(args.out, "debug_dump.txt")) if args.debug_dump else None
+
+    timer = timing.StepTimer(cfg.NX, cfg.NY)
+    timer.start()
+    start_step = int(state.step)
+    for t in range(start_step, cfg.nsteps):
+        state = step(state)
+        timer.tick()
+        mac = plasma.compute_macros(cfg, state)
+        rec.record(mac, state.Ex, state.Ey)
+        if vid is not None and t % args.video_every == 0:
+            vid.record(mac)
+        if dmp is not None:
+            dmp.dump(t, "poisson", state)
+        if args.checkpoint_every and (t + 1) % args.checkpoint_every == 0:
+            ckpt.save(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"), state)
+    jax.block_until_ready(state)
+    # real sync (see bench.py note about block_until_ready under axon)
+    float(state.f[0, 0, 0, 0])
+    wall_ms = timer.wall_s * 1000
+
+    if vid is not None:
+        vid.close()
+    if dmp is not None:
+        dmp.close()
+    rec.save_csv(os.path.join(args.out, "graphs"))
+    if not args.no_plots:
+        rec.save_plots(os.path.join(args.out, "graphs"))
+    ckpt.save(os.path.join(args.out, "final_state.npz"), state)
+
+    timing.append_timing_csv(
+        os.path.join(args.out, "simulation_time_plasma_details.csv"),
+        NX=cfg.NX, NY=cfg.NY, nsteps=cfg.nsteps,
+        n_devices=len(jax.devices()),
+        poisson=cfg.poisson.value, bc=cfg.bc.value, wall_ms=wall_ms)
+
+    print(f"Simulation ended: {cfg.NX}x{cfg.NY}, {cfg.nsteps - start_step} steps, "
+          f"{wall_ms:.0f} ms ({timer.mlups:.2f} MLUPS)")
+
+
+if __name__ == "__main__":
+    main()
