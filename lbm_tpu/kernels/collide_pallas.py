@@ -26,6 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.collide import collide_species_dirs
+from ..ops.equilibrium import equilibrium_polys
 from ..ops.macros import update_macro
 
 _Q = 9
@@ -40,6 +41,11 @@ def _kernel(f_ref, g_ref, ex_ref, ey_ref, fo_ref, go_ref, rq_ref, *, params):
                        q_e=params["q_e"], q_i=params["q_i"],
                        m_e=params["m_e"], m_i=params["m_i"])
     rq_ref[:] = mac.rho_q
+    # mixture-velocity polynomials are shared between species: compute once
+    pair_polys = {
+        p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p], params["cs2"])
+        for p in range(3)
+    }
     # one species at a time, each direction written straight to the output
     # ref — keeps the VMEM live-set small (the stacked-everything form blew
     # the 16 MB scoped-vmem limit)
@@ -49,7 +55,8 @@ def _kernel(f_ref, g_ref, ex_ref, ey_ref, fo_ref, go_ref, rq_ref, *, params):
             taus=params["taus"],
             q_e=params["q_e"], q_i=params["q_i"],
             m_e=params["m_e"], m_i=params["m_i"],
-            cs2=params["cs2"], kb=params["kb"])
+            cs2=params["cs2"], kb=params["kb"],
+            pair_polys=pair_polys)
         for i in range(_Q):
             fo_ref[s, i] = f_dirs[i]
             go_ref[s, i] = g_dirs[i]

@@ -31,7 +31,8 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..constants import D2Q9
-from .equilibrium import equilibrium_dirs
+from .equilibrium import (equilibrium_dirs, equilibrium_from_polys,
+                          equilibrium_polys)
 from .macros import Macros
 
 _W = [float(w) for w in D2Q9.W]
@@ -55,12 +56,15 @@ def collide_species_dirs(
     taus,
     q_e: float, q_i: float, m_e: float, m_i: float,
     cs2: float, kb: float,
+    pair_polys=None,  # optional precomputed equilibrium_polys per pair axis
 ):
     """Post-collision populations for species s as two lists of Q arrays.
 
     Shared by the XLA path (which stacks the lists) and the Pallas kernel
     (which writes each direction straight into the output ref, keeping the
-    VMEM live-set to one species at a time).
+    VMEM live-set to one species at a time). Pass `pair_polys` (the three
+    mixture-velocity polynomial sets) to share them across species — each
+    pair set is used by two species.
     """
     tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
     tau_self = (tau_e, tau_i, tau_n)
@@ -73,12 +77,18 @@ def collide_species_dirs(
     t_c1, t_c2 = tau_cross[s]
     rho_s, ux_s, uy_s, T_s = mac.rho[s], mac.ux[s], mac.uy[s], mac.T[s]
 
-    feq_self = equilibrium_dirs(rho_s, ux_s, uy_s, cs2)
-    feq_p1 = equilibrium_dirs(rho_s, mac.ux_pair[p1], mac.uy_pair[p1], cs2)
-    feq_p2 = equilibrium_dirs(rho_s, mac.ux_pair[p2], mac.uy_pair[p2], cs2)
-    geq_self = equilibrium_dirs(T_s, ux_s, uy_s, cs2)
-    geq_p1 = equilibrium_dirs(T_s, mac.ux_pair[p1], mac.uy_pair[p1], cs2)
-    geq_p2 = equilibrium_dirs(T_s, mac.ux_pair[p2], mac.uy_pair[p2], cs2)
+    poly_self = equilibrium_polys(ux_s, uy_s, cs2)
+    if pair_polys is None:
+        pair_polys = {
+            p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p], cs2)
+            for p in (p1, p2)
+        }
+    feq_self = equilibrium_from_polys(rho_s, poly_self)
+    feq_p1 = equilibrium_from_polys(rho_s, pair_polys[p1])
+    feq_p2 = equilibrium_from_polys(rho_s, pair_polys[p2])
+    geq_self = equilibrium_from_polys(T_s, poly_self)
+    geq_p1 = equilibrium_from_polys(T_s, pair_polys[p1])
+    geq_p2 = equilibrium_from_polys(T_s, pair_polys[p2])
 
     # constants of the thermal energy-loss terms (src/collisions.cpp:86-96)
     u2 = ux_s * ux_s + uy_s * uy_s
@@ -137,9 +147,14 @@ def collide(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One collision step; returns (f_post, g_post) (pre-streaming)."""
     kw = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2, kb=kb)
+    pair_polys = {
+        p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p], cs2)
+        for p in range(3)
+    }
     f_out, g_out = [], []
     for s in range(3):
-        f_dirs, g_dirs = collide_species_dirs(s, f[s], g[s], mac, Ex, Ey, **kw)
+        f_dirs, g_dirs = collide_species_dirs(s, f[s], g[s], mac, Ex, Ey,
+                                              pair_polys=pair_polys, **kw)
         f_out.append(jnp.stack(f_dirs))
         g_out.append(jnp.stack(g_dirs))
     return jnp.stack(f_out), jnp.stack(g_out)

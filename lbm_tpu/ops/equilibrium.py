@@ -26,6 +26,32 @@ _CX = [float(c) for c in D2Q9.CX]
 _CY = [float(c) for c in D2Q9.CY]
 
 
+def equilibrium_polys(
+    ux: jnp.ndarray,
+    uy: jnp.ndarray,
+    cs2: float,
+) -> List[jnp.ndarray]:
+    """The amp-independent polynomial factor per direction.
+
+    eq_i(amp, u) = w_i * amp * poly_i(u). The polynomial depends only on the
+    velocity set, so the 18 equilibria per cell share 6 distinct poly sets
+    (3 self + 3 mixture velocities) — computing them once is a pure win and
+    bitwise-identical to the unfactored form.
+    """
+    inv = 1.0 / cs2
+    u2_term = (ux * ux + uy * uy) * (0.5 * inv)
+    out = []
+    for i in range(D2Q9.Q):
+        cu = _CX[i] * ux + _CY[i] * uy
+        out.append(1.0 + cu * inv + (cu * cu) * (0.5 * inv * inv) - u2_term)
+    return out
+
+
+def equilibrium_from_polys(amp: jnp.ndarray, polys) -> List[jnp.ndarray]:
+    """eq_i = w_i * amp * poly_i (same multiply order as the direct form)."""
+    return [_W[i] * amp * polys[i] for i in range(D2Q9.Q)]
+
+
 def equilibrium_dirs(
     amp: jnp.ndarray,
     ux: jnp.ndarray,
@@ -33,14 +59,7 @@ def equilibrium_dirs(
     cs2: float,
 ) -> List[jnp.ndarray]:
     """Per-direction equilibrium populations as a list of Q arrays."""
-    inv = 1.0 / cs2
-    u2_term = (ux * ux + uy * uy) * (0.5 * inv)
-    out = []
-    for i in range(D2Q9.Q):
-        cu = _CX[i] * ux + _CY[i] * uy
-        poly = 1.0 + cu * inv + (cu * cu) * (0.5 * inv * inv) - u2_term
-        out.append(_W[i] * amp * poly)
-    return out
+    return equilibrium_from_polys(amp, equilibrium_polys(ux, uy, cs2))
 
 
 def equilibrium(
