@@ -150,6 +150,12 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
     u = cfg.units()
     periodic = cfg.bc == BC.PERIODIC
     use_pallas = cfg.backend == "pallas"
+    use_fused = cfg.backend == "fused"
+    if use_fused and not periodic:
+        raise ValueError("backend='fused' supports periodic BC only; "
+                         "use 'pallas' or 'jnp' for bounce-back")
+    phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb)
 
     def collide_stage(state: PlasmaState):
         if use_pallas:
@@ -166,6 +172,14 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
         return f_post, g_post, mac.rho_q
 
     def step(state: PlasmaState) -> PlasmaState:
+        if use_fused:
+            from ..kernels.fused_step import collide_stream
+            f, g, rho_q = collide_stream(state.f, state.g, state.Ex,
+                                         state.Ey, **phys)
+            Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi,
+                                         state.Ex, state.Ey)
+            return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi,
+                               step=state.step + 1)
         f_post, g_post, rho_q = collide_stage(state)
         if periodic:
             f = stream_periodic(f_post)
