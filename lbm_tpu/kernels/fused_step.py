@@ -1,23 +1,30 @@
 """Fully-fused collide+stream Pallas kernel (periodic BC).
 
 One pass over HBM per step for the entire LBM pipeline except the Poisson
-solve: each grid step loads a full-width row band of the populations into
-VMEM, computes moments -> 18 equilibria -> triple-BGK + Guo forcing + DDF
-thermal (shared ops from lbm_tpu.ops), then performs the *streaming* on the
-way out:
+solve. The lattice is processed in full-width row bands:
 
-  * x-shift: columns are periodic within a full-width band, so the shift is
-    an in-VMEM roll (no HBM traffic);
-  * y-shift: the band's rows land shifted by c_y in the output array via
-    manual async DMAs — a bulk (ty-1)-row copy plus a single wrapped row.
+  * collide: moments -> 18 equilibria -> triple-BGK + Guo + DDF thermal
+    (the shared ops from lbm_tpu.ops), entirely in VMEM;
+  * x-streaming: columns are periodic within a full-width band, so the
+    shift is an in-VMEM roll applied when the post-collision planes are
+    produced;
+  * y-streaming: a software pipeline across grid steps. Streamed band b
+    needs post-collision rows from bands b-1, b, b+1, so grid step k
+    collides band k (as local values) and *assembles band k-1* from
+    persistent VMEM scratch: the previous band's planes, the
+    band-before-that's last row, and the current band's first row. Two
+    epilogue grid steps close the periodic wrap (band nk-1 uses band 0's
+    saved first rows; band 0 is re-collided and uses band nk-1's last row).
 
-Output DMAs are double-buffered across grid steps (two scratch slots with
-deferred waits) so post-stream writeback overlaps the next band's compute.
-HBM traffic per step: read f+g once, write f+g once — the reference
-traverses its 51 arrays ~10x per step (SURVEY.md section 6 footnote).
+Everything uses regular blocked in/out specs (auto-pipelined by Mosaic); no
+manual DMAs. Mosaic's 8-row sublane alignment is respected by keeping all
+*ref* slices 8-row aligned (edge buffers hold 8-row chunks; the single rows
+needed for the +-1 shifts are sliced from loaded *values*, where arbitrary
+offsets are legal).
 
-This is the BASELINE.json north-star kernel: "BGK relaxation + electric
-force + streaming in one pass, no intermediate lattice copy".
+HBM traffic per simulation step: read f+g (+ one re-fetched band), write
+f+g — the BASELINE.json north-star kernel ("BGK relaxation + electric
+force + streaming in one pass, no intermediate lattice copy").
 """
 from __future__ import annotations
 
@@ -39,131 +46,157 @@ _CY = [int(c) for c in D2Q9.CY]
 _Q = D2Q9.Q
 _S = 3
 
+_DIRS_POS = [i for i in range(_Q) if _CY[i] == 1]    # 2, 5, 6
+_DIRS_NEG = [i for i in range(_Q) if _CY[i] == -1]   # 4, 7, 8
+
 
 def _roll_x(a: jnp.ndarray, shift: int) -> jnp.ndarray:
-    """Periodic column shift (push: new[x] = old[x - shift])."""
+    """Periodic column shift: out[x] = a[x - shift] (jnp.roll semantics)."""
     if shift == 0:
         return a
-    return jnp.concatenate((a[:, -shift:], a[:, :-shift]), axis=1)
+    return jnp.concatenate((a[..., -shift:], a[..., :-shift]), axis=-1)
 
 
-def _plane_copies(scratch, dst, slot, set_idx, i, base, sems, ty, NY):
-    """The 1-2 async copies that place direction i's band, row-shifted by
-    c_y, into the output array. Returns a list of copy descriptors."""
-    cy = _CY[i]
-    if cy == 0:
-        return [pltpu.make_async_copy(
-            scratch.at[slot, i],
-            dst.at[:, i, pl.ds(base, ty), :],
-            sems.at[slot, set_idx, i, 0])]
-    if cy == 1:
-        # scratch rows [0, ty-1) -> dest [base+1, base+ty);
-        # scratch row ty-1 -> dest (base+ty) mod NY
-        wrap_row = jax.lax.rem(base + ty, jnp.int32(NY))
-        return [
-            pltpu.make_async_copy(
-                scratch.at[slot, i, :, pl.ds(0, ty - 1)],
-                dst.at[:, i, pl.ds(base + 1, ty - 1), :],
-                sems.at[slot, set_idx, i, 0]),
-            pltpu.make_async_copy(
-                scratch.at[slot, i, :, pl.ds(ty - 1, 1)],
-                dst.at[:, i, pl.ds(wrap_row, 1), :],
-                sems.at[slot, set_idx, i, 1]),
-        ]
-    # cy == -1: scratch rows [1, ty) -> dest [base, base+ty-1);
-    # scratch row 0 -> dest (base-1) mod NY
-    wrap_row = jax.lax.rem(base - 1 + NY, jnp.int32(NY))
-    return [
-        pltpu.make_async_copy(
-            scratch.at[slot, i, :, pl.ds(1, ty - 1)],
-            dst.at[:, i, pl.ds(base, ty - 1), :],
-            sems.at[slot, set_idx, i, 0]),
-        pltpu.make_async_copy(
-            scratch.at[slot, i, :, pl.ds(0, 1)],
-            dst.at[:, i, pl.ds(wrap_row, 1), :],
-            sems.at[slot, set_idx, i, 1]),
-    ]
+def _make_kernel(params, ty, nk):
+    def collide_band(f_ref, g_ref, ex_ref, ey_ref, rq_ref):
+        """Collide the fetched band; returns per-species x-rolled planes."""
+        Ex = ex_ref[:]
+        Ey = ey_ref[:]
+        f = f_ref[:]
+        g = g_ref[:]
+        mac = update_macro(f, g, Ex, Ey,
+                           q_e=params["q_e"], q_i=params["q_i"],
+                           m_e=params["m_e"], m_i=params["m_i"])
+        rq_ref[:] = mac.rho_q
+        pair_polys = {
+            p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p],
+                                 params["cs2"])
+            for p in range(3)
+        }
+        fv, gv = [], []
+        for s in range(_S):
+            f_dirs, g_dirs = collide_species_dirs(
+                s, f[s], g[s], mac, Ex, Ey,
+                taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
+                m_e=params["m_e"], m_i=params["m_i"],
+                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
+            fv.append([_roll_x(f_dirs[i], _CX[i]) for i in range(_Q)])
+            gv.append([_roll_x(g_dirs[i], _CX[i]) for i in range(_Q)])
+        return fv, gv
 
+    def assemble(out_ref, s, prev, last8, below_rows):
+        """Write species s of the streamed band: F_i = [above]/P_b/[below].
 
-def _all_copies(fout, gout, fny, gny, slot, base, sems, ty, NY):
-    copies = []
-    for set_idx, (scr, dst) in enumerate(((fout, fny), (gout, gny))):
+        prev: scratch ref with P_b; last8: 8-row chunks whose row 7 is
+        P_{b-1}'s last row; below_rows[gi]: (1, NX) value with P_{b+1}'s
+        first row, per cy=-1 direction.
+        """
         for i in range(_Q):
-            copies += _plane_copies(scr, dst, slot, set_idx, i, base,
-                                    sems, ty, NY)
-    return copies
+            cy = _CY[i]
+            prev_i = prev[i, s]                       # (ty, NX) value
+            if cy == 0:
+                out_ref[s, i] = prev_i
+            elif cy == 1:
+                gi = _DIRS_POS.index(i)
+                above = last8[gi, s, 7:8, :]          # (1, NX)
+                out_ref[s, i] = jnp.concatenate(
+                    (above, prev_i[: ty - 1]), axis=0)
+            else:
+                gi = _DIRS_NEG.index(i)
+                out_ref[s, i] = jnp.concatenate(
+                    (prev_i[1:], below_rows[gi]), axis=0)
 
+    def kernel(f_ref, g_ref, ex_ref, ey_ref,
+               fo_ref, go_ref, rq_ref,
+               fprev, gprev, flast8, glast8, fb0, gb0, fb1, gb1):
+        k = pl.program_id(0)
 
-def _kernel(f_ref, g_ref, ex_ref, ey_ref,      # VMEM input blocks
-            fny_ref, gny_ref,                  # ANY (HBM) full outputs
-            rq_ref,                            # VMEM output block
-            fout, gout, sems,                  # scratch
-            *, params, ty, NY):
-    k = pl.program_id(0)
-    nk = pl.num_programs(0)
-    slot = jax.lax.rem(k, jnp.int32(2))
-    base = k * ty
+        # ---- main march: collide band k, assemble band k-1 ----
+        @pl.when(k < nk)
+        def _():
+            fv, gv = collide_band(f_ref, g_ref, ex_ref, ey_ref, rq_ref)
+            for s in range(_S):
+                @pl.when(k >= 1)
+                def _(s=s):
+                    below_f = [fv[s][i][0:1] for i in _DIRS_NEG]
+                    below_g = [gv[s][i][0:1] for i in _DIRS_NEG]
+                    assemble(fo_ref, s, fprev, flast8, below_f)
+                    assemble(go_ref, s, gprev, glast8, below_g)
 
-    # before overwriting this slot's scratch, drain the DMAs started two
-    # grid steps ago (they used base (k-2)*ty)
-    @pl.when(k >= 2)
-    def _():
-        for c in _all_copies(fout, gout, fny_ref, gny_ref, slot,
-                             (k - 2) * ty, sems, ty, NY):
-            c.wait()
+                @pl.when(k == 0)
+                def _(s=s):
+                    for gi, i in enumerate(_DIRS_NEG):
+                        fb0[gi, s] = fv[s][i][0:8]
+                        gb0[gi, s] = gv[s][i][0:8]
 
-    Ex = ex_ref[:]
-    Ey = ey_ref[:]
-    f = f_ref[:]
-    g = g_ref[:]
-    mac = update_macro(f, g, Ex, Ey,
-                       q_e=params["q_e"], q_i=params["q_i"],
-                       m_e=params["m_e"], m_i=params["m_i"])
-    rq_ref[:] = mac.rho_q
-    pair_polys = {
-        p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p], params["cs2"])
-        for p in range(3)
-    }
-    for s in range(_S):
-        f_dirs, g_dirs = collide_species_dirs(
-            s, f[s], g[s], mac, Ex, Ey,
-            taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
-            m_e=params["m_e"], m_i=params["m_i"],
-            cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
-        for i in range(_Q):
-            fout[slot, i, s] = _roll_x(f_dirs[i], _CX[i])
-            gout[slot, i, s] = _roll_x(g_dirs[i], _CX[i])
+                if nk > 1:
+                    @pl.when(k == 1)
+                    def _(s=s):
+                        for gi, i in enumerate(_DIRS_NEG):
+                            fb1[gi, s] = fv[s][i][0:8]
+                            gb1[gi, s] = gv[s][i][0:8]
 
-    for c in _all_copies(fout, gout, fny_ref, gny_ref, slot, base,
-                         sems, ty, NY):
-        c.start()
+                # last8 <- prev's last rows, then prev <- current planes
+                for gi, i in enumerate(_DIRS_POS):
+                    flast8[gi, s] = fprev[i, s, ty - 8:, :]
+                    glast8[gi, s] = gprev[i, s, ty - 8:, :]
+                for i in range(_Q):
+                    fprev[i, s] = fv[s][i]
+                    gprev[i, s] = gv[s][i]
 
-    # drain everything still in flight at the last grid step
-    @pl.when(k == nk - 1)
-    def _():
-        for c in _all_copies(fout, gout, fny_ref, gny_ref, slot, base,
-                             sems, ty, NY):
-            c.wait()
+        # ---- epilogue 1 (k == nk): band nk-1; below row is band 0's ----
+        @pl.when(k == nk)
+        def _():
+            for s in range(_S):
+                below_f = [fb0[gi, s, 0:1, :] for gi in range(3)]
+                below_g = [gb0[gi, s, 0:1, :] for gi in range(3)]
+                assemble(fo_ref, s, fprev, flast8, below_f)
+                assemble(go_ref, s, gprev, glast8, below_g)
 
-    @pl.when(jnp.logical_and(k == nk - 1, nk > 1))
-    def _():
-        other = jax.lax.rem(k + 1, jnp.int32(2))
-        for c in _all_copies(fout, gout, fny_ref, gny_ref, other,
-                             (k - 1) * ty, sems, ty, NY):
-            c.wait()
+        # ---- epilogue 2 (k == nk+1): band 0 re-collided; above row is
+        # band nk-1's last row (= prev, untouched by epilogue 1) ----
+        @pl.when(k == nk + 1)
+        def _():
+            fv, gv = collide_band(f_ref, g_ref, ex_ref, ey_ref, rq_ref)
+            fb1_eff, gb1_eff = (fb0, gb0) if nk == 1 else (fb1, gb1)
+            for s in range(_S):
+                for i in range(_Q):
+                    cy = _CY[i]
+                    if cy == 0:
+                        fo_ref[s, i] = fv[s][i]
+                        go_ref[s, i] = gv[s][i]
+                    elif cy == 1:
+                        gi = _DIRS_POS.index(i)
+                        fo_ref[s, i] = jnp.concatenate(
+                            (fprev[i, s, ty - 1: ty, :], fv[s][i][: ty - 1]),
+                            axis=0)
+                        go_ref[s, i] = jnp.concatenate(
+                            (gprev[i, s, ty - 1: ty, :], gv[s][i][: ty - 1]),
+                            axis=0)
+                    else:
+                        gi = _DIRS_NEG.index(i)
+                        fo_ref[s, i] = jnp.concatenate(
+                            (fv[s][i][1:], fb1_eff[gi, s, 0:1, :]), axis=0)
+                        go_ref[s, i] = jnp.concatenate(
+                            (gv[s][i][1:], gb1_eff[gi, s, 0:1, :]), axis=0)
+
+    return kernel
 
 
 def _pick_band(NY: int, NX: int, itemsize: int) -> int:
-    """Tallest band whose working set fits comfortably in VMEM (~9 MB)."""
-    for ty in (32, 16, 8, 4, 2):
+    """Tallest band whose working set fits in VMEM (~13 MB budget)."""
+    for ty in (32, 16, 8):
         if NY % ty:
             continue
-        # in blocks (x2 pipeline) + out scratch (2 slots) + ~40 live temps
-        bytes_needed = (2 * 2 + 2 * 2) * _S * _Q * ty * NX * itemsize \
-            + 40 * ty * NX * itemsize
-        if bytes_needed < 9 * 1024 * 1024:
+        vmem = (
+            (2 + 2) * 2 * _S * _Q * ty * NX * itemsize   # in/out x2 buffers
+            + 2 * _S * _Q * ty * NX * itemsize            # prev planes
+            + 6 * 3 * _S * 8 * NX * itemsize              # edge chunks
+            + 80 * ty * NX * itemsize                     # live temporaries
+        )
+        if vmem < 13 * 1024 * 1024:
             return ty
-    return 1
+    raise ValueError(f"no feasible band height for {NY}x{NX} grid")
 
 
 @functools.partial(
@@ -186,39 +219,59 @@ def collide_stream(
     """(f_streamed, g_streamed, rho_q) in one fused pass. Periodic BC."""
     S, Q, NY, NX = f.shape
     ty = band or _pick_band(NY, NX, f.dtype.itemsize)
-    grid = (NY // ty,)
+    if ty < 8 or NY % ty:
+        raise ValueError(f"band height {ty} invalid for NY={NY}")
+    nk = NY // ty
+    grid = (nk + 2,)
 
-    pop_spec = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, k, 0),
-                            memory_space=pltpu.VMEM)
-    field_spec = pl.BlockSpec((ty, NX), lambda k: (k, 0),
-                              memory_space=pltpu.VMEM)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    def in_band(k):
+        # bands 0..nk-1, refetch band 0 at the final epilogue step
+        return jnp.where(k == nk + 1, 0, jnp.minimum(k, nk - 1))
+
+    def out_band(k):
+        # 0 (placeholder), bands 0..nk-2, band nk-1, band 0 (final)
+        return jnp.where(k == nk + 1, 0,
+                         jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0)))
+
+    pop_in = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    fld_in = pl.BlockSpec((ty, NX), lambda k: (in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    pop_out = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, out_band(k), 0),
+                           memory_space=pltpu.VMEM)
+    fld_rq = pl.BlockSpec((ty, NX), lambda k: (in_band(k), 0),
+                          memory_space=pltpu.VMEM)
 
     params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
                   cs2=cs2, kb=kb)
-    kernel = functools.partial(_kernel, params=params, ty=ty, NY=NY)
+    kernel = _make_kernel(params, ty, nk)
 
+    dt = f.dtype
     bytes_pop = S * Q * NY * NX * f.dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pop_spec, pop_spec, field_spec, field_spec],
-        out_specs=(any_spec, any_spec, field_spec),
+        in_specs=[pop_in, pop_in, fld_in, fld_in],
+        out_specs=(pop_out, pop_out, fld_rq),
         out_shape=(
-            jax.ShapeDtypeStruct(f.shape, f.dtype),
-            jax.ShapeDtypeStruct(g.shape, g.dtype),
+            jax.ShapeDtypeStruct(f.shape, dt),
+            jax.ShapeDtypeStruct(g.shape, dt),
             jax.ShapeDtypeStruct(Ex.shape, Ex.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, Q, S, ty, NX), f.dtype),
-            pltpu.VMEM((2, Q, S, ty, NX), g.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, Q, 2)),
+            pltpu.VMEM((Q, S, ty, NX), dt),   # fprev
+            pltpu.VMEM((Q, S, ty, NX), dt),   # gprev
+            pltpu.VMEM((3, S, 8, NX), dt),    # flast8
+            pltpu.VMEM((3, S, 8, NX), dt),    # glast8
+            pltpu.VMEM((3, S, 8, NX), dt),    # fb0
+            pltpu.VMEM((3, S, 8, NX), dt),    # gb0
+            pltpu.VMEM((3, S, 8, NX), dt),    # fb1
+            pltpu.VMEM((3, S, 8, NX), dt),    # gb1
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(3000 * NY * NX),
             bytes_accessed=4 * bytes_pop,
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(f, g, Ex, Ey)

@@ -24,9 +24,9 @@ def _reference(cfg, state):
     return stream_periodic(f), stream_periodic(g), mac.rho_q, kw
 
 
-@pytest.mark.parametrize("band", [2, 4, 8, 16])
+@pytest.mark.parametrize("band", [8, 16])
 def test_fused_matches_jnp(band):
-    ny = 16
+    ny = 32
     cfg = dataclasses.replace(PlasmaConfig(), NX=24, NY=ny, dtype=jnp.float64)
     state = plasma.init_state(cfg)
     step = jax.jit(plasma.make_step(cfg))
