@@ -39,9 +39,11 @@ def main() -> None:
     n = int(os.environ.get("BENCH_N", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    backend = os.environ.get("BENCH_BACKEND", "fused")
 
     cfg = dataclasses.replace(
-        PlasmaConfig(), NX=n, NY=n, nsteps=steps, dtype=jnp.float32
+        PlasmaConfig(), NX=n, NY=n, nsteps=steps, dtype=jnp.float32,
+        backend=backend,
     )
     state = plasma.init_state(cfg)
     step = jax.jit(plasma.make_step(cfg), donate_argnums=(0,))

@@ -154,6 +154,14 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
     if use_fused and not periodic:
         raise ValueError("backend='fused' supports periodic BC only; "
                          "use 'pallas' or 'jnp' for bounce-back")
+    if use_fused:
+        from ..kernels.fused_step import _pick_band
+        try:
+            _pick_band(cfg.NY, cfg.NX, jnp.dtype(cfg.dtype).itemsize)
+        except ValueError:
+            # grid too wide for full-width bands in VMEM: fall back to the
+            # fused-collide kernel + XLA roll streaming
+            use_fused, use_pallas = False, True
     phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
                 cs2=u.cs2, kb=u.kb)
 
