@@ -183,6 +183,198 @@ def _make_kernel(params, ty, nk):
     return kernel
 
 
+def _make_halo_kernel(params, ty, nk):
+    """Kernel variant for sharded (non-wrapping) domains.
+
+    The y-neighbors' rows arrive as explicit halo inputs (pre-collision
+    8-row strips exchanged over ICI by the shard_map wrapper) and are
+    collided redundantly in-kernel, so no periodic-wrap epilogue bands are
+    needed: grid = nk + 1.
+
+      k == 0:        collide the upper halo strip -> last8 scratch;
+                     collide band 0 -> prev.
+      k in [1, nk):  collide band k; assemble band k-1.
+      k == nk:       collide the lower halo strip; assemble band nk-1
+                     with its first row as the "below" row.
+    """
+    def collide_strip(f, g, Ex, Ey):
+        """Collide an (S, Q, rows, NX) strip held as values; returns
+        x-rolled per-species plane lists."""
+        mac = update_macro(f, g, Ex, Ey,
+                           q_e=params["q_e"], q_i=params["q_i"],
+                           m_e=params["m_e"], m_i=params["m_i"])
+        pair_polys = {
+            p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p],
+                                 params["cs2"])
+            for p in range(3)
+        }
+        fv, gv, = [], []
+        for s in range(_S):
+            f_dirs, g_dirs = collide_species_dirs(
+                s, f[s], g[s], mac, Ex, Ey,
+                taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
+                m_e=params["m_e"], m_i=params["m_i"],
+                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
+            fv.append([_roll_x(f_dirs[i], _CX[i]) for i in range(_Q)])
+            gv.append([_roll_x(g_dirs[i], _CX[i]) for i in range(_Q)])
+        return fv, gv, mac
+
+    def assemble(out_ref, s, prev, last8, below_rows, ty):
+        for i in range(_Q):
+            cy = _CY[i]
+            prev_i = prev[i, s]
+            if cy == 0:
+                out_ref[s, i] = prev_i
+            elif cy == 1:
+                gi = _DIRS_POS.index(i)
+                above = last8[gi, s, 7:8, :]
+                out_ref[s, i] = jnp.concatenate(
+                    (above, prev_i[: ty - 1]), axis=0)
+            else:
+                gi = _DIRS_NEG.index(i)
+                out_ref[s, i] = jnp.concatenate(
+                    (prev_i[1:], below_rows[gi]), axis=0)
+
+    def kernel(f_ref, g_ref, ex_ref, ey_ref,
+               fup_ref, gup_ref, eup_x, eup_y,      # upper halo strips
+               fdn_ref, gdn_ref, edn_x, edn_y,      # lower halo strips
+               fo_ref, go_ref, rq_ref,
+               fprev, gprev, flast8, glast8):
+        k = pl.program_id(0)
+
+        @pl.when(k < nk)
+        def _():
+            # at k == 0, collide the upper halo and seed last8 with it
+            @pl.when(k == 0)
+            def _():
+                fvh, gvh, _ = collide_strip(fup_ref[:], gup_ref[:],
+                                            eup_x[:], eup_y[:])
+                for s in range(_S):
+                    for gi, i in enumerate(_DIRS_POS):
+                        flast8[gi, s] = fvh[s][i]
+                        glast8[gi, s] = gvh[s][i]
+
+            fv, gv, mac = collide_strip(f_ref[:], g_ref[:],
+                                        ex_ref[:], ey_ref[:])
+            rq_ref[:] = mac.rho_q
+            for s in range(_S):
+                @pl.when(k >= 1)
+                def _(s=s):
+                    below_f = [fv[s][i][0:1] for i in _DIRS_NEG]
+                    below_g = [gv[s][i][0:1] for i in _DIRS_NEG]
+                    assemble(fo_ref, s, fprev, flast8, below_f, ty)
+                    assemble(go_ref, s, gprev, glast8, below_g, ty)
+
+                @pl.when(k >= 1)
+                def _(s=s):
+                    for gi, i in enumerate(_DIRS_POS):
+                        flast8[gi, s] = fprev[i, s, ty - 8:, :]
+                        glast8[gi, s] = gprev[i, s, ty - 8:, :]
+                for i in range(_Q):
+                    fprev[i, s] = fv[s][i]
+                    gprev[i, s] = gv[s][i]
+
+        @pl.when(k == nk)
+        def _():
+            fvh, gvh, _ = collide_strip(fdn_ref[:], gdn_ref[:],
+                                        edn_x[:], edn_y[:])
+            for s in range(_S):
+                below_f = [fvh[s][i][0:1] for i in _DIRS_NEG]
+                below_g = [gvh[s][i][0:1] for i in _DIRS_NEG]
+                assemble(fo_ref, s, fprev, flast8, below_f, ty)
+                assemble(go_ref, s, gprev, glast8, below_g, ty)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
+                     "interpret", "band"),
+)
+def collide_stream_halo(
+    f: jnp.ndarray,       # (3, Q, NYl, NX) local shard
+    g: jnp.ndarray,
+    Ex: jnp.ndarray,      # (NYl, NX)
+    Ey: jnp.ndarray,
+    f_up: jnp.ndarray,    # (3, Q, 8, NX) pre-collision strip from above
+    g_up: jnp.ndarray,
+    Ex_up: jnp.ndarray,   # (8, NX)
+    Ey_up: jnp.ndarray,
+    f_dn: jnp.ndarray,    # (3, Q, 8, NX) strip from below
+    g_dn: jnp.ndarray,
+    Ex_dn: jnp.ndarray,
+    Ey_dn: jnp.ndarray,
+    *,
+    taus: Tuple[float, ...],
+    q_e: float, q_i: float, m_e: float, m_i: float,
+    cs2: float, kb: float,
+    interpret: bool = False,
+    band: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused collide+stream for one y-shard with explicit halo strips.
+
+    The upper halo strip must be the 8 rows immediately above the shard
+    (i.e. the up-neighbor's last 8 rows; only its last row is used) and the
+    lower strip the 8 rows below (only its first row used). Ex/Ey strips
+    carry the field at those rows. Returns (f_new, g_new, rho_q) for the
+    local shard.
+    """
+    S, Q, NY, NX = f.shape
+    ty = band or _pick_band(NY, NX, f.dtype.itemsize)
+    if ty < 8 or NY % ty:
+        raise ValueError(f"band height {ty} invalid for NY={NY}")
+    nk = NY // ty
+    grid = (nk + 1,)
+
+    def in_band(k):
+        return jnp.minimum(k, nk - 1)
+
+    def out_band(k):
+        return jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0))
+
+    pop_in = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    fld_in = pl.BlockSpec((ty, NX), lambda k: (in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    pop_out = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, out_band(k), 0),
+                           memory_space=pltpu.VMEM)
+    halo_pop = pl.BlockSpec((S, Q, 8, NX), lambda k: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    halo_fld = pl.BlockSpec((8, NX), lambda k: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
+                  cs2=cs2, kb=kb)
+    kernel = _make_halo_kernel(params, ty, nk)
+    dt = f.dtype
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pop_in, pop_in, fld_in, fld_in,
+                  halo_pop, halo_pop, halo_fld, halo_fld,
+                  halo_pop, halo_pop, halo_fld, halo_fld],
+        out_specs=(pop_out, pop_out, fld_in),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, dt),
+            jax.ShapeDtypeStruct(g.shape, dt),
+            jax.ShapeDtypeStruct(Ex.shape, Ex.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_Q, _S, ty, NX), dt),
+            pltpu.VMEM((_Q, _S, ty, NX), dt),
+            pltpu.VMEM((3, _S, 8, NX), dt),
+            pltpu.VMEM((3, _S, 8, NX), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(3000 * NY * NX),
+            bytes_accessed=4 * S * Q * NY * NX * dt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(f, g, Ex, Ey, f_up, g_up, Ex_up, Ey_up, f_dn, g_dn, Ex_dn, Ey_dn)
+
+
 def _pick_band(NY: int, NX: int, itemsize: int) -> int:
     """Tallest band whose working set fits in VMEM (~13 MB budget)."""
     for ty in (32, 16, 8):

@@ -1,0 +1,63 @@
+"""Sharded fused step (shard_map + halo exchange) vs single-device jnp path.
+
+Runs on the 8 virtual CPU devices from conftest with the kernel in
+interpret mode.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.config import PlasmaConfig, PoissonSolver
+from lbm_tpu.models import plasma
+from lbm_tpu.parallel import fused_sharded
+from lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
+from jax.sharding import Mesh
+
+
+def _mesh_1d(n):
+    import numpy as _np
+    devs = _np.asarray(jax.devices()[:n]).reshape(n, 1)
+    return Mesh(devs, (AXIS_Y, AXIS_X))
+
+
+@pytest.mark.parametrize("solver", [PoissonSolver.FFT, PoissonSolver.NONE])
+def test_sharded_fused_matches_single(solver):
+    cfg = dataclasses.replace(PlasmaConfig(), NX=32, NY=64,
+                              dtype=jnp.float64, poisson=solver)
+    mesh = _mesh_1d(4)
+
+    s_ref = plasma.init_state(cfg)
+    step_ref = jax.jit(plasma.make_step(cfg))
+
+    step_sh = fused_sharded.make_fused_sharded_step(cfg, mesh)
+    # init on the default device; jit reshards on entry per in_shardings
+    s_sh = plasma.init_state(cfg)
+
+    for _ in range(3):
+        s_ref = step_ref(s_ref)
+        s_sh = step_sh(s_sh)
+
+    np.testing.assert_allclose(np.asarray(s_sh.f), np.asarray(s_ref.f),
+                               rtol=1e-11, atol=0)
+    np.testing.assert_allclose(np.asarray(s_sh.g), np.asarray(s_ref.g),
+                               rtol=1e-11, atol=0)
+    np.testing.assert_allclose(np.asarray(s_sh.Ex), np.asarray(s_ref.Ex),
+                               rtol=1e-9, atol=1e-16)
+
+
+def test_sharded_fused_rejects_bad_mesh():
+    cfg = dataclasses.replace(PlasmaConfig(), NX=32, NY=64)
+    import numpy as _np
+    devs = _np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh2d = Mesh(devs, (AXIS_Y, AXIS_X))
+    with pytest.raises(ValueError):
+        fused_sharded.make_fused_sharded_step(cfg, mesh2d)
+
+
+def test_sharded_fused_validates_divisibility():
+    cfg = dataclasses.replace(PlasmaConfig(), NX=32, NY=40)
+    with pytest.raises(ValueError):
+        fused_sharded.make_fused_sharded_step(cfg, _mesh_1d(4))
