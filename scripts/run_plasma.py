@@ -31,7 +31,7 @@ def parse_args():
     p.add_argument("--poisson", choices=["NONE", "GS", "SOR", "FFT", "NPS"])
     p.add_argument("--bc", choices=["periodic", "bounceback"])
     p.add_argument("--omega-sor", type=float)
-    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("--backend", choices=["jnp", "pallas", "fused"], default="fused")
     p.add_argument("--f64", action="store_true",
                    help="float64 parity mode (CPU)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
