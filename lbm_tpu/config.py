@@ -58,6 +58,15 @@ class CompatFlags:
     # for visibility/testing.
     macro_guards: bool = True
 
+    # Replicate the "Plasma debug" predecessor variant (old codes/Plasma
+    # debug/plasma_debug.cpp) instead of the final src/ behavior:
+    # (a) the momentum==+/-rho guard sets ux/uy to 0.01*cs2 (electrons) and
+    #     1e-5*cs2 (ions) rather than 0 (plasma_debug.cpp:397-407,417-427);
+    # (b) the E field is zeroed at the end of step 0 for every solver — a
+    #     "pulsed" external field (plasma_debug.cpp:1558-1566).
+    # Used by the C++ cross-validation fixtures (tests/fixtures/).
+    debug_variant: bool = False
+
 
 @dataclasses.dataclass(frozen=True)
 class PlasmaConfig:

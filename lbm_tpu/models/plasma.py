@@ -141,8 +141,11 @@ def _solve_poisson(
 def compute_macros(cfg: PlasmaConfig, state: PlasmaState) -> Macros:
     """Macroscopic fields for observation/diagnostics (same op as the step)."""
     u = cfg.units()
+    gv = ((0.01 * u.cs2, 0.00001 * u.cs2, 0.0)
+          if cfg.compat.debug_variant else (0.0, 0.0, 0.0))
     return update_macro(state.f, state.g, state.Ex, state.Ey,
-                        q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i)
+                        q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                        guard_vals=gv)
 
 
 def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
@@ -162,6 +165,11 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             # grid too wide for full-width bands in VMEM: fall back to the
             # fused-collide kernel + XLA roll streaming
             use_fused, use_pallas = False, True
+    debug_variant = cfg.compat.debug_variant
+    if debug_variant and (use_fused or use_pallas):
+        raise ValueError("debug_variant mode is jnp-backend only")
+    guard_vals = ((0.01 * u.cs2, 0.00001 * u.cs2, 0.0) if debug_variant
+                  else (0.0, 0.0, 0.0))
     phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
                 cs2=u.cs2, kb=u.kb)
 
@@ -173,7 +181,8 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
                 taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
                 cs2=u.cs2, kb=u.kb)
         mac = update_macro(state.f, state.g, state.Ex, state.Ey,
-                           q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i)
+                           q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                           guard_vals=guard_vals)
         f_post, g_post = collide(state.f, state.g, mac, state.Ex, state.Ey,
                                  taus=cfg.taus, q_e=u.q_e, q_i=u.q_i,
                                  m_e=u.m_e, m_i=u.m_i, cs2=u.cs2, kb=u.kb)
@@ -199,6 +208,12 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             f = stream_bounceback(f_post, stale=state.f)
             g = stream_bounceback(g_post, stale=f_post)
         Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi, state.Ex, state.Ey)
+        if debug_variant:
+            # "pulsed" external field: zeroed at the end of step 0 for every
+            # solver (plasma_debug.cpp:1558-1566)
+            first = state.step == 0
+            Ex = jnp.where(first, 0.0, Ex)
+            Ey = jnp.where(first, 0.0, Ey)
         return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi, step=state.step + 1)
 
     return step

@@ -76,7 +76,11 @@ def update_macro(
     q_i: float,
     m_e: float,
     m_i: float,
+    guard_vals: tuple = (0.0, 0.0, 0.0),
 ) -> Macros:
+    """guard_vals: the per-species value the momentum==+/-rho guard assigns
+    (0 in the final reference; 0.01*cs2 / 1e-5*cs2 / 0 in the debug
+    predecessor variant)."""
     qom = (q_e / m_e, q_i / m_i, 0.0)
 
     rho_raw, rho_l, ux_l, uy_l, T_l, alive_l = [], [], [], [], [], []
@@ -85,8 +89,9 @@ def update_macro(
         alive = rho >= 1e-10
         safe_rho = jnp.where(alive, rho, 1.0)
         # exact-equality anti-blowup guard (reference: src/plasma.cpp:380-387)
-        ux = jnp.where((px == rho) | (px == -rho), 0.0, px / safe_rho)
-        uy = jnp.where((py == rho) | (py == -rho), 0.0, py / safe_rho)
+        gv = guard_vals[s]
+        ux = jnp.where((px == rho) | (px == -rho), gv, px / safe_rho)
+        uy = jnp.where((py == rho) | (py == -rho), gv, py / safe_rho)
         if qom[s] != 0.0:
             # half-step Guo force correction (src/plasma.cpp:389-390)
             ux = ux + (0.5 * qom[s]) * Ex

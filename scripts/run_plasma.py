@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--debug-dump", action="store_true",
                    help="stage dumps on small grids (NX<11)")
+    p.add_argument("--watchdog-every", type=int, default=100,
+                   help="NaN-watchdog cadence in steps (0 = off)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace to this directory")
     return p.parse_args()
 
 
@@ -96,12 +100,20 @@ def main():
     dmp = debug_dump.DebugDumper(
         cfg, os.path.join(args.out, "debug_dump.txt")) if args.debug_dump else None
 
+    from lbm_tpu.utils.watchdog import Watchdog
+    wd = (Watchdog(every=args.watchdog_every)
+          if args.watchdog_every else None)
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
     timer = timing.StepTimer(cfg.NX, cfg.NY)
     timer.start()
     start_step = int(state.step)
     for t in range(start_step, cfg.nsteps):
         state = step(state)
         timer.tick()
+        if wd is not None:
+            state = wd.check(t, state)
         mac = plasma.compute_macros(cfg, state)
         rec.record(mac, state.Ex, state.Ey)
         if vid is not None and t % args.video_every == 0:
@@ -114,6 +126,8 @@ def main():
     # real sync (see bench.py note about block_until_ready under axon)
     float(state.f[0, 0, 0, 0])
     wall_ms = timer.wall_s * 1000
+    if args.profile:
+        jax.profiler.stop_trace()
 
     if vid is not None:
         vid.close()

@@ -1,0 +1,166 @@
+"""Trajectory parity against the ACTUAL reference C++ implementation.
+
+tests/fixtures/ref_dump_solver{0,1,2,4}.txt.gz are stage-by-stage dumps
+produced by compiling and running the reference's own debug build
+(old codes/Plasma debug/plasma_debug.cpp, whose DumpGridStateReadable
+writes every field including the per-direction f populations) at 8x8 for 5
+steps with the golden physical parameters, one file per Poisson solver
+(0=NONE, 1=GS, 2=SOR, 4=NPS; FFT needs FFTW which is unavailable — the FFT
+path is covered by manufactured-solution and full-FFT-oracle tests).
+
+The debug build dispatches the *periodic* iterative sweeps under periodic
+BCs and leaves E untouched for NONE, i.e. the behavior of
+CompatFlags(dirichlet_iterative_under_periodic=False,
+            none_solver_kills_external_field=False).
+
+The mass/field pipeline is closed under f (the mass collisions, macros,
+and Poisson solve never read g), so matching the f trajectory + E fields
+validates everything except the thermal (g) pipeline, which the numpy
+oracle covers.
+
+Print precision in the dumps is %.6e, so comparisons are gated at ~1e-5
+relative.
+"""
+import dataclasses
+import gzip
+import os
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.config import BC, CompatFlags, PlasmaConfig, PoissonSolver
+from lbm_tpu.models import plasma
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+_SCALAR_FIELDS = ["ux_e", "uy_e", "ux_i", "uy_i", "ux_n", "uy_n",
+                  "rho_q", "rho_e", "rho_i", "rho_n"]
+
+
+def parse_dump(path, NX=8, NY=8):
+    """-> {(step, stage): {field: (NY, NX) array, 'f_e': (9, NY, NX), ...}}"""
+    with gzip.open(path, "rt") as fh:
+        lines = [ln.rstrip("\n") for ln in fh]
+    out = {}
+    i = 0
+    cur = None
+
+    def read_grid(i):
+        rows = []
+        for r in range(NY):
+            rows.append([float(v) for v in lines[i + r].split(",")])
+        # dumped with y descending; flip to y-ascending
+        return np.asarray(rows)[::-1], i + NY
+
+    while i < len(lines):
+        ln = lines[i]
+        if ln.startswith("step = "):
+            step = int(ln.split("=")[1])
+            stage = lines[i + 1].split("=")[1].strip()
+            cur = out[(step, stage)] = {}
+            i += 2
+            continue
+        if cur is None:
+            i += 1
+            continue
+        if ln in _SCALAR_FIELDS:
+            grid, i2 = read_grid(i + 1)
+            cur[ln] = grid
+            i = i2
+            continue
+        if ln == "Ex":
+            grid, i2 = read_grid(i + 1)
+            # the dump labels Ey as a second "Ex" block
+            cur["Ey" if "Ex" in cur else "Ex"] = grid
+            i = i2
+            continue
+        m = re.match(r"(f(?:_eq)?_[ein]) dir (\d+)", ln)
+        if m:
+            name, d = m.group(1), int(m.group(2))
+            grid, i2 = read_grid(i + 1)
+            cur.setdefault(name, {})[d] = grid
+            i = i2
+            continue
+        i += 1
+    return out
+
+
+def _f_array(block) -> np.ndarray:
+    return np.stack([block[d] for d in range(9)])
+
+
+def _run_engine(solver, nsteps=5):
+    cfg = dataclasses.replace(
+        PlasmaConfig(), NX=8, NY=8, nsteps=nsteps, dtype=jnp.float64,
+        poisson=solver, bc=BC.PERIODIC,
+        compat=CompatFlags(none_solver_kills_external_field=False,
+                           dirichlet_iterative_under_periodic=False,
+                           debug_variant=True))
+    states = [plasma.init_state(cfg)]
+    step = jax.jit(plasma.make_step(cfg))
+    for _ in range(nsteps):
+        states.append(step(states[-1]))
+    return cfg, states
+
+
+_SOLVERS = {0: PoissonSolver.NONE, 1: PoissonSolver.GS,
+            2: PoissonSolver.SOR, 4: PoissonSolver.NPS}
+
+
+@pytest.mark.parametrize("code", [0, 1, 2, 4])
+def test_f_trajectory_matches_cpp_reference(code):
+    dump = parse_dump(os.path.join(FIXDIR, f"ref_dump_solver{code}.txt.gz"))
+    cfg, states = _run_engine(_SOLVERS[code])
+    for t in range(5):
+        ref = dump[(t, "Streaming")]
+        mine = states[t + 1]
+        for k, s in enumerate("ein"):
+            got = np.asarray(mine.f[k])
+            want = _f_array(ref[f"f_{s}"])
+            scale = np.abs(want).max()
+            np.testing.assert_allclose(
+                got, want, rtol=3e-6, atol=3e-6 * scale,
+                err_msg=f"f_{s} after step {t} (solver {code})")
+
+
+@pytest.mark.parametrize("code", [1, 2, 4])
+def test_efield_matches_cpp_reference(code):
+    dump = parse_dump(os.path.join(FIXDIR, f"ref_dump_solver{code}.txt.gz"))
+    cfg, states = _run_engine(_SOLVERS[code])
+    for t in range(5):
+        ref = dump[(t, "SolvePoisson")]
+        mine = states[t + 1]
+        scale = max(np.abs(ref["Ex"]).max(), np.abs(ref["Ey"]).max(), 1e-12)
+        np.testing.assert_allclose(np.asarray(mine.Ex), ref["Ex"],
+                                   rtol=3e-5, atol=3e-5 * scale,
+                                   err_msg=f"Ex after step {t}")
+        np.testing.assert_allclose(np.asarray(mine.Ey), ref["Ey"],
+                                   rtol=3e-5, atol=3e-5 * scale,
+                                   err_msg=f"Ey after step {t}")
+
+
+@pytest.mark.parametrize("code", [0, 1])
+def test_macros_match_cpp_reference(code):
+    dump = parse_dump(os.path.join(FIXDIR, f"ref_dump_solver{code}.txt.gz"))
+    cfg, states = _run_engine(_SOLVERS[code])
+    for t in range(5):
+        ref = dump[(t, "UpdateMacro")]
+        mac = plasma.compute_macros(cfg, states[t])
+        for k, s in enumerate("ein"):
+            rscale = np.abs(ref[f"rho_{s}"]).max()
+            np.testing.assert_allclose(
+                np.asarray(mac.rho[k]), ref[f"rho_{s}"],
+                rtol=3e-6, atol=3e-6 * rscale,
+                err_msg=f"rho_{s} at step {t}")
+            uscale = max(np.abs(ref[f"ux_{s}"]).max(), 1e-30)
+            np.testing.assert_allclose(
+                np.asarray(mac.ux[k]), ref[f"ux_{s}"],
+                rtol=3e-5, atol=1e-4 * uscale,
+                err_msg=f"ux_{s} at step {t}")
+        qscale = max(np.abs(ref["rho_q"]).max(), 1e-30)
+        np.testing.assert_allclose(
+            np.asarray(mac.rho_q), ref["rho_q"],
+            rtol=3e-5, atol=1e-4 * qscale, err_msg=f"rho_q at step {t}")
