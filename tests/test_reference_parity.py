@@ -5,8 +5,8 @@ produced by compiling and running the reference's own debug build
 (old codes/Plasma debug/plasma_debug.cpp, whose DumpGridStateReadable
 writes every field including the per-direction f populations) at 8x8 for 5
 steps with the golden physical parameters, one file per Poisson solver
-(0=NONE, 1=GS, 2=SOR, 4=NPS; FFT needs FFTW which is unavailable — the FFT
-path is covered by manufactured-solution and full-FFT-oracle tests).
+(0=NONE, 1=GS, 2=SOR, 3=FFT, 4=NPS; the FFT build uses an exact naive-DFT
+drop-in for the absent FFTW, valid at 8x8).
 
 The debug build dispatches the *periodic* iterative sweeps under periodic
 BCs and leaves E untouched for NONE, i.e. the behavior of
@@ -107,10 +107,11 @@ def _run_engine(solver, nsteps=5):
 
 
 _SOLVERS = {0: PoissonSolver.NONE, 1: PoissonSolver.GS,
-            2: PoissonSolver.SOR, 4: PoissonSolver.NPS}
+            2: PoissonSolver.SOR, 3: PoissonSolver.FFT,
+            4: PoissonSolver.NPS}
 
 
-@pytest.mark.parametrize("code", [0, 1, 2, 4])
+@pytest.mark.parametrize("code", [0, 1, 2, 3, 4])
 def test_f_trajectory_matches_cpp_reference(code):
     dump = parse_dump(os.path.join(FIXDIR, f"ref_dump_solver{code}.txt.gz"))
     cfg, states = _run_engine(_SOLVERS[code])
@@ -126,7 +127,7 @@ def test_f_trajectory_matches_cpp_reference(code):
                 err_msg=f"f_{s} after step {t} (solver {code})")
 
 
-@pytest.mark.parametrize("code", [1, 2, 4])
+@pytest.mark.parametrize("code", [1, 2, 3, 4])
 def test_efield_matches_cpp_reference(code):
     dump = parse_dump(os.path.join(FIXDIR, f"ref_dump_solver{code}.txt.gz"))
     cfg, states = _run_engine(_SOLVERS[code])
