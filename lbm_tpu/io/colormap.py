@@ -44,14 +44,35 @@ def jet(v: jnp.ndarray) -> jnp.ndarray:
     return (rgb * 255.0 + 0.5).astype(jnp.uint8)
 
 
+def jet_index(v: jnp.ndarray) -> jnp.ndarray:
+    """Quantized colormap index (uint8): 1/3 the device->host traffic of an
+    RGB frame; the host expands it through JET_PALETTE."""
+    return (jnp.clip(v, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def _palette() -> "np.ndarray":
+    import numpy as np
+    v = np.linspace(0.0, 1.0, 256)
+    r = np.clip(1.5 - np.abs(4 * v - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * v - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * v - 1), 0, 1)
+    return (np.stack([r, g, b], -1) * 255 + 0.5).astype("uint8")
+
+
+JET_PALETTE = _palette()
+
+
 def colorize(field: jnp.ndarray, vmin: float, vmax: float) -> jnp.ndarray:
-    """Fixed-range normalize + JET + vertical flip (y up -> image row down)."""
+    """Fixed-range normalize + quantize + vertical flip (y up -> row down).
+
+    Returns a uint8 palette-index image; the host expands it to RGB via
+    JET_PALETTE (same colors as jet())."""
     v = (field - vmin) / (vmax - vmin)
-    return jet(v)[::-1, :, :]
+    return jet_index(v)[::-1, :]
 
 
 def mosaic(panels: Sequence[jnp.ndarray], ncols: int) -> jnp.ndarray:
-    """Tile (H, W, 3) panels into a grid, row-major."""
+    """Tile (H, W) panels into a grid, row-major."""
     rows = [jnp.concatenate(panels[i:i + ncols], axis=1)
             for i in range(0, len(panels), ncols)]
     return jnp.concatenate(rows, axis=0)

@@ -65,18 +65,25 @@ def sample(mac, Ex, Ey, xs: np.ndarray, ys: np.ndarray) -> Dict[str, jnp.ndarray
 
 
 class ProbeRecorder:
+    """Accumulates per-step probe samples WITHOUT host synchronization: each
+    record() stores one (19, 9) device array; everything is fetched in a
+    single transfer when the series is read (the reference fetched per step,
+    synchronously, inside its hot loop)."""
+
     def __init__(self, NX: int, NY: int):
         self.xs, self.ys = probe_points(NX, NY)
-        self.series: Dict[str, List[np.ndarray]] = {q: [] for q in QUANTITIES}
+        self._frames: List[jnp.ndarray] = []
 
     def record(self, mac, Ex, Ey) -> None:
-        vals = jax.device_get(sample(mac, Ex, Ey, self.xs, self.ys))
-        for q in QUANTITIES:
-            self.series[q].append(np.asarray(vals[q]))
+        vals = sample(mac, Ex, Ey, self.xs, self.ys)
+        self._frames.append(jnp.stack([vals[q] for q in QUANTITIES]))
 
     def as_arrays(self) -> Dict[str, np.ndarray]:
-        """{quantity: (T, 9) array}."""
-        return {q: np.stack(v) for q, v in self.series.items() if v}
+        """{quantity: (T, 9) array} — one batched device->host fetch."""
+        if not self._frames:
+            return {}
+        data = np.stack(jax.device_get(self._frames))   # (T, 19, 9)
+        return {q: data[:, k, :] for k, q in enumerate(QUANTITIES)}
 
     def save_csv(self, out_dir: str) -> None:
         os.makedirs(out_dir, exist_ok=True)

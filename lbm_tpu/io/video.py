@@ -76,15 +76,16 @@ class VideoRecorder:
         self._err: Optional[BaseException] = None
 
     def _drain(self) -> None:
+        pal = colormap.JET_PALETTE
         while True:
             item = self._q.get()
             if item is None:
                 return
             try:
-                d, v, t = item
-                self._writers["density"].write(np.asarray(d))
-                self._writers["velocity"].write(np.asarray(v))
-                self._writers["temperature"].write(np.asarray(t))
+                d, v, t = item  # uint8 palette-index frames (device arrays)
+                self._writers["density"].write(pal[np.asarray(d)])
+                self._writers["velocity"].write(pal[np.asarray(v)])
+                self._writers["temperature"].write(pal[np.asarray(t)])
             except BaseException as e:  # surfaced on close()
                 self._err = e
 
@@ -95,8 +96,9 @@ class VideoRecorder:
             mac.ux[0], mac.uy[0], mac.ux[1], mac.uy[1],
             mac.T[0], mac.T[1], mac.T[2],
         )
-        # device_get on the small uint8 frames; enqueue for the encoder
-        self._q.put(tuple(jax.device_get(frames)))
+        # enqueue the DEVICE arrays; the worker thread performs the
+        # device->host fetch so the step loop never blocks on transfer
+        self._q.put(frames)
 
     def close(self) -> None:
         self._q.put(None)

@@ -375,6 +375,221 @@ def collide_stream_halo(
     )(f, g, Ex, Ey, f_up, g_up, Ex_up, Ey_up, f_dn, g_dn, Ex_dn, Ey_dn)
 
 
+def _make_halo2d_kernel(params, ty, nk, nxl):
+    """Kernel for 2-D (row AND column) sharded domains.
+
+    Like the 1-D halo kernel, but the x-streaming wrap columns come from
+    8-column strips exchanged with the x-neighbors (collided redundantly per
+    band), and the y-halo strips arrive corner-extended to width NXl+16 so
+    their rows can be x-shifted by +-1 without wrap logic.
+    """
+    def collide_strip(f, g, Ex, Ey):
+        """Collide a strip held as values; returns UNROLLED per-species
+        plane lists plus the macros."""
+        mac = update_macro(f, g, Ex, Ey,
+                           q_e=params["q_e"], q_i=params["q_i"],
+                           m_e=params["m_e"], m_i=params["m_i"])
+        pair_polys = {
+            p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p],
+                                 params["cs2"])
+            for p in range(3)
+        }
+        fv, gv = [], []
+        for s in range(_S):
+            f_dirs, g_dirs = collide_species_dirs(
+                s, f[s], g[s], mac, Ex, Ey,
+                taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
+                m_e=params["m_e"], m_i=params["m_i"],
+                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
+            fv.append(f_dirs)
+            gv.append(g_dirs)
+        return fv, gv, mac
+
+    def roll_with_neighbors(p, p_lt, p_rt, cx):
+        """x-shift using the x-neighbor strips' edge columns."""
+        if cx == 0:
+            return p
+        if cx == 1:   # new[x] = P[x-1]; x=0 takes the left strip's last col
+            return jnp.concatenate((p_lt[:, 7:8], p[:, : nxl - 1]), axis=1)
+        return jnp.concatenate((p[:, 1:], p_rt[:, 0:1]), axis=1)
+
+    def ext_row(plane_ext, row, cx):
+        """Row `row` of a corner-extended (8, NXl+16) plane, x-shifted by
+        cx: content[x] = plane[row, 8 + x - cx]."""
+        return plane_ext[row: row + 1, 8 - cx: 8 - cx + nxl]
+
+    def assemble(out_ref, s, prev, last8, below_rows):
+        for i in range(_Q):
+            cy = _CY[i]
+            prev_i = prev[i, s]
+            if cy == 0:
+                out_ref[s, i] = prev_i
+            elif cy == 1:
+                gi = _DIRS_POS.index(i)
+                above = last8[gi, s, 7:8, :]
+                out_ref[s, i] = jnp.concatenate(
+                    (above, prev_i[: ty - 1]), axis=0)
+            else:
+                gi = _DIRS_NEG.index(i)
+                out_ref[s, i] = jnp.concatenate(
+                    (prev_i[1:], below_rows[gi]), axis=0)
+
+    def kernel(f_ref, g_ref, ex_ref, ey_ref,
+               fup_ref, gup_ref, exup_ref, eyup_ref,
+               fdn_ref, gdn_ref, exdn_ref, eydn_ref,
+               flt_ref, glt_ref, exlt_ref, eylt_ref,
+               frt_ref, grt_ref, exrt_ref, eyrt_ref,
+               fo_ref, go_ref, rq_ref,
+               fprev, gprev, flast8, glast8):
+        k = pl.program_id(0)
+
+        @pl.when(k < nk)
+        def _():
+            # seed last8 from the corner-extended up strip at the first band
+            @pl.when(k == 0)
+            def _():
+                fvu, gvu, _ = collide_strip(fup_ref[:], gup_ref[:],
+                                            exup_ref[:], eyup_ref[:])
+                for s in range(_S):
+                    for gi, i in enumerate(_DIRS_POS):
+                        # stored pre-shifted so row 7 is directly usable
+                        flast8[gi, s] = jnp.concatenate(
+                            [ext_row(fvu[s][i], r, _CX[i]) for r in range(8)],
+                            axis=0)
+                        glast8[gi, s] = jnp.concatenate(
+                            [ext_row(gvu[s][i], r, _CX[i]) for r in range(8)],
+                            axis=0)
+
+            fv, gv, mac = collide_strip(f_ref[:], g_ref[:],
+                                        ex_ref[:], ey_ref[:])
+            rq_ref[:] = mac.rho_q
+            fvl, gvl, _ = collide_strip(flt_ref[:], glt_ref[:],
+                                        exlt_ref[:], eylt_ref[:])
+            fvr, gvr, _ = collide_strip(frt_ref[:], grt_ref[:],
+                                        exrt_ref[:], eyrt_ref[:])
+            frolled = [[roll_with_neighbors(fv[s][i], fvl[s][i], fvr[s][i],
+                                            _CX[i]) for i in range(_Q)]
+                       for s in range(_S)]
+            grolled = [[roll_with_neighbors(gv[s][i], gvl[s][i], gvr[s][i],
+                                            _CX[i]) for i in range(_Q)]
+                       for s in range(_S)]
+            for s in range(_S):
+                @pl.when(k >= 1)
+                def _(s=s):
+                    below_f = [frolled[s][i][0:1] for i in _DIRS_NEG]
+                    below_g = [grolled[s][i][0:1] for i in _DIRS_NEG]
+                    assemble(fo_ref, s, fprev, flast8, below_f)
+                    assemble(go_ref, s, gprev, glast8, below_g)
+
+                @pl.when(k >= 1)
+                def _(s=s):
+                    for gi, i in enumerate(_DIRS_POS):
+                        flast8[gi, s] = fprev[i, s, ty - 8:, :]
+                        glast8[gi, s] = gprev[i, s, ty - 8:, :]
+                for i in range(_Q):
+                    fprev[i, s] = frolled[s][i]
+                    gprev[i, s] = grolled[s][i]
+
+        @pl.when(k == nk)
+        def _():
+            fvd, gvd, _ = collide_strip(fdn_ref[:], gdn_ref[:],
+                                        exdn_ref[:], eydn_ref[:])
+            for s in range(_S):
+                below_f = [ext_row(fvd[s][i], 0, _CX[i]) for i in _DIRS_NEG]
+                below_g = [ext_row(gvd[s][i], 0, _CX[i]) for i in _DIRS_NEG]
+                assemble(fo_ref, s, fprev, flast8, below_f)
+                assemble(go_ref, s, gprev, glast8, below_g)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
+                     "interpret", "band"),
+)
+def collide_stream_halo2d(
+    f, g, Ex, Ey,                  # local shard (3, Q, NYl, NXl) / (NYl, NXl)
+    f_up, g_up, Ex_up, Ey_up,      # corner-extended (.., 8, NXl+16) strips
+    f_dn, g_dn, Ex_dn, Ey_dn,
+    f_lt, g_lt, Ex_lt, Ey_lt,      # x-neighbor strips (.., NYl, 8)
+    f_rt, g_rt, Ex_rt, Ey_rt,
+    *,
+    taus, q_e: float, q_i: float, m_e: float, m_i: float,
+    cs2: float, kb: float,
+    interpret: bool = False,
+    band: int = 0,
+):
+    """Fused collide+stream for one (y, x)-shard with explicit halos.
+
+    f_up/f_dn: the 8 rows above/below the shard, corner-extended by 8
+    columns on each side (so only their row 7 / row 0 are consumed, already
+    x-shiftable). f_lt/f_rt: the 8 columns left/right of the shard (only
+    their column 7 / column 0 are consumed). Returns (f_new, g_new, rho_q).
+    """
+    S, Q, NY, NX = f.shape
+    ty = band or _pick_band(NY, NX, f.dtype.itemsize)
+    if ty < 8 or NY % ty:
+        raise ValueError(f"band height {ty} invalid for NY={NY}")
+    nk = NY // ty
+    grid = (nk + 1,)
+
+    def in_band(k):
+        return jnp.minimum(k, nk - 1)
+
+    def out_band(k):
+        return jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0))
+
+    pop_in = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    fld_in = pl.BlockSpec((ty, NX), lambda k: (in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    pop_out = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, out_band(k), 0),
+                           memory_space=pltpu.VMEM)
+    ypop = pl.BlockSpec((S, Q, 8, NX + 16), lambda k: (0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    yfld = pl.BlockSpec((8, NX + 16), lambda k: (0, 0),
+                        memory_space=pltpu.VMEM)
+    xpop = pl.BlockSpec((S, Q, ty, 8), lambda k: (0, 0, in_band(k), 0),
+                        memory_space=pltpu.VMEM)
+    xfld = pl.BlockSpec((ty, 8), lambda k: (in_band(k), 0),
+                        memory_space=pltpu.VMEM)
+
+    params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
+                  cs2=cs2, kb=kb)
+    kernel = _make_halo2d_kernel(params, ty, nk, NX)
+    dt = f.dtype
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pop_in, pop_in, fld_in, fld_in,
+                  ypop, ypop, yfld, yfld,
+                  ypop, ypop, yfld, yfld,
+                  xpop, xpop, xfld, xfld,
+                  xpop, xpop, xfld, xfld],
+        out_specs=(pop_out, pop_out, fld_in),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, dt),
+            jax.ShapeDtypeStruct(g.shape, dt),
+            jax.ShapeDtypeStruct(Ex.shape, Ex.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_Q, _S, ty, NX), dt),
+            pltpu.VMEM((_Q, _S, ty, NX), dt),
+            pltpu.VMEM((3, _S, 8, NX), dt),
+            pltpu.VMEM((3, _S, 8, NX), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(3200 * NY * NX),
+            bytes_accessed=4 * S * Q * NY * NX * dt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(f, g, Ex, Ey,
+      f_up, g_up, Ex_up, Ey_up, f_dn, g_dn, Ex_dn, Ey_dn,
+      f_lt, g_lt, Ex_lt, Ey_lt, f_rt, g_rt, Ex_rt, Ey_rt)
+
+
 def _pick_band(NY: int, NX: int, itemsize: int) -> int:
     """Tallest band whose working set fits in VMEM (~13 MB budget)."""
     for ty in (32, 16, 8):

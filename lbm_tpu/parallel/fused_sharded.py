@@ -26,9 +26,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import PlasmaConfig, PoissonSolver
-from ..kernels.fused_step import collide_stream_halo
+from ..kernels.fused_step import collide_stream_halo, collide_stream_halo2d
 from ..models.plasma import PlasmaState, _solve_poisson
-from .mesh import AXIS_Y
+from .mesh import AXIS_X, AXIS_Y
 
 
 def make_fused_sharded_step(
@@ -75,6 +75,94 @@ def make_fused_sharded_step(
         dn = [xchg(a, slice(0, 8), bwd) for a in (f, g, Ex, Ey)]
         return collide_stream_halo(
             f, g, Ex, Ey, *up, *dn, interpret=interpret, **phys)
+
+    def step(state: PlasmaState) -> PlasmaState:
+        f, g, rho_q = local_step(state.f, state.g, state.Ex, state.Ey)
+        Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi,
+                                     state.Ex, state.Ey)
+        return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi,
+                           step=state.step + 1)
+
+    shardings = PlasmaState(
+        f=NamedSharding(mesh, pop_spec), g=NamedSharding(mesh, pop_spec),
+        Ex=NamedSharding(mesh, fld_spec), Ey=NamedSharding(mesh, fld_spec),
+        phi=NamedSharding(mesh, fld_spec),
+        step=NamedSharding(mesh, P()),
+    )
+    return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)
+
+
+def make_fused_sharded_step_2d(
+    cfg: PlasmaConfig,
+    mesh: Mesh,
+    interpret: bool | None = None,
+) -> Callable[[PlasmaState], PlasmaState]:
+    """Jitted sharded step over a 2-D (dy, dx) mesh — the BASELINE config #4
+    topology (e.g. 4096^2 on a v5p-8 as a 2x4 mesh, each shard 2048x1024).
+
+    Per step: 8-row strips ppermute along dy, 8-column strips along dx, and
+    the y-strips are corner-extended via a second dx-ppermute of their edge
+    columns; the fused halo2d kernel consumes all of it locally (collide +
+    streaming in one pass). The Poisson solve runs on the globally sharded
+    rho_q under GSPMD.
+    """
+    for ax in (AXIS_Y, AXIS_X):
+        if ax not in mesh.axis_names:
+            raise ValueError(f"mesh must have a '{ax}' axis")
+    ny_dev = mesh.shape[AXIS_Y]
+    nx_dev = mesh.shape[AXIS_X]
+    if cfg.NY % (8 * ny_dev) or cfg.NX % (max(nx_dev, 1) * 8):
+        raise ValueError("NY/NX must be divisible by 8*mesh dims")
+    if cfg.poisson not in (PoissonSolver.FFT, PoissonSolver.NONE):
+        raise ValueError("sharded fused step supports FFT/NONE Poisson")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+
+    u = cfg.units()
+    phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb)
+
+    pop_spec = P(None, None, AXIS_Y, AXIS_X)
+    fld_spec = P(AXIS_Y, AXIS_X)
+
+    fwd_y = [(d, (d + 1) % ny_dev) for d in range(ny_dev)]
+    bwd_y = [(d, (d - 1) % ny_dev) for d in range(ny_dev)]
+    fwd_x = [(d, (d + 1) % nx_dev) for d in range(nx_dev)]
+    bwd_x = [(d, (d - 1) % nx_dev) for d in range(nx_dev)]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pop_spec, pop_spec, fld_spec, fld_spec),
+             out_specs=(pop_spec, pop_spec, fld_spec),
+             check_vma=False)
+    def local_step(f, g, Ex, Ey):
+        def yext(a):
+            """Corner-extended up/dn row strips for one array."""
+            up = jax.lax.ppermute(a[..., -8:, :], AXIS_Y, fwd_y)
+            dn = jax.lax.ppermute(a[..., :8, :], AXIS_Y, bwd_y)
+
+            def extend(strip):
+                left = jax.lax.ppermute(strip[..., -8:], AXIS_X, fwd_x)
+                right = jax.lax.ppermute(strip[..., :8], AXIS_X, bwd_x)
+                return jnp.concatenate((left, strip, right), axis=-1)
+
+            return extend(up), extend(dn)
+
+        def xstrips(a):
+            lt = jax.lax.ppermute(a[..., :, -8:], AXIS_X, fwd_x)
+            rt = jax.lax.ppermute(a[..., :, :8], AXIS_X, bwd_x)
+            return lt, rt
+
+        ups, dns, lts, rts = [], [], [], []
+        for a in (f, g, Ex, Ey):
+            up, dn = yext(a)
+            lt, rt = xstrips(a)
+            ups.append(up)
+            dns.append(dn)
+            lts.append(lt)
+            rts.append(rt)
+        return collide_stream_halo2d(
+            f, g, Ex, Ey, *ups, *dns, *lts, *rts,
+            interpret=interpret, **phys)
 
     def step(state: PlasmaState) -> PlasmaState:
         f, g, rho_q = local_step(state.f, state.g, state.Ex, state.Ey)

@@ -58,9 +58,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not args.cpu:
+        # persistent cache entries are TPU-host specific; skip on CPU runs
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
 
@@ -90,7 +92,9 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     state = (ckpt.load(args.resume, dtype=cfg.dtype) if args.resume
              else plasma.init_state(cfg))
-    step = jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
+    # AOT-compile so the timer measures simulation, not compilation
+    step = (jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
+            .lower(state).compile())
 
     rec = probes.ProbeRecorder(cfg.NX, cfg.NY)
     vid = None

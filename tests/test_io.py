@@ -25,6 +25,10 @@ def test_jet_colormap_endpoints():
     over = np.asarray(colormap.jet(jnp.array([2.0, -1.0])))
     np.testing.assert_array_equal(over[0], rgb[4])
     np.testing.assert_array_equal(over[1], rgb[0])
+    # palette-index path reproduces JET up to 8-bit quantization
+    idx = np.asarray(colormap.jet_index(v))
+    diff = colormap.JET_PALETTE[idx].astype(int) - rgb.astype(int)
+    assert np.abs(diff).max() <= 2
 
 
 def test_frames_shapes():
@@ -33,9 +37,9 @@ def test_frames_shapes():
     d = colormap.density_frame(z, z, z)
     v = colormap.velocity_frame(z, z, z, z)
     t = colormap.temperature_frame(z, z, z)
-    assert d.shape == (NY, 3 * NX, 3)
-    assert v.shape == (2 * NY, 3 * NX, 3)
-    assert t.shape == (NY, 3 * NX, 3)
+    assert d.shape == (NY, 3 * NX)       # palette-index frames
+    assert v.shape == (2 * NY, 3 * NX)
+    assert t.shape == (NY, 3 * NX)
     assert d.dtype == jnp.uint8
 
 
