@@ -98,19 +98,28 @@ def collide_species_dirs(
         force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
             1.0 - 1.0 / (2.0 * t_self))
 
-    def thermal_term(feq_i, tau):
-        # same association order as the reference expression
-        r = 1.0 - 1.0 / tau
+    # Thermal energy-loss terms (src/collisions.cpp:86-96):
+    #   term_p = (2 rho r^2 - 2 r rho - qf) / (2 (2 r + qf)),  qf = Q feq/tau
+    # The three per-pair fractions are combined over a common denominator —
+    # one division per (species, direction) instead of three (the VPU's
+    # division throughput is the kernel's bottleneck). Algebraically
+    # identical; rounding differs in the last bits only.
+    def _term_parts(feq_i, tau, amp):
         qf = _Q * feq_i / tau
-        num = 2.0 * rho_s * r * r - 2.0 * r * rho_s - qf
-        den = 2.0 * (2.0 * r + qf)
-        return num / den
+        return amp - qf, 4.0 * (1.0 - 1.0 / tau) + 2.0 * qf
+
+    _amp = {}
+    for tau in (t_self, t_c1, t_c2):
+        r = 1.0 - 1.0 / tau
+        _amp[tau] = (2.0 * r * r - 2.0 * r) * rho_s  # hoisted numerator part
 
     f_dirs, g_dirs = [], []
     for i in range(_Q):
-        tm = (thermal_term(feq_self[i], t_self)
-              + thermal_term(feq_p1[i], t_c1)
-              + thermal_term(feq_p2[i], t_c2))
+        n1, d1 = _term_parts(feq_self[i], t_self, _amp[t_self])
+        n2, d2 = _term_parts(feq_p1[i], t_c1, _amp[t_c1])
+        n3, d3 = _term_parts(feq_p2[i], t_c2, _amp[t_c2])
+        d12 = d1 * d2
+        tm = (n1 * (d2 * d3) + n2 * (d1 * d3) + n3 * d12) / (d12 * d3)
         dT = -(rho_s * tm * u2) / kb
         C_T = (-(g_s[i] - geq_self[i]) / t_self
                - (g_s[i] - geq_p1[i]) / t_c1

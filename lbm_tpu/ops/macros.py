@@ -88,10 +88,11 @@ def update_macro(
         rho, px, py, T = _moments(f[s], g[s])
         alive = rho >= 1e-10
         safe_rho = jnp.where(alive, rho, 1.0)
+        inv_rho = 1.0 / safe_rho  # one division shared by both components
         # exact-equality anti-blowup guard (reference: src/plasma.cpp:380-387)
         gv = guard_vals[s]
-        ux = jnp.where((px == rho) | (px == -rho), gv, px / safe_rho)
-        uy = jnp.where((py == rho) | (py == -rho), gv, py / safe_rho)
+        ux = jnp.where((px == rho) | (px == -rho), gv, px * inv_rho)
+        uy = jnp.where((py == rho) | (py == -rho), gv, py * inv_rho)
         if qom[s] != 0.0:
             # half-step Guo force correction (src/plasma.cpp:389-390)
             ux = ux + (0.5 * qom[s]) * Ex
@@ -111,9 +112,9 @@ def update_macro(
     for a, b in ((0, 1), (0, 2), (1, 2)):
         ra, rb = rho_raw[a], rho_raw[b]
         both_dead = (~alive_l[a]) & (~alive_l[b])
-        denom = jnp.where(both_dead, 1.0, ra + rb)
-        uxp.append(jnp.where(both_dead, 0.0, (ra * ux_l[a] + rb * ux_l[b]) / denom))
-        uyp.append(jnp.where(both_dead, 0.0, (ra * uy_l[a] + rb * uy_l[b]) / denom))
+        inv = 1.0 / jnp.where(both_dead, 1.0, ra + rb)
+        uxp.append(jnp.where(both_dead, 0.0, (ra * ux_l[a] + rb * ux_l[b]) * inv))
+        uyp.append(jnp.where(both_dead, 0.0, (ra * uy_l[a] + rb * uy_l[b]) * inv))
 
     # charge density with the signed < 1e-15 clamp (src/plasma.cpp:452-453)
     rho_q = (q_i / m_i) * rho_l[1] + (q_e / m_e) * rho_l[0]
