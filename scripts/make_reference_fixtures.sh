@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Regenerates tests/fixtures/ref_dump_solver{0..4}.txt.gz — stage-by-stage
+# dumps from the REFERENCE C++ implementation (its debug build), used by
+# tests/test_reference_parity.py for trajectory cross-validation.
+#
+# The reference's FFT path needs FFTW, which this image lacks; fftw3_sub.h
+# below is an exact (naive O(N^2)) DFT drop-in with FFTW's r2c/c2r layout —
+# fine at the fixture's 8x8 grid. Everything is built in a scratch dir; no
+# reference sources are modified or copied into the repo.
+set -euo pipefail
+REF="/root/reference/old codes/Plasma debug"
+OUT="$(cd "$(dirname "$0")/.." && pwd)/tests/fixtures"
+WORK=$(mktemp -d)
+trap 'rm -rf "$WORK"' EXIT
+
+cp "$(dirname "$0")/fixture_support/fftw3.h" "$WORK/fftw3.h"
+cp "$(dirname "$0")/fixture_support/main_fixture.cpp" "$WORK/"
+
+g++ -O2 -std=c++20 -fopenmp -I"$WORK" -I"$REF" -I/usr/include/opencv4 -w \
+    "$WORK/main_fixture.cpp" "$REF/plasma_debug.cpp" \
+    -lopencv_core -lopencv_imgproc -lopencv_videoio -lopencv_imgcodecs \
+    -lopencv_highgui -o "$WORK/ref_fixture"
+
+mkdir -p "$OUT"
+cd "$WORK"
+for s in 0 1 2 3 4; do
+    rm -f debug_dump.txt
+    # the binary segfaults in OpenCV teardown after the run; dumps are complete
+    ./ref_fixture "$s" > /dev/null 2>&1 || true
+    [ "$(grep -c '^stage = ' debug_dump.txt)" = "25" ]
+    gzip -c debug_dump.txt > "$OUT/ref_dump_solver$s.txt.gz"
+    echo "solver $s ok"
+done
