@@ -9,7 +9,6 @@ implementation.
 """
 from __future__ import annotations
 
-import io
 from typing import Optional, TextIO
 
 import numpy as np

@@ -17,7 +17,6 @@ import queue
 import threading
 from typing import List, Optional
 
-import jax
 import numpy as np
 
 from . import colormap

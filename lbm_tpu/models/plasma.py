@@ -18,17 +18,14 @@ direction next, lattice minor so NX maps to TPU lanes).
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import BC, CompatFlags, PlasmaConfig, PoissonSolver
+from ..config import BC, PlasmaConfig, PoissonSolver
 from ..constants import D2Q9
-from ..units import LatticeUnits
 from ..ops import poisson as poisson_ops
 from ..ops.collide import collide
 from ..ops.macros import Macros, update_macro

@@ -31,8 +31,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..constants import D2Q9
-from .equilibrium import (equilibrium_dirs, equilibrium_from_polys,
-                          equilibrium_polys)
+from .equilibrium import equilibrium_from_polys, equilibrium_polys
 from .macros import Macros
 
 _W = [float(w) for w in D2Q9.W]

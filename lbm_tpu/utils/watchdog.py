@@ -8,8 +8,7 @@ to the last good checkpoint, making long unattended runs recoverable.
 """
 from __future__ import annotations
 
-import copy
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
