@@ -73,12 +73,25 @@ def main():
         lo, hi = m.min(), m.max()
         return colormap.jet((m - lo) / jnp.maximum(hi - lo, 1e-30))[::-1]
 
+    # march in scan chunks between video frames: tiny grids are dispatch-
+    # latency-bound if stepped one call at a time
+    chunk = max(1, args.video_every if not args.no_video else 500)
+    roll = jax.jit(cavity.make_rollout(cfg, chunk), donate_argnums=(0,))
+    roll(cavity.init_state(cfg))  # compile outside the timer
+
     timer = timing.StepTimer(cfg.NX, cfg.NY)
     timer.start()
-    for t in range(cfg.nsteps):
-        state = step(state)
-        timer.tick()
-        if writer is not None and t % args.video_every == 0:
+    done = 0
+    while done < cfg.nsteps:
+        if cfg.nsteps - done >= chunk:
+            state = roll(state)
+            done += chunk
+            timer.tick(chunk)
+        else:
+            state = step(state)
+            done += 1
+            timer.tick()
+        if writer is not None:
             writer.write(np.asarray(jax.device_get(render(state.ux, state.uy))))
     float(state.ux[0, 0])  # sync
     wall_ms = timer.wall_s * 1000
