@@ -52,6 +52,14 @@ def equilibrium_from_polys(amp: jnp.ndarray, polys) -> List[jnp.ndarray]:
     return [_W[i] * amp * polys[i] for i in range(D2Q9.Q)]
 
 
+def equilibrium_wpolys(ux: jnp.ndarray, uy: jnp.ndarray, cs2: float):
+    """w_i * poly_i — the weight folded into the shared polynomial so the
+    per-amplitude cost is a single multiply (collide uses every equilibrium
+    scaled by an amplitude anyway)."""
+    polys = equilibrium_polys(ux, uy, cs2)
+    return [_W[i] * polys[i] for i in range(D2Q9.Q)]
+
+
 def equilibrium_dirs(
     amp: jnp.ndarray,
     ux: jnp.ndarray,
