@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.collide import collide_species_dirs
-from ..ops.equilibrium import equilibrium_polys
+from ..ops.equilibrium import equilibrium_wpolys
 from ..ops.macros import update_macro
 
 _Q = 9
@@ -43,7 +43,7 @@ def _kernel(f_ref, g_ref, ex_ref, ey_ref, fo_ref, go_ref, rq_ref, *, params):
     rq_ref[:] = mac.rho_q
     # mixture-velocity polynomials are shared between species: compute once
     pair_polys = {
-        p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p], params["cs2"])
+        p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p], params["cs2"])
         for p in range(3)
     }
     # one species at a time, each direction written straight to the output

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import D2Q9
 from ..ops.collide import collide_species_dirs
-from ..ops.equilibrium import equilibrium_polys
+from ..ops.equilibrium import equilibrium_wpolys
 from ..ops.macros import update_macro
 
 _CX = [int(c) for c in D2Q9.CX]
@@ -69,7 +69,7 @@ def _make_kernel(params, ty, nk):
                            m_e=params["m_e"], m_i=params["m_i"])
         rq_ref[:] = mac.rho_q
         pair_polys = {
-            p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p],
+            p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p],
                                  params["cs2"])
             for p in range(3)
         }
@@ -204,7 +204,7 @@ def _make_halo_kernel(params, ty, nk):
                            q_e=params["q_e"], q_i=params["q_i"],
                            m_e=params["m_e"], m_i=params["m_i"])
         pair_polys = {
-            p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p],
+            p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p],
                                  params["cs2"])
             for p in range(3)
         }
@@ -390,7 +390,7 @@ def _make_halo2d_kernel(params, ty, nk, nxl):
                            q_e=params["q_e"], q_i=params["q_i"],
                            m_e=params["m_e"], m_i=params["m_i"])
         pair_polys = {
-            p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p],
+            p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p],
                                  params["cs2"])
             for p in range(3)
         }

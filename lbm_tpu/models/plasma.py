@@ -202,8 +202,11 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             # The reference's recycled temp buffers leak stale values into
             # the corner hole slots: pre-collision f for the f-streaming,
             # post-collision f for the g-streaming (see stream_bounceback).
+            # The debug predecessor has its own g-temp buffers, so its g
+            # holes retain pre-collision g instead.
             f = stream_bounceback(f_post, stale=state.f)
-            g = stream_bounceback(g_post, stale=f_post)
+            g = stream_bounceback(g_post,
+                                  stale=state.g if debug_variant else f_post)
         Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi, state.Ex, state.Ey)
         if debug_variant:
             # "pulsed" external field: zeroed at the end of step 0 for every

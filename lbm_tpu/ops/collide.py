@@ -31,7 +31,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..constants import D2Q9
-from .equilibrium import equilibrium_from_polys, equilibrium_polys
+from .equilibrium import equilibrium_wpolys
 from .macros import Macros
 
 _W = [float(w) for w in D2Q9.W]
@@ -74,67 +74,67 @@ def collide_species_dirs(
     p1, p2 = _PAIR_IDX[s]
     t_self = tau_self[s]
     t_c1, t_c2 = tau_cross[s]
+    inv_s, inv_1, inv_2 = 1.0 / t_self, 1.0 / t_c1, 1.0 / t_c2
     rho_s, ux_s, uy_s, T_s = mac.rho[s], mac.ux[s], mac.uy[s], mac.T[s]
 
-    poly_self = equilibrium_polys(ux_s, uy_s, cs2)
+    # Every equilibrium below is consumed divided by its relaxation time
+    # (the BGK terms) or multiplied by Q/tau (the thermal terms), so 1/tau
+    # is folded into the amplitudes and the lattice weight into the shared
+    # polynomials: eqd = (amp/tau) * (w * poly) = eq/tau. Algebraically
+    # identical to the reference expressions; rounding differs in last bits.
+    wpoly_self = equilibrium_wpolys(ux_s, uy_s, cs2)
     if pair_polys is None:
         pair_polys = {
-            p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p], cs2)
+            p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p], cs2)
             for p in (p1, p2)
         }
-    feq_self = equilibrium_from_polys(rho_s, poly_self)
-    feq_p1 = equilibrium_from_polys(rho_s, pair_polys[p1])
-    feq_p2 = equilibrium_from_polys(rho_s, pair_polys[p2])
-    geq_self = equilibrium_from_polys(T_s, poly_self)
-    geq_p1 = equilibrium_from_polys(T_s, pair_polys[p1])
-    geq_p2 = equilibrium_from_polys(T_s, pair_polys[p2])
+    amp_f = (rho_s * inv_s, rho_s * inv_1, rho_s * inv_2)
+    amp_g = (T_s * inv_s, T_s * inv_1, T_s * inv_2)
+    wp = (wpoly_self, pair_polys[p1], pair_polys[p2])
 
-    # constants of the thermal energy-loss terms (src/collisions.cpp:86-96)
     u2 = ux_s * ux_s + uy_s * uy_s
     uE = ux_s * Ex + uy_s * Ey
     charged = charge[s] != 0.0
     if charged:
         force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
             1.0 - 1.0 / (2.0 * t_self))
+    # relaxation: f' = f (1 - sum 1/tau) + sum eq/tau  (+ force)
+    keep = 1.0 - (inv_s + inv_1 + inv_2)
 
     # Thermal energy-loss terms (src/collisions.cpp:86-96):
-    #   term_p = (2 rho r^2 - 2 r rho - qf) / (2 (2 r + qf)),  qf = Q feq/tau
-    # The three per-pair fractions are combined over a common denominator —
-    # one division per (species, direction) instead of three (the VPU's
-    # division throughput is the kernel's bottleneck). Algebraically
-    # identical; rounding differs in the last bits only.
-    def _term_parts(feq_i, tau, amp):
-        qf = _Q * feq_i / tau
-        return amp - qf, 4.0 * (1.0 - 1.0 / tau) + 2.0 * qf
-
-    _amp = {}
-    for tau in (t_self, t_c1, t_c2):
-        r = 1.0 - 1.0 / tau
-        _amp[tau] = (2.0 * r * r - 2.0 * r) * rho_s  # hoisted numerator part
+    #   term_p = (2 rho r^2 - 2 r rho - Q feq/tau) / (2 (2 r + Q feq/tau))
+    # combined over a common denominator: one division per (species,
+    # direction) instead of three (VPU division throughput is the
+    # bottleneck). a_p = rho (2r^2 - 2r) is per-cell, hoisted.
+    tt = []
+    for inv in (inv_s, inv_1, inv_2):
+        r = 1.0 - inv
+        tt.append(((2.0 * r * r - 2.0 * r) * rho_s, 4.0 * r))
+    dT_amp = -(rho_s * u2) / kb  # per-cell factor of the heating source
 
     f_dirs, g_dirs = [], []
     for i in range(_Q):
-        n1, d1 = _term_parts(feq_self[i], t_self, _amp[t_self])
-        n2, d2 = _term_parts(feq_p1[i], t_c1, _amp[t_c1])
-        n3, d3 = _term_parts(feq_p2[i], t_c2, _amp[t_c2])
-        d12 = d1 * d2
-        tm = (n1 * (d2 * d3) + n2 * (d1 * d3) + n3 * d12) / (d12 * d3)
-        dT = -(rho_s * tm * u2) / kb
-        C_T = (-(g_s[i] - geq_self[i]) / t_self
-               - (g_s[i] - geq_p1[i]) / t_c1
-               - (g_s[i] - geq_p2[i]) / t_c2)
-        g_dirs.append(g_s[i] + C_T + dT)
+        feqd = [amp_f[p] * wp[p][i] for p in range(3)]   # feq_p / tau_p
+        geqd = [amp_g[p] * wp[p][i] for p in range(3)]
+        ns, ds = [], []
+        for p in range(3):
+            qf = _Q * feqd[p]
+            ns.append(tt[p][0] - qf)
+            ds.append(tt[p][1] + 2.0 * qf)
+        d12 = ds[0] * ds[1]
+        tm = (ns[0] * (ds[1] * ds[2]) + ns[1] * (ds[0] * ds[2])
+              + ns[2] * d12) / (d12 * ds[2])
+        g_dirs.append(g_s[i] * keep + (geqd[0] + geqd[1] + geqd[2])
+                      + dT_amp * tm)
 
-        C = (-(f_s[i] - feq_self[i]) / t_self
-             - (f_s[i] - feq_p1[i]) / t_c1
-             - (f_s[i] - feq_p2[i]) / t_c2)
+        relax = f_s[i] * keep + (feqd[0] + feqd[1] + feqd[2])
         if charged:
             cE = _CX[i] * Ex + _CY[i] * Ey
             cu = _CX[i] * ux_s + _CY[i] * uy_s
             F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
-            f_dirs.append(f_s[i] + C + F)
+            f_dirs.append(relax + F)
         else:
-            f_dirs.append(f_s[i] + C)
+            f_dirs.append(relax)
     return f_dirs, g_dirs
 
 
@@ -156,7 +156,7 @@ def collide(
     """One collision step; returns (f_post, g_post) (pre-streaming)."""
     kw = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2, kb=kb)
     pair_polys = {
-        p: equilibrium_polys(mac.ux_pair[p], mac.uy_pair[p], cs2)
+        p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p], cs2)
         for p in range(3)
     }
     f_out, g_out = [], []

@@ -9,11 +9,13 @@ int main(int argc, char* argv[]) {
     const size_t n_cores = 1;
     PoissonType solver = PoissonType::GAUSS_SEIDEL;
     if (argc > 1) solver = static_cast<PoissonType>(std::atoi(argv[1]));
+    BCType bc = BCType::PERIODIC;
+    if (argc > 2 && std::atoi(argv[2]) == 1) bc = BCType::BOUNCE_BACK;
     LBmethod lb(NSTEPS, NX, NY, n_cores, 1, 1,
                 1e-2, 0.0,            // Ex_SI, Ey_SI (golden values)
                 1e4, 300.0, 300.0,    // T_e, T_i, T_n
                 1e11, 1e18,           // n_e, n_n
-                solver, BCType::PERIODIC, 1.8);
+                solver, bc, 1.8);
     lb.Run_simulation();
     return 0;
 }

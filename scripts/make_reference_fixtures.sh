@@ -31,3 +31,11 @@ for s in 0 1 2 3 4; do
     gzip -c debug_dump.txt > "$OUT/ref_dump_solver$s.txt.gz"
     echo "solver $s ok"
 done
+# bounce-back variants (NONE and GS)
+for s in 0 1; do
+    rm -f debug_dump.txt
+    ./ref_fixture "$s" 1 > /dev/null 2>&1 || true
+    [ "$(grep -c '^stage = ' debug_dump.txt)" = "25" ]
+    gzip -c debug_dump.txt > "$OUT/ref_dump_solver${s}_bb.txt.gz"
+    echo "solver $s bounce-back ok"
+done
