@@ -154,14 +154,23 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
     if use_fused and not periodic:
         raise ValueError("backend='fused' supports periodic BC only; "
                          "use 'pallas' or 'jnp' for bounce-back")
+    use_split = False
     if use_fused:
+        from ..kernels.fused_split import _pick_band_split
         from ..kernels.fused_step import _pick_band
+        itemsize = jnp.dtype(cfg.dtype).itemsize
         try:
-            _pick_band(cfg.NY, cfg.NX, jnp.dtype(cfg.dtype).itemsize)
+            _pick_band(cfg.NY, cfg.NX, itemsize)
         except ValueError:
-            # grid too wide for full-width bands in VMEM: fall back to the
+            # grid too wide for the single kernel's full-width bands: try
+            # the mass/thermal split pair (fits at 2x the width), then the
             # fused-collide kernel + XLA roll streaming
-            use_fused, use_pallas = False, True
+            use_fused = False
+            try:
+                _pick_band_split(cfg.NY, cfg.NX, itemsize)
+                use_split = True
+            except ValueError:
+                use_pallas = True
     debug_variant = cfg.compat.debug_variant
     if debug_variant and (use_fused or use_pallas):
         raise ValueError("debug_variant mode is jnp-backend only")
@@ -186,10 +195,15 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
         return f_post, g_post, mac.rho_q
 
     def step(state: PlasmaState) -> PlasmaState:
-        if use_fused:
-            from ..kernels.fused_step import collide_stream
-            f, g, rho_q = collide_stream(state.f, state.g, state.Ex,
-                                         state.Ey, **phys)
+        if use_fused or use_split:
+            if use_split:
+                from ..kernels.fused_split import collide_stream_split
+                f, g, rho_q = collide_stream_split(
+                    state.f, state.g, state.Ex, state.Ey, **phys)
+            else:
+                from ..kernels.fused_step import collide_stream
+                f, g, rho_q = collide_stream(state.f, state.g, state.Ex,
+                                             state.Ey, **phys)
             Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi,
                                          state.Ex, state.Ey)
             return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi,

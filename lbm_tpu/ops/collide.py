@@ -44,6 +44,105 @@ _Q = D2Q9.Q
 _PAIR_IDX = ((0, 1), (0, 2), (1, 2))
 
 
+def _species_setup(s, mac, cs2, taus, pair_polys, self_wpolys=None):
+    """Shared per-species precomputation for the f- and g-side collisions."""
+    tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
+    tau_self = (tau_e, tau_i, tau_n)
+    tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
+    p1, p2 = _PAIR_IDX[s]
+    t_self = tau_self[s]
+    t_c1, t_c2 = tau_cross[s]
+    invs = (1.0 / t_self, 1.0 / t_c1, 1.0 / t_c2)
+
+    # Every equilibrium is consumed divided by its relaxation time (BGK) or
+    # multiplied by Q/tau (thermal), so 1/tau is folded into the amplitudes
+    # and the lattice weight into the shared polynomials:
+    # eqd = (amp/tau) * (w * poly) = eq/tau. Algebraically identical to the
+    # reference expressions; rounding differs in last bits.
+    wpoly_self = (self_wpolys if self_wpolys is not None
+                  else equilibrium_wpolys(mac.ux[s], mac.uy[s], cs2))
+    if pair_polys is None:
+        pair_polys = {
+            p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p], cs2)
+            for p in (p1, p2)
+        }
+    wp = (wpoly_self, pair_polys[p1], pair_polys[p2])
+    keep = 1.0 - (invs[0] + invs[1] + invs[2])
+    return t_self, invs, wp, keep
+
+
+def collide_species_f_dirs(
+    s, f_s, mac, Ex, Ey, *,
+    taus, q_e, q_i, m_e, m_i, cs2,
+    pair_polys=None, self_wpolys=None,
+):
+    """Mass-population update for species s (never reads g/T)."""
+    charge = (q_e, q_i, 0.0)
+    mass = (m_e, m_i, 1.0)
+    t_self, invs, wp, keep = _species_setup(s, mac, cs2, taus, pair_polys,
+                                            self_wpolys)
+    rho_s, ux_s, uy_s = mac.rho[s], mac.ux[s], mac.uy[s]
+    amp_f = tuple(rho_s * inv for inv in invs)
+
+    charged = charge[s] != 0.0
+    if charged:
+        uE = ux_s * Ex + uy_s * Ey
+        force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
+            1.0 - 1.0 / (2.0 * t_self))
+
+    f_dirs = []
+    for i in range(_Q):
+        feqd = amp_f[0] * wp[0][i] + amp_f[1] * wp[1][i] + amp_f[2] * wp[2][i]
+        relax = f_s[i] * keep + feqd
+        if charged:
+            cE = _CX[i] * Ex + _CY[i] * Ey
+            cu = _CX[i] * ux_s + _CY[i] * uy_s
+            F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
+            f_dirs.append(relax + F)
+        else:
+            f_dirs.append(relax)
+    return f_dirs
+
+
+def collide_species_g_dirs(
+    s, g_s, mac, *,
+    taus, cs2, kb,
+    pair_polys=None, self_wpolys=None,
+):
+    """Thermal (DDF) update for species s; needs only macros, not f or E."""
+    t_self, invs, wp, keep = _species_setup(s, mac, cs2, taus, pair_polys,
+                                            self_wpolys)
+    rho_s, ux_s, uy_s, T_s = mac.rho[s], mac.ux[s], mac.uy[s], mac.T[s]
+    amp_f = tuple(rho_s * inv for inv in invs)
+    amp_g = tuple(T_s * inv for inv in invs)
+
+    # Thermal energy-loss terms (src/collisions.cpp:86-96):
+    #   term_p = (2 rho r^2 - 2 r rho - Q feq/tau) / (2 (2 r + Q feq/tau))
+    # combined over a common denominator: one division per (species,
+    # direction) instead of three (VPU division throughput is the
+    # bottleneck). a_p = rho (2r^2 - 2r) is per-cell, hoisted.
+    tt = []
+    for inv in invs:
+        r = 1.0 - inv
+        tt.append(((2.0 * r * r - 2.0 * r) * rho_s, 4.0 * r))
+    u2 = ux_s * ux_s + uy_s * uy_s
+    dT_amp = -(rho_s * u2) / kb  # per-cell factor of the heating source
+
+    g_dirs = []
+    for i in range(_Q):
+        geqd = amp_g[0] * wp[0][i] + amp_g[1] * wp[1][i] + amp_g[2] * wp[2][i]
+        ns, ds = [], []
+        for p in range(3):
+            qf = _Q * (amp_f[p] * wp[p][i])   # = Q feq_p / tau_p
+            ns.append(tt[p][0] - qf)
+            ds.append(tt[p][1] + 2.0 * qf)
+        d12 = ds[0] * ds[1]
+        tm = (ns[0] * (ds[1] * ds[2]) + ns[1] * (ds[0] * ds[2])
+              + ns[2] * d12) / (d12 * ds[2])
+        g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
+    return g_dirs
+
+
 def collide_species_dirs(
     s: int,
     f_s,              # indexable: f_s[i] -> (NY, NX) direction i
@@ -55,86 +154,29 @@ def collide_species_dirs(
     taus,
     q_e: float, q_i: float, m_e: float, m_i: float,
     cs2: float, kb: float,
-    pair_polys=None,  # optional precomputed equilibrium_polys per pair axis
+    pair_polys=None,  # optional precomputed equilibrium_wpolys per pair axis
 ):
     """Post-collision populations for species s as two lists of Q arrays.
 
-    Shared by the XLA path (which stacks the lists) and the Pallas kernel
-    (which writes each direction straight into the output ref, keeping the
+    Shared by the XLA path (which stacks the lists) and the Pallas kernels
+    (which write each direction straight into the output ref, keeping the
     VMEM live-set to one species at a time). Pass `pair_polys` (the three
-    mixture-velocity polynomial sets) to share them across species — each
+    mixture-velocity w-polynomial sets) to share them across species — each
     pair set is used by two species.
     """
-    tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
-    tau_self = (tau_e, tau_i, tau_n)
-    tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
-    charge = (q_e, q_i, 0.0)
-    mass = (m_e, m_i, 1.0)
-
-    p1, p2 = _PAIR_IDX[s]
-    t_self = tau_self[s]
-    t_c1, t_c2 = tau_cross[s]
-    inv_s, inv_1, inv_2 = 1.0 / t_self, 1.0 / t_c1, 1.0 / t_c2
-    rho_s, ux_s, uy_s, T_s = mac.rho[s], mac.ux[s], mac.uy[s], mac.T[s]
-
-    # Every equilibrium below is consumed divided by its relaxation time
-    # (the BGK terms) or multiplied by Q/tau (the thermal terms), so 1/tau
-    # is folded into the amplitudes and the lattice weight into the shared
-    # polynomials: eqd = (amp/tau) * (w * poly) = eq/tau. Algebraically
-    # identical to the reference expressions; rounding differs in last bits.
-    wpoly_self = equilibrium_wpolys(ux_s, uy_s, cs2)
     if pair_polys is None:
+        p1, p2 = _PAIR_IDX[s]
         pair_polys = {
             p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p], cs2)
             for p in (p1, p2)
         }
-    amp_f = (rho_s * inv_s, rho_s * inv_1, rho_s * inv_2)
-    amp_g = (T_s * inv_s, T_s * inv_1, T_s * inv_2)
-    wp = (wpoly_self, pair_polys[p1], pair_polys[p2])
-
-    u2 = ux_s * ux_s + uy_s * uy_s
-    uE = ux_s * Ex + uy_s * Ey
-    charged = charge[s] != 0.0
-    if charged:
-        force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
-            1.0 - 1.0 / (2.0 * t_self))
-    # relaxation: f' = f (1 - sum 1/tau) + sum eq/tau  (+ force)
-    keep = 1.0 - (inv_s + inv_1 + inv_2)
-
-    # Thermal energy-loss terms (src/collisions.cpp:86-96):
-    #   term_p = (2 rho r^2 - 2 r rho - Q feq/tau) / (2 (2 r + Q feq/tau))
-    # combined over a common denominator: one division per (species,
-    # direction) instead of three (VPU division throughput is the
-    # bottleneck). a_p = rho (2r^2 - 2r) is per-cell, hoisted.
-    tt = []
-    for inv in (inv_s, inv_1, inv_2):
-        r = 1.0 - inv
-        tt.append(((2.0 * r * r - 2.0 * r) * rho_s, 4.0 * r))
-    dT_amp = -(rho_s * u2) / kb  # per-cell factor of the heating source
-
-    f_dirs, g_dirs = [], []
-    for i in range(_Q):
-        feqd = [amp_f[p] * wp[p][i] for p in range(3)]   # feq_p / tau_p
-        geqd = [amp_g[p] * wp[p][i] for p in range(3)]
-        ns, ds = [], []
-        for p in range(3):
-            qf = _Q * feqd[p]
-            ns.append(tt[p][0] - qf)
-            ds.append(tt[p][1] + 2.0 * qf)
-        d12 = ds[0] * ds[1]
-        tm = (ns[0] * (ds[1] * ds[2]) + ns[1] * (ds[0] * ds[2])
-              + ns[2] * d12) / (d12 * ds[2])
-        g_dirs.append(g_s[i] * keep + (geqd[0] + geqd[1] + geqd[2])
-                      + dT_amp * tm)
-
-        relax = f_s[i] * keep + (feqd[0] + feqd[1] + feqd[2])
-        if charged:
-            cE = _CX[i] * Ex + _CY[i] * Ey
-            cu = _CX[i] * ux_s + _CY[i] * uy_s
-            F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
-            f_dirs.append(relax + F)
-        else:
-            f_dirs.append(relax)
+    self_wpolys = equilibrium_wpolys(mac.ux[s], mac.uy[s], cs2)
+    f_dirs = collide_species_f_dirs(
+        s, f_s, mac, Ex, Ey, taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
+        cs2=cs2, pair_polys=pair_polys, self_wpolys=self_wpolys)
+    g_dirs = collide_species_g_dirs(
+        s, g_s, mac, taus=taus, cs2=cs2, kb=kb, pair_polys=pair_polys,
+        self_wpolys=self_wpolys)
     return f_dirs, g_dirs
 
 

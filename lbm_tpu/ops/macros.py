@@ -38,24 +38,29 @@ _Q = D2Q9.Q
 
 
 class Macros(NamedTuple):
-    rho: jnp.ndarray      # (3, NY, NX)
+    rho: jnp.ndarray      # (3, NY, NX) guarded densities
     ux: jnp.ndarray       # (3, NY, NX)
     uy: jnp.ndarray       # (3, NY, NX)
-    T: jnp.ndarray        # (3, NY, NX)
+    T: jnp.ndarray        # (3, NY, NX), or None when g was not supplied
     ux_pair: jnp.ndarray  # (3, NY, NX) — (ei, en, in)
     uy_pair: jnp.ndarray  # (3, NY, NX)
     rho_q: jnp.ndarray    # (NY, NX)
+    rho_raw: jnp.ndarray = None  # (3, NY, NX) pre-guard momentum-sum density
 
 
-def _moments(f_s, g_s):
-    """Sequential 0..8 accumulation of rho, px, py, T for one species."""
-    rho = f_s[0]
-    T = g_s[0]
+def _sum_dirs(a_s):
+    """Sequential 0..8 accumulation (the reference's reduction order)."""
+    acc = a_s[0]
+    for i in range(1, _Q):
+        acc = acc + a_s[i]
+    return acc
+
+
+def _moments(f_s):
+    """rho, px, py for one species (sequential 0..8 order)."""
+    rho = _sum_dirs(f_s)
     px = None
     py = None
-    for i in range(1, _Q):
-        rho = rho + f_s[i]
-        T = T + g_s[i]
     for i in range(_Q):
         if _CX[i] != 0.0:
             term = f_s[i] if _CX[i] > 0 else -f_s[i]
@@ -63,7 +68,21 @@ def _moments(f_s, g_s):
         if _CY[i] != 0.0:
             term = f_s[i] if _CY[i] > 0 else -f_s[i]
             py = term if py is None else py + term
-    return rho, px, py, T
+    return rho, px, py
+
+
+def _mixture_velocities(rho_raw, alive, ux, uy):
+    """Pairwise density-weighted mixture velocities: raw densities as
+    weights, guarded velocities, zeroed only when BOTH raw densities are
+    dead (reference: src/plasma.cpp:426-449)."""
+    uxp, uyp = [], []
+    for a, b in ((0, 1), (0, 2), (1, 2)):
+        ra, rb = rho_raw[a], rho_raw[b]
+        both_dead = (~alive[a]) & (~alive[b])
+        inv = 1.0 / jnp.where(both_dead, 1.0, ra + rb)
+        uxp.append(jnp.where(both_dead, 0.0, (ra * ux[a] + rb * ux[b]) * inv))
+        uyp.append(jnp.where(both_dead, 0.0, (ra * uy[a] + rb * uy[b]) * inv))
+    return uxp, uyp
 
 
 def update_macro(
@@ -85,7 +104,7 @@ def update_macro(
 
     rho_raw, rho_l, ux_l, uy_l, T_l, alive_l = [], [], [], [], [], []
     for s in range(3):
-        rho, px, py, T = _moments(f[s], g[s])
+        rho, px, py = _moments(f[s])
         alive = rho >= 1e-10
         safe_rho = jnp.where(alive, rho, 1.0)
         inv_rho = 1.0 / safe_rho  # one division shared by both components
@@ -102,19 +121,10 @@ def update_macro(
         rho_l.append(jnp.where(alive, rho, 0.0))
         ux_l.append(jnp.where(alive, ux, 0.0))
         uy_l.append(jnp.where(alive, uy, 0.0))
-        T_l.append(jnp.where(alive, T, 0.0))
+        if g is not None:
+            T_l.append(jnp.where(alive, _sum_dirs(g[s]), 0.0))
 
-    # Pairwise density-weighted mixture velocities. The reference weights by
-    # the *raw* momentum-sum densities but the *guarded* velocities
-    # (src/plasma.cpp:426-449), and only zeroes a pair when BOTH raw
-    # densities are below threshold.
-    uxp, uyp = [], []
-    for a, b in ((0, 1), (0, 2), (1, 2)):
-        ra, rb = rho_raw[a], rho_raw[b]
-        both_dead = (~alive_l[a]) & (~alive_l[b])
-        inv = 1.0 / jnp.where(both_dead, 1.0, ra + rb)
-        uxp.append(jnp.where(both_dead, 0.0, (ra * ux_l[a] + rb * ux_l[b]) * inv))
-        uyp.append(jnp.where(both_dead, 0.0, (ra * uy_l[a] + rb * uy_l[b]) * inv))
+    uxp, uyp = _mixture_velocities(rho_raw, alive_l, ux_l, uy_l)
 
     # charge density with the signed < 1e-15 clamp (src/plasma.cpp:452-453)
     rho_q = (q_i / m_i) * rho_l[1] + (q_e / m_e) * rho_l[0]
@@ -122,6 +132,30 @@ def update_macro(
 
     return Macros(
         rho=jnp.stack(rho_l), ux=jnp.stack(ux_l), uy=jnp.stack(uy_l),
-        T=jnp.stack(T_l), ux_pair=jnp.stack(uxp), uy_pair=jnp.stack(uyp),
-        rho_q=rho_q,
+        T=jnp.stack(T_l) if g is not None else None,
+        ux_pair=jnp.stack(uxp), uy_pair=jnp.stack(uyp),
+        rho_q=rho_q, rho_raw=jnp.stack(rho_raw),
+    )
+
+
+def macros_from_pack(pack, g, guard_vals=(0.0, 0.0, 0.0)) -> Macros:
+    """Rebuild the Macros needed by the thermal (g) side from the mass
+    kernel's pack: pack = stack([rho_raw(3), ux(3), uy(3)]) -> (9, NY, NX).
+
+    The guard masks, guarded densities, T moments and mixture velocities
+    are recomputed locally (cheap) instead of shipping 6 more planes of
+    pack through HBM. guard_vals is unused here (the velocities in the
+    pack already carry the guard) but kept for signature symmetry.
+    """
+    rho_raw = [pack[s] for s in range(3)]
+    ux = [pack[3 + s] for s in range(3)]
+    uy = [pack[6 + s] for s in range(3)]
+    alive = [r >= 1e-10 for r in rho_raw]
+    rho = [jnp.where(a, r, 0.0) for a, r in zip(alive, rho_raw)]
+    T = [jnp.where(a, _sum_dirs(g[s]), 0.0) for s, a in enumerate(alive)]
+    uxp, uyp = _mixture_velocities(rho_raw, alive, ux, uy)
+    return Macros(
+        rho=jnp.stack(rho), ux=jnp.stack(ux), uy=jnp.stack(uy),
+        T=jnp.stack(T), ux_pair=jnp.stack(uxp), uy_pair=jnp.stack(uyp),
+        rho_q=None, rho_raw=jnp.stack(rho_raw),
     )
