@@ -37,7 +37,7 @@ def main() -> None:
     from lbm_tpu.models import plasma
 
     n = int(os.environ.get("BENCH_N", "1024"))
-    steps = int(os.environ.get("BENCH_STEPS", "100"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     backend = os.environ.get("BENCH_BACKEND", "fused")
 
@@ -45,27 +45,38 @@ def main() -> None:
         PlasmaConfig(), NX=n, NY=n, nsteps=steps, dtype=jnp.float32,
         backend=backend,
     )
-    state = plasma.init_state(cfg)
-    # a scanned rollout makes the measurement one dispatch + one sync: with
-    # steps >> 1 the ~30 ms tunnel fetch latency is amortized away and the
-    # numbers are reproducible (sub-2% run-to-run)
-    rollout = jax.jit(plasma.make_rollout(cfg, steps), donate_argnums=(0,))
+    # Timing design: scanned rollouts (one dispatch + one sync each), every
+    # trial re-started from the initial state (the golden parameters are
+    # physically unstable at large grids past ~50 steps — blown-up states
+    # must not be timed), and a long/short difference to cancel the ~30 ms
+    # tunnel sync latency. Best of 3, reproducible to a few percent.
+    k_short = max(steps // 5, 1)
+    roll_long = jax.jit(plasma.make_rollout(cfg, steps), donate_argnums=(0,))
+    roll_short = jax.jit(plasma.make_rollout(cfg, k_short),
+                         donate_argnums=(0,))
 
     def sync(s):
         # a real device->host read is the only reliable fence here
         return float(s.f[0, 0, 0, 0])
 
-    state = rollout(state)  # compile + warm
-    sync(state)
-
-    best = float("inf")
-    for _ in range(3):
+    def trial(roll):
+        s = plasma.init_state(cfg)
+        sync(s)
         t0 = time.perf_counter()
-        state = rollout(state)
-        sync(state)
-        best = min(best, time.perf_counter() - t0)
+        s = roll(s)
+        v = sync(s)
+        assert v == v, "non-finite state in benchmark window"
+        return time.perf_counter() - t0
 
-    mlups = n * n * steps / best / 1e6
+    trial(roll_long)   # compile + warm
+    trial(roll_short)
+    t_long = min(trial(roll_long) for _ in range(3))
+    t_short = min(trial(roll_short) for _ in range(3))
+    dt = t_long - t_short
+    eff = steps - k_short
+    if dt <= 0:
+        dt, eff = t_long, steps
+    mlups = n * n * eff / dt / 1e6
     print(json.dumps({
         "metric": f"plasma_mlups_{n}x{n}_fft_periodic_1chip",
         "value": round(mlups, 2),

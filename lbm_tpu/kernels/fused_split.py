@@ -265,9 +265,9 @@ def _pick_band_split(NY: int, NX: int, itemsize: int) -> int:
             + _S * _Q * ty * NX * itemsize          # prev planes
             + 2 * 9 * ty * NX * itemsize            # pack block x2 buffers
             + 3 * 3 * _S * 8 * NX * itemsize        # edge chunks
-            + 60 * ty * NX * itemsize               # live temporaries
+            + 40 * ty * NX * itemsize               # live temporaries
         )
-        if vmem < 13 * 1024 * 1024:
+        if vmem < 15 * 1024 * 1024:
             return ty
     raise ValueError(f"no feasible split band height for {NY}x{NX}")
 

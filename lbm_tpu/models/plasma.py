@@ -54,33 +54,34 @@ def init_state(cfg: PlasmaConfig) -> PlasmaState:
     u = cfg.units()
     NX, NY = cfg.NX, cfg.NY
     dtype = cfg.dtype
-    w = np.asarray(D2Q9.W)  # float64
 
-    box = np.zeros((NY, NX), dtype=np.float64)
-    box[NY // 4 + 1: (3 * NY) // 4, NX // 4 + 1: (3 * NX) // 4] = 1.0
+    @jax.jit
+    def build():
+        # built on-device: at 2048^2 the f+g state is ~0.9 GB — host-side
+        # construction + transfer dominates everything else
+        iy = jax.lax.broadcasted_iota(jnp.int32, (NY, NX), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (NY, NX), 1)
+        box = ((iy >= NY // 4 + 1) & (iy < (3 * NY) // 4)
+               & (ix >= NX // 4 + 1) & (ix < (3 * NX) // 4)).astype(dtype)
+        ones = jnp.ones((NY, NX), dtype)
+        # per-(species, direction) amplitudes in float64 on host, cast once
+        w = np.asarray(D2Q9.W)  # float64
+        amp_f = np.stack([w * u.rho_e_init, w * u.rho_i_init,
+                          w * u.rho_n_init]).astype(dtype)
+        amp_g = np.stack([w * u.T_e_init, w * u.T_i_init,
+                          w * u.T_n_init]).astype(dtype)
+        mask = jnp.stack([box, box, ones])            # (3, NY, NX)
+        f = jnp.asarray(amp_f)[:, :, None, None] * mask[:, None]
+        g = jnp.asarray(amp_g)[:, :, None, None] * mask[:, None]
+        return PlasmaState(
+            f=f, g=g,
+            Ex=jnp.full((NY, NX), u.Ex_ext, dtype),
+            Ey=jnp.full((NY, NX), u.Ey_ext, dtype),
+            phi=jnp.zeros((NY, NX), dtype),
+            step=jnp.zeros((), jnp.int32),
+        )
 
-    ones = np.ones((NY, NX), dtype=np.float64)
-    wq = w[:, None, None]
-
-    f = np.stack([
-        wq * (u.rho_e_init * box),
-        wq * (u.rho_i_init * box),
-        wq * (u.rho_n_init * ones),
-    ])
-    g = np.stack([
-        wq * (u.T_e_init * box),
-        wq * (u.T_i_init * box),
-        wq * (u.T_n_init * ones),
-    ])
-
-    return PlasmaState(
-        f=jnp.asarray(f, dtype),
-        g=jnp.asarray(g, dtype),
-        Ex=jnp.full((NY, NX), u.Ex_ext, dtype),
-        Ey=jnp.full((NY, NX), u.Ey_ext, dtype),
-        phi=jnp.zeros((NY, NX), dtype),
-        step=jnp.zeros((), jnp.int32),
-    )
+    return build()
 
 
 def _solve_poisson(
