@@ -38,7 +38,6 @@ def main() -> None:
 
     n = int(os.environ.get("BENCH_N", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     backend = os.environ.get("BENCH_BACKEND", "fused")
 
     cfg = dataclasses.replace(
