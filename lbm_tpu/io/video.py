@@ -49,11 +49,33 @@ def _open_writer(path: str, width: int, height: int, fps: int):
     return _GifBackend(path, fps)
 
 
+_LABELS = {
+    "density": [["rho_e", "rho_i", "rho_q"]],
+    "velocity": [["ux_e", "uy_e", "|u_e|"], ["ux_i", "uy_i", "|u_i|"]],
+    "temperature": [["T_e", "T_i", "T_n"]],
+}
+_LABEL_H = 14  # pixels per label strip
+
+
+def _label_strip(labels, width: int) -> np.ndarray:
+    """A text strip naming each panel (the reference labels its tiles,
+    src/visualize.cpp:326). Rendered once per stream with PIL."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("RGB", (width, _LABEL_H), (32, 32, 32))
+    d = ImageDraw.Draw(img)
+    panel_w = width // len(labels)
+    for i, text in enumerate(labels):
+        d.text((i * panel_w + 4, 2), text, fill=(255, 255, 255))
+    return np.asarray(img)
+
+
 class VideoRecorder:
     """Three-stream recorder (density / velocity / temperature).
 
     Call .record(macros) each step with the Macros namedtuple; frames are
-    rendered on-device and queued; a worker thread encodes them.
+    rendered on-device and queued; a worker thread encodes them with
+    per-panel label strips.
     """
 
     def __init__(self, out_dir: str, NX: int, NY: int, fps: int = 1):
@@ -64,15 +86,30 @@ class VideoRecorder:
             "velocity": os.path.join(out_dir, "video_velocity.avi"),
             "temperature": os.path.join(out_dir, "video_temperature.avi"),
         }
+        h_lbl = _LABEL_H
         self._writers = {
-            "density": _open_writer(self._paths["density"], 3 * NX, NY, fps),
-            "velocity": _open_writer(self._paths["velocity"], 3 * NX, 2 * NY, fps),
-            "temperature": _open_writer(self._paths["temperature"], 3 * NX, NY, fps),
+            "density": _open_writer(self._paths["density"], 3 * NX,
+                                    NY + h_lbl, fps),
+            "velocity": _open_writer(self._paths["velocity"], 3 * NX,
+                                     2 * (NY + h_lbl), fps),
+            "temperature": _open_writer(self._paths["temperature"], 3 * NX,
+                                        NY + h_lbl, fps),
         }
+        self._strips = {k: [_label_strip(row, 3 * NX) for row in rows]
+                        for k, rows in _LABELS.items()}
+        self._ny = NY
         self._q: "queue.Queue" = queue.Queue(maxsize=8)
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
         self._err: Optional[BaseException] = None
+
+    def _label(self, kind: str, rgb: np.ndarray) -> np.ndarray:
+        """Interleave a label strip above each row of panels."""
+        rows = []
+        for r, strip in enumerate(self._strips[kind]):
+            rows.append(strip)
+            rows.append(rgb[r * self._ny: (r + 1) * self._ny])
+        return np.concatenate(rows, axis=0)
 
     def _drain(self) -> None:
         pal = colormap.JET_PALETTE
@@ -82,9 +119,12 @@ class VideoRecorder:
                 return
             try:
                 d, v, t = item  # uint8 palette-index frames (device arrays)
-                self._writers["density"].write(pal[np.asarray(d)])
-                self._writers["velocity"].write(pal[np.asarray(v)])
-                self._writers["temperature"].write(pal[np.asarray(t)])
+                self._writers["density"].write(
+                    self._label("density", pal[np.asarray(d)]))
+                self._writers["velocity"].write(
+                    self._label("velocity", pal[np.asarray(v)]))
+                self._writers["temperature"].write(
+                    self._label("temperature", pal[np.asarray(t)]))
             except BaseException as e:  # surfaced on close()
                 self._err = e
 
