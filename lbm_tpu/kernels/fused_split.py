@@ -52,7 +52,7 @@ def _assemble(out_ref, s, prev, last8, below_rows, ty):
                 (prev_i[1:], below_rows[gi]), axis=0)
 
 
-def _band_pipeline(kernel_compute, pop_ref, out_ref, extra_scratch, k, nk, ty):
+def _band_pipeline(kernel_compute, out_ref, extra_scratch, k, nk, ty):
     """Shared march/epilogue structure for one population set.
 
     kernel_compute() -> per-species x-rolled plane lists for the CURRENT
@@ -182,8 +182,7 @@ def collide_stream_f(
                 out.append([_roll_x(dirs[i], _CX[i]) for i in range(_Q)])
             return out
 
-        _band_pipeline(compute, f_ref, fo_ref, (prev, last8, b0, b1),
-                       k, nk, ty)
+        _band_pipeline(compute, fo_ref, (prev, last8, b0, b1), k, nk, ty)
 
     dt = f.dtype
     return pl.pallas_call(
@@ -236,8 +235,7 @@ def collide_stream_g(
                 out.append([_roll_x(dirs[i], _CX[i]) for i in range(_Q)])
             return out
 
-        _band_pipeline(compute, g_ref, go_ref, (prev, last8, b0, b1),
-                       k, nk, ty)
+        _band_pipeline(compute, go_ref, (prev, last8, b0, b1), k, nk, ty)
 
     dt = g.dtype
     return pl.pallas_call(
