@@ -173,7 +173,7 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             except ValueError:
                 use_pallas = True
     debug_variant = cfg.compat.debug_variant
-    if debug_variant and (use_fused or use_pallas):
+    if debug_variant and (use_fused or use_pallas or use_split):
         raise ValueError("debug_variant mode is jnp-backend only")
     guard_vals = ((0.01 * u.cs2, 0.00001 * u.cs2, 0.0) if debug_variant
                   else (0.0, 0.0, 0.0))

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""D3Q19 3-D plasma column driver (BASELINE config #5).
+
+    python scripts/run_plasma3d.py [--n 64] [--nz 64] [--steps 50]
+                                   [--poisson FFT|NONE] [--slice-every 10]
+
+Writes mid-plane slice snapshots (density/charge heatmaps at z = NZ/2) and
+the timing CSV row.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--nz", type=int, default=64)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--poisson", choices=["FFT", "NONE"], default="FFT")
+    p.add_argument("--slice-every", type=int, default=10)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--f64", action="store_true")
+    p.add_argument("--out", default="build/output_3d")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    if not args.cpu:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), "..",
+                                       ".jax_cache"))
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lbm_tpu.config import PlasmaConfig, PoissonSolver
+    from lbm_tpu.io import timing
+    from lbm_tpu.models import plasma3d
+
+    cfg = dataclasses.replace(
+        PlasmaConfig(), NX=args.n, NY=args.n, NZ=args.nz, nsteps=args.steps,
+        poisson=PoissonSolver[args.poisson],
+        dtype=jnp.float64 if args.f64 else jnp.float32)
+    os.makedirs(args.out, exist_ok=True)
+
+    state = plasma3d.init_state(cfg)
+    step = jax.jit(plasma3d.make_step(cfg), donate_argnums=(0,))
+    step(plasma3d.init_state(cfg))  # compile outside timer
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    timer = timing.StepTimer(cfg.NX, cfg.NY * cfg.NZ)
+    timer.start()
+    for t in range(cfg.nsteps):
+        state = step(state)
+        timer.tick()
+        if (t + 1) % args.slice_every == 0:
+            u = cfg.units()
+            mac = plasma3d.update_macro(
+                state.f, state.g, state.Ex, state.Ey, state.Ez,
+                q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i)
+            zmid = cfg.NZ // 2
+            fig, axes = plt.subplots(1, 2, figsize=(9, 4), dpi=100)
+            im = axes[0].imshow(np.asarray(mac.rho[0][zmid]), origin="lower")
+            fig.colorbar(im, ax=axes[0], label="rho_e")
+            im = axes[1].imshow(np.asarray(mac.rho_q[zmid]), origin="lower",
+                                cmap="RdBu_r")
+            fig.colorbar(im, ax=axes[1], label="rho_q")
+            fig.suptitle(f"z-midplane, step {t + 1}")
+            fig.tight_layout()
+            fig.savefig(os.path.join(args.out, f"slice_{t + 1:05d}.png"))
+            plt.close(fig)
+    float(state.f[0, 0, 0, 0, 0])  # sync
+    wall_ms = timer.wall_s * 1000
+
+    timing.append_timing_csv(
+        os.path.join(args.out, "simulation_time_3d.csv"),
+        NX=cfg.NX, NY=cfg.NY * cfg.NZ, nsteps=cfg.nsteps,
+        n_devices=len(jax.devices()), poisson=cfg.poisson.value, bc=0,
+        wall_ms=wall_ms)
+    print(f"3D column done: {cfg.NX}^2x{cfg.NZ}, {cfg.nsteps} steps, "
+          f"{wall_ms:.0f} ms ({timer.mlups:.1f} MLUPS)")
+
+
+if __name__ == "__main__":
+    main()

@@ -139,3 +139,13 @@ def test_debug_dump(tmp_path):
     big = debug_dump.DebugDumper(
         dataclasses.replace(cfg, NX=64), str(tmp_path / "n.txt"))
     assert not big.enabled
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    cfg = dataclasses.replace(PlasmaConfig(), NX=8, NY=8, dtype=jnp.float64)
+    state = plasma.init_state(cfg)
+    path = str(tmp_path / "ck_orbax")
+    ckpt.save_orbax(path, state)
+    back = ckpt.load_orbax(path, template=state)
+    for a, b in zip(state, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
