@@ -1,1 +1,1 @@
-from . import cavity, plasma  # noqa: F401
+from . import cavity, plasma, plasma3d  # noqa: F401
