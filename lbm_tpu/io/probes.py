@@ -20,9 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 QUANTITIES = [
-    "ux_e", "uy_e", "u_mag_e",
-    "ux_i", "uy_i", "u_mag_i",
-    "ux_n", "uy_n", "u_mag_n",
+    "ux_e", "uy_e", "ue_mag",
+    "ux_i", "uy_i", "ui_mag",
+    "ux_n", "uy_n", "un_mag",
     "T_e", "T_i", "T_n",
     "rho_e", "rho_i", "rho_n", "rho_q",
     "Ex", "Ey", "E_mag",
@@ -52,7 +52,7 @@ def sample(mac, Ex, Ey, xs: np.ndarray, ys: np.ndarray) -> Dict[str, jnp.ndarray
         uy = mac.uy[k][ys, xs]
         out[f"ux_{s}"] = ux
         out[f"uy_{s}"] = uy
-        out[f"u_mag_{s}"] = jnp.sqrt(ux * ux + uy * uy)
+        out[f"u{s}_mag"] = jnp.sqrt(ux * ux + uy * uy)
         out[f"T_{s}"] = mac.T[k][ys, xs]
         out[f"rho_{s}"] = mac.rho[k][ys, xs]
     out["rho_q"] = mac.rho_q[ys, xs]
