@@ -40,13 +40,9 @@ def cmd_run(args):
 
     for n in grids:
         for sol in solvers:
-            backend = args.backend
-            if backend == "fused" and sol not in (
-                    C.PoissonSolver.FFT, C.PoissonSolver.NONE):
-                pass  # fused handles any solver (collide+stream only)
             cfg = dataclasses.replace(
                 C.PlasmaConfig(), NX=n, NY=n, nsteps=args.steps,
-                poisson=sol, dtype=jnp.float32, backend=backend,
+                poisson=sol, dtype=jnp.float32, backend=args.backend,
                 poisson_max_iter=args.poisson_iters)
             state = plasma.init_state(cfg)
             step = jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
