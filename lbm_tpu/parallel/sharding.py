@@ -11,9 +11,9 @@ partitions every operator:
   * rfft2 Poisson        -> sharded FFT with a collective transpose
   * while_loop max-error -> all-reduce per sweep
 
-A hand-scheduled shard_map + ppermute halo-exchange path (tighter comm
-control, Pallas-compatible) is the round-2 optimization; this module is the
-correctness- and scaling-bearing baseline.
+The hand-scheduled shard_map + ppermute halo-exchange path (tighter comm
+control, runs the fused Pallas kernels) lives in fused_sharded.py; this
+module is the simpler GSPMD baseline that works with every backend/BC.
 """
 from __future__ import annotations
 
