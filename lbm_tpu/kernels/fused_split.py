@@ -56,8 +56,10 @@ def _band_pipeline(kernel_compute, out_ref, extra_scratch, k, nk, ty):
     """Shared march/epilogue structure for one population set.
 
     kernel_compute() -> per-species x-rolled plane lists for the CURRENT
-    input band (called at steps k < nk and at the final epilogue).
-    extra_scratch = (prev, last8, b0, b1).
+    input band (called at steps k < nk only; band 0's planes are kept in
+    b0 scratch so the final wrap assembly never re-reads the input — the
+    population buffer is aliased to the output and updated in place).
+    extra_scratch = (prev, last8, b0, b1) with b0 holding full band planes.
     """
     prev, last8, b0, b1 = extra_scratch
 
@@ -72,8 +74,8 @@ def _band_pipeline(kernel_compute, out_ref, extra_scratch, k, nk, ty):
 
             @pl.when(k == 0)
             def _(s=s):
-                for gi, i in enumerate(_DIRS_NEG):
-                    b0[gi, s] = v[s][i][0:8]
+                for i in range(_Q):
+                    b0[i, s] = v[s][i]
 
             if nk > 1:
                 @pl.when(k == 1)
@@ -91,31 +93,34 @@ def _band_pipeline(kernel_compute, out_ref, extra_scratch, k, nk, ty):
     @pl.when(k == nk)
     def _():
         for s in range(_S):
-            below = [b0[gi, s, 0:1, :] for gi in range(3)]
+            below = [b0[i, s, 0:1, :] for i in _DIRS_NEG]
             _assemble(out_ref, s, prev, last8, below, ty)
 
     @pl.when(k == nk + 1)
     def _():
-        v = kernel_compute()
-        b1_eff = b0 if nk == 1 else b1
         for s in range(_S):
             for i in range(_Q):
                 cy = _CY[i]
                 if cy == 0:
-                    out_ref[s, i] = v[s][i]
+                    out_ref[s, i] = b0[i, s]
                 elif cy == 1:
                     out_ref[s, i] = jnp.concatenate(
-                        (prev[i, s, ty - 1: ty, :], v[s][i][: ty - 1]),
+                        (prev[i, s, ty - 1: ty, :], b0[i, s, : ty - 1]),
                         axis=0)
                 else:
                     gi = _DIRS_NEG.index(i)
+                    if nk == 1:
+                        below = b0[i, s, 0:1, :]
+                    else:
+                        below = b1[gi, s, 0:1, :]
                     out_ref[s, i] = jnp.concatenate(
-                        (v[s][i][1:], b1_eff[gi, s, 0:1, :]), axis=0)
+                        (b0[i, s, 1:], below), axis=0)
 
 
 def _specs(S, Q, ty, NX, nk):
     def in_band(k):
-        return jnp.where(k == nk + 1, 0, jnp.minimum(k, nk - 1))
+        # clamped; never re-fetch band 0 (aliased outputs overwrite it)
+        return jnp.minimum(k, nk - 1)
 
     def out_band(k):
         return jnp.where(k == nk + 1, 0,
@@ -134,10 +139,10 @@ def _specs(S, Q, ty, NX, nk):
 
 def _scratch(ty, NX, dt):
     return [
-        pltpu.VMEM((_Q, _S, ty, NX), dt),
-        pltpu.VMEM((3, _S, 8, NX), dt),
-        pltpu.VMEM((3, _S, 8, NX), dt),
-        pltpu.VMEM((3, _S, 8, NX), dt),
+        pltpu.VMEM((_Q, _S, ty, NX), dt),   # prev
+        pltpu.VMEM((3, _S, 8, NX), dt),     # last8
+        pltpu.VMEM((_Q, _S, ty, NX), dt),   # b0 (band-0 planes)
+        pltpu.VMEM((3, _S, 8, NX), dt),     # b1
     ]
 
 
@@ -196,6 +201,7 @@ def collide_stream_f(
             jax.ShapeDtypeStruct(Ex.shape, Ex.dtype),
         ),
         scratch_shapes=_scratch(ty, NX, dt),
+        input_output_aliases={0: 0},   # f updated in place in HBM
         cost_estimate=pl.CostEstimate(
             flops=int(1200 * NY * NX),
             bytes_accessed=3 * S * Q * NY * NX * dt.itemsize,
@@ -245,6 +251,7 @@ def collide_stream_g(
         out_specs=pop_out,
         out_shape=jax.ShapeDtypeStruct(g.shape, dt),
         scratch_shapes=_scratch(ty, NX, dt),
+        input_output_aliases={0: 0},   # g updated in place in HBM
         cost_estimate=pl.CostEstimate(
             flops=int(1800 * NY * NX),
             bytes_accessed=3 * S * Q * NY * NX * dt.itemsize,

@@ -372,6 +372,9 @@ def collide_stream_halo(
             pltpu.VMEM((3, _S, 8, NX), dt),
             pltpu.VMEM((3, _S, 8, NX), dt),
         ],
+        # in-place HBM update (no wrap refetch exists in the halo variant;
+        # out band b is written after its input was consumed)
+        input_output_aliases={0: 0, 1: 1},
         cost_estimate=pl.CostEstimate(
             flops=int(3000 * NY * NX),
             bytes_accessed=4 * S * Q * NY * NX * dt.itemsize,
@@ -585,6 +588,8 @@ def collide_stream_halo2d(
             pltpu.VMEM((3, _S, 8, NX), dt),
             pltpu.VMEM((3, _S, 8, NX), dt),
         ],
+        # in-place HBM update (halo variants have no wrap refetch)
+        input_output_aliases={0: 0, 1: 1},
         cost_estimate=pl.CostEstimate(
             flops=int(3200 * NY * NX),
             bytes_accessed=4 * S * Q * NY * NX * dt.itemsize,
