@@ -206,6 +206,8 @@ def collide_stream_f(
             flops=int(1200 * NY * NX),
             bytes_accessed=3 * S * Q * NY * NX * dt.itemsize,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(f, Ex, Ey)
 
@@ -256,23 +258,25 @@ def collide_stream_g(
             flops=int(1800 * NY * NX),
             bytes_accessed=3 * S * Q * NY * NX * dt.itemsize,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(g, pack)
 
 
 def _pick_band_split(NY: int, NX: int, itemsize: int) -> int:
     """Band height for the split kernels (~13 MB VMEM budget each)."""
-    for ty in (32, 16, 8):
+    for ty in (8, 16, 32):
         if NY % ty:
             continue
         vmem = (
             2 * 2 * _S * _Q * ty * NX * itemsize   # in/out pop x2 buffers
-            + _S * _Q * ty * NX * itemsize          # prev planes
+            + 2 * _S * _Q * ty * NX * itemsize      # prev + b0 planes
             + 2 * 9 * ty * NX * itemsize            # pack block x2 buffers
             + 3 * 3 * _S * 8 * NX * itemsize        # edge chunks
             + 40 * ty * NX * itemsize               # live temporaries
         )
-        if vmem < 15 * 1024 * 1024:
+        if vmem < 90 * 1024 * 1024:
             return ty
     raise ValueError(f"no feasible split band height for {NY}x{NX}")
 

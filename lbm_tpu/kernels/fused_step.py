@@ -380,6 +380,8 @@ def collide_stream_halo(
             bytes_accessed=4 * S * Q * NY * NX * dt.itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(f, g, Ex, Ey, f_up, g_up, Ex_up, Ey_up, f_dn, g_dn, Ex_dn, Ey_dn)
 
@@ -595,6 +597,8 @@ def collide_stream_halo2d(
             bytes_accessed=4 * S * Q * NY * NX * dt.itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(f, g, Ex, Ey,
       f_up, g_up, Ex_up, Ey_up, f_dn, g_dn, Ex_dn, Ey_dn,
@@ -602,17 +606,23 @@ def collide_stream_halo2d(
 
 
 def _pick_band(NY: int, NX: int, itemsize: int) -> int:
-    """Tallest band whose working set fits in VMEM (~13 MB budget)."""
-    for ty in (32, 16, 8):
+    """Band height whose working set fits the (raised) VMEM budget.
+
+    v5e exposes far more VMEM than the 16 MB default scoped limit; the
+    kernels set vmem_limit_bytes=100MB, which admits full-width bands up to
+    NX=4096 (measured 1123 MLUPS single-chip there). ty=8 is preferred —
+    taller bands showed no speedup and smaller footprints pipeline better.
+    """
+    for ty in (8, 16, 32):
         if NY % ty:
             continue
         vmem = (
             (2 + 2) * 2 * _S * _Q * ty * NX * itemsize   # in/out x2 buffers
-            + 2 * _S * _Q * ty * NX * itemsize            # prev planes
+            + (2 + 2) * _S * _Q * ty * NX * itemsize      # prev + b0 planes
             + 6 * 3 * _S * 8 * NX * itemsize              # edge chunks
             + 80 * ty * NX * itemsize                     # live temporaries
         )
-        if vmem < 13 * 1024 * 1024:
+        if vmem < 90 * 1024 * 1024:
             return ty
     raise ValueError(f"no feasible band height for {NY}x{NX} grid")
 
@@ -699,5 +709,7 @@ def collide_stream(
             bytes_accessed=4 * bytes_pop,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(f, g, Ex, Ey)
