@@ -36,7 +36,7 @@ def main() -> None:
     from lbm_tpu.config import PlasmaConfig
     from lbm_tpu.models import plasma
 
-    n = int(os.environ.get("BENCH_N", "1024"))
+    n = int(os.environ.get("BENCH_N", "2048"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     backend = os.environ.get("BENCH_BACKEND", "fused")
 
