@@ -79,11 +79,12 @@ def mosaic(panels: Sequence[jnp.ndarray], ncols: int) -> jnp.ndarray:
 
 
 def density_frame(rho_e, rho_i, rho_q) -> jnp.ndarray:
-    """3-panel density frame: rho_e | rho_i | rho_q."""
+    """3-panel density frame: rho_e | rho_q | rho_i (the reference's tile
+    order, src/visualize.cpp:243-245)."""
     return mosaic([
         colorize(rho_e, *RANGES["rho_e"]),
-        colorize(rho_i, *RANGES["rho_i"]),
         colorize(rho_q, *RANGES["rho_q"]),
+        colorize(rho_i, *RANGES["rho_i"]),
     ], ncols=3)
 
 

@@ -50,7 +50,7 @@ def _open_writer(path: str, width: int, height: int, fps: int):
 
 
 _LABELS = {
-    "density": [["rho_e", "rho_i", "rho_q"]],
+    "density": [["rho_e", "rho_q", "rho_i"]],
     "velocity": [["ux_e", "uy_e", "|u_e|"], ["ux_i", "uy_i", "|u_i|"]],
     "temperature": [["T_e", "T_i", "T_n"]],
 }

@@ -159,6 +159,8 @@ def collide_stream_f(
     """Mass side: (f_streamed, pack, rho_q). pack = (9, NY, NX)."""
     S, Q, NY, NX = f.shape
     ty = band or _pick_band_split(NY, NX, f.dtype.itemsize)
+    if ty < 8 or NY % ty:
+        raise ValueError(f"band height {ty} invalid for NY={NY}")
     nk = NY // ty
     pop_in, pop_out, fld_in, pk = _specs(S, Q, ty, NX, nk)
 
@@ -224,6 +226,8 @@ def collide_stream_g(
     """Thermal side: g_streamed from g and the mass kernel's pack."""
     S, Q, NY, NX = g.shape
     ty = band or _pick_band_split(NY, NX, g.dtype.itemsize)
+    if ty < 8 or NY % ty:
+        raise ValueError(f"band height {ty} invalid for NY={NY}")
     nk = NY // ty
     pop_in, pop_out, fld_in, pk = _specs(S, Q, ty, NX, nk)
 

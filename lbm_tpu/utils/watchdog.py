@@ -50,9 +50,16 @@ class Watchdog:
             return state
         if state_is_finite(state):
             if self.keep_snapshot:
-                self._good = jax.tree.map(lambda x: x, state)
+                # Must be a materialized device copy, not an alias: callers
+                # jit the step with donate_argnums=(0,), which invalidates
+                # the live state's buffers on the next step() call — an
+                # aliased snapshot would be deleted exactly when rollback
+                # needs it.
+                self._good = jax.tree.map(jnp.array, state)
                 self._good_step = t
             return state
         if self.on_blowup == "rollback" and self._good is not None:
-            return self._good
+            # Hand out a copy: the caller's donating step would otherwise
+            # consume the snapshot itself, breaking any second rollback.
+            return jax.tree.map(jnp.array, self._good)
         raise BlowupError(t, "simulation state")

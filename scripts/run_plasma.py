@@ -114,11 +114,15 @@ def main():
     timer.start()
     start_step = int(state.step)
     for t in range(start_step, cfg.nsteps):
+        # Reference alignment: the reference samples the macros computed at
+        # the TOP of iteration t (pre-collide, src/main_plasma.cpp loop), so
+        # compute them from the pre-step state; Ex/Ey are the post-Poisson
+        # fields of the same iteration, which live on the post-step state.
+        mac = plasma.compute_macros(cfg, state)
         state = step(state)
         timer.tick()
         if wd is not None:
             state = wd.check(t, state)
-        mac = plasma.compute_macros(cfg, state)
         rec.record(mac, state.Ex, state.Ey)
         if vid is not None and t % args.video_every == 0:
             vid.record(mac)
