@@ -56,6 +56,11 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.backend != "jnp":
+            # Pallas kernels only run in (slow) interpret mode on CPU; the
+            # XLA path is the right CPU backend.
+            print(f"--cpu: backend '{args.backend}' needs a TPU, using 'jnp'")
+            args.backend = "jnp"
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     if not args.cpu:
