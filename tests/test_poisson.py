@@ -122,3 +122,36 @@ def test_efield_periodic_and_neumann_match_oracle():
     o2._efield_neumann()
     np.testing.assert_allclose(Exn, o2.Ex, atol=1e-15)
     np.testing.assert_allclose(Eyn, o2.Ey, atol=1e-15)
+
+
+def test_packed_rfft2_matches_jnp():
+    """The packed-halves transform is exact real-FFT algebra; it must agree
+    with jnp.fft.rfft2/irfft2 to roundoff at any even size and dtype."""
+    rng = np.random.default_rng(11)
+    for (NY, NX) in [(16, 32), (64, 64), (128, 48), (34, 20)]:
+        for dt, tol in [(np.float64, 1e-11), (np.float32, 1e-4)]:
+            x = jnp.asarray(rng.standard_normal((NY, NX)).astype(dt))
+            got = P._rfft2_packed(x)
+            ref = jnp.fft.rfft2(x)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=tol * NY)
+            back = P._irfft2_packed(got, (NY, NX))
+            np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                       atol=tol)
+
+
+def test_solve_fft_packed_path_matches_plain():
+    """Above the size gate solve_fft switches to the packed transform; the
+    result must match the plain-rfft2 solve to roundoff."""
+    rng = np.random.default_rng(12)
+    NY = NX = 64
+    rho = jnp.asarray(rng.standard_normal((NY, NX)))
+    plain = P.solve_fft(rho)
+    old = P._PACKED_FFT_MIN_SITES
+    try:
+        P._PACKED_FFT_MIN_SITES = 0   # force the packed path at test size
+        packed = P.solve_fft(rho)
+    finally:
+        P._PACKED_FFT_MIN_SITES = old
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(plain),
+                               atol=1e-11)
