@@ -112,6 +112,10 @@ class PlasmaConfig:
     # chain) or "pallas" (single fused VMEM kernel; numerics-identical).
     backend: str = "jnp"
 
+    # Run Pallas kernels in interpreter mode (CPU-testable step-level
+    # composition; orders of magnitude slower — tests only).
+    kernel_interpret: bool = False
+
     def units(self) -> LatticeUnits:
         return compute_lattice_units(
             Z_ion=self.Z_ion, A_ion=self.A_ion,

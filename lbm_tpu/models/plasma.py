@@ -29,6 +29,7 @@ from ..constants import D2Q9
 from ..ops import poisson as poisson_ops
 from ..ops.collide import collide
 from ..ops.macros import Macros, update_macro
+from ..ops import stream as stream_ops
 from ..ops.stream import stream_bounceback, stream_periodic
 
 
@@ -152,9 +153,6 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
     periodic = cfg.bc == BC.PERIODIC
     use_pallas = cfg.backend == "pallas"
     use_fused = cfg.backend == "fused"
-    if use_fused and not periodic:
-        raise ValueError("backend='fused' supports periodic BC only; "
-                         "use 'pallas' or 'jnp' for bounce-back")
     use_split = False
     if use_fused:
         from ..kernels.fused_split import _pick_band_split
@@ -178,7 +176,7 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
     guard_vals = ((0.01 * u.cs2, 0.00001 * u.cs2, 0.0) if debug_variant
                   else (0.0, 0.0, 0.0))
     phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
-                cs2=u.cs2, kb=u.kb)
+                cs2=u.cs2, kb=u.kb, interpret=cfg.kernel_interpret)
 
     def collide_stage(state: PlasmaState):
         if use_pallas:
@@ -186,7 +184,7 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             return fused_collide(
                 state.f, state.g, state.Ex, state.Ey,
                 taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
-                cs2=u.cs2, kb=u.kb)
+                cs2=u.cs2, kb=u.kb, interpret=cfg.kernel_interpret)
         mac = update_macro(state.f, state.g, state.Ex, state.Ey,
                            q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
                            guard_vals=guard_vals)
@@ -197,6 +195,14 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
 
     def step(state: PlasmaState) -> PlasmaState:
         if use_fused or use_split:
+            if not periodic:
+                # Bounce-back rides the periodic kernel: reflections are
+                # edge-only corrections on the periodic result, and every
+                # post-collision value the fixups need is recoverable from
+                # it at a shifted index (ops/stream.py). The holes' stale
+                # contents are 8 pre-collision scalars, read before the
+                # in-place kernel consumes state.f.
+                f_holes = stream_ops.hole_values(state.f)
             if use_split:
                 from ..kernels.fused_split import collide_stream_split
                 f, g, rho_q = collide_stream_split(
@@ -205,6 +211,10 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
                 from ..kernels.fused_step import collide_stream
                 f, g, rho_q = collide_stream(state.f, state.g, state.Ex,
                                              state.Ey, **phys)
+            if not periodic:
+                g_holes = stream_ops.hole_values_from_periodic(f)
+                f = stream_ops.bounceback_from_periodic(f, f_holes)
+                g = stream_ops.bounceback_from_periodic(g, g_holes)
             Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi,
                                          state.Ex, state.Ey)
             return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi,

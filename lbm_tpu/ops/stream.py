@@ -95,14 +95,11 @@ def _bounceback_gather_map(NX: int, NY: int):
     return src, hole
 
 
-def stream_bounceback(f: jnp.ndarray, stale: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Push streaming with bounce-back walls on all four edges.
+def stream_bounceback_gather(f: jnp.ndarray, stale: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Flat-gather implementation of push bounce-back (test oracle).
 
-    f: (..., Q, NY, NX). `stale` supplies the values retained at the corner
-    hole slots (the reference's recycled temp buffer — see
-    _bounceback_gather_map); defaults to f itself. The same operator applies
-    to the thermal populations g — there bounce-back is a zero-flux Neumann
-    condition (reference: include/streaming.hpp:55).
+    Built directly from the reference's 4-case write logic; kept as the
+    independent cross-check for the slice-fixup fast path below.
     """
     NY, NX = f.shape[-2], f.shape[-1]
     src_np, hole_np = _bounceback_gather_map(NX, NY)
@@ -117,6 +114,108 @@ def stream_bounceback(f: jnp.ndarray, stale: jnp.ndarray | None = None) -> jnp.n
         stale_flat = stale.reshape(lead + (Q * NY * NX,))
     out = jnp.where(hole, stale_flat, out)
     return out.reshape(f.shape)
+
+
+# The 8 corner slots the reference's serial write loop never reaches (two
+# per corner); they retain the destination temp-buffer's stale contents.
+# Order matters only for pairing with hole_values(). Entries are (i, y, x)
+# with -1 meaning the last row/column.
+HOLE_SLOTS = (
+    (6, 0, 0), (8, 0, 0),           # bottom-left
+    (5, 0, -1), (7, 0, -1),         # bottom-right
+    (5, -1, 0), (7, -1, 0),         # top-left
+    (6, -1, -1), (8, -1, -1),       # top-right
+)
+
+
+def hole_values(a: jnp.ndarray) -> list:
+    """The 8 stale values bounce-back leaves at the corner holes, read from
+    the buffer whose contents the reference's recycled temp would hold
+    (pre-collision f for the f pass, post-collision f for the g pass)."""
+    return [a[..., i, y, x] for (i, y, x) in HOLE_SLOTS]
+
+
+def hole_values_from_periodic(out_p: jnp.ndarray) -> list:
+    """hole_values(f_post) recovered from the PERIODIC streaming result:
+    f_post[i, y, x] = out_p[i, (y+cy_i) % NY, (x+cx_i) % NX]. Lets the fused
+    kernel (which streams in place and never materializes f_post) supply the
+    g pass's stale corner values."""
+    NY, NX = out_p.shape[-2], out_p.shape[-1]
+    vals = []
+    for (i, y, x) in HOLE_SLOTS:
+        yy = (y % NY + int(CY[i])) % NY
+        xx = (x % NX + int(CX[i])) % NX
+        vals.append(out_p[..., i, yy, xx])
+    return vals
+
+
+def bounceback_from_periodic(out: jnp.ndarray, hole_vals: list) -> jnp.ndarray:
+    """Convert a push-PERIODIC streamed lattice into the reference's push
+    bounce-back result via static edge fixups — the TPU-native hot path
+    (no gather/scatter; a handful of one-row/one-column dynamic-update
+    slices XLA applies in place).
+
+    Derivation: bounce-back differs from periodic only where the push
+    crossed a wall (src/streaming.cpp:70-105). Every reflected value is a
+    post-collision population, and the periodic result already contains
+    every post-collision value at a shifted index
+    (f_post[i,y,x] = out[i, y+cy, x+cx]), so all fixups read single
+    rows/columns of `out` itself. Duplicate corner writes resolve by the
+    reference's serial (x, y, i) order — encoded here in the update order
+    plus one explicit corner override — and the 8 never-written corner
+    holes take `hole_vals` (see hole_values / HOLE_SLOTS).
+
+    out: (..., Q, NY, NX) periodic push-streaming result.
+    hole_vals: 8 arrays/scalars in HOLE_SLOTS order.
+    """
+    # All sources are read from the pristine periodic result first.
+    src_1 = out[..., 3, :, -1]        # f_post[3][:, 0]
+    src_3 = out[..., 1, :, 0]         # f_post[1][:, -1]
+    src_2 = out[..., 4, -1, :]        # f_post[4][0, :]
+    src_4 = out[..., 2, 0, :]         # f_post[2][-1, :]
+    NYd, NXd = out.shape[-2], out.shape[-1]
+    src_5col = out[..., 7, : NYd - 1, -1]   # f_post[7][y+1, 0], y<NY-1
+    src_5row = out[..., 7, -1, : NXd - 1]   # f_post[7][0, x+1], x<NX-1
+    src_7row = out[..., 5, 0, 1:]           # f_post[5][-1, x-1], x>=1
+    src_7col = out[..., 5, 1:, 0]           # f_post[5][y-1, -1], y>=1
+    src_7corner = out[..., 5, 0, 0]         # f_post[5][-1, -1]
+    src_6row = out[..., 8, -1, 1:]          # f_post[8][0, x-1], x>=1
+    src_6col = out[..., 8, : NYd - 1, 0]    # f_post[8][y+1, -1], y<NY-1
+    src_8row = out[..., 6, 0, : NXd - 1]    # f_post[6][0, x+1], x<NX-1
+    src_8col = out[..., 6, 1:, -1]          # f_post[6][y-1, 0], y>=1
+
+    # Axis directions: one column/row each.
+    out = out.at[..., 1, :, 0].set(src_1)
+    out = out.at[..., 3, :, -1].set(src_3)
+    out = out.at[..., 2, 0, :].set(src_2)
+    out = out.at[..., 4, -1, :].set(src_4)
+    # Diagonals: column/row order encodes the serial-corner winner.
+    out = out.at[..., 5, : NYd - 1, 0].set(src_5col)
+    out = out.at[..., 5, 0, : NXd - 1].set(src_5row)       # row wins (5,0,0)
+    out = out.at[..., 6, 0, 1:].set(src_6row)
+    out = out.at[..., 6, : NYd - 1, -1].set(src_6col)      # col wins (6,0,-1)
+    out = out.at[..., 7, 1:, -1].set(src_7col)
+    out = out.at[..., 7, -1, 1:].set(src_7row)
+    out = out.at[..., 7, -1, -1].set(src_7corner)          # explicit override
+    out = out.at[..., 8, 1:, 0].set(src_8col)
+    out = out.at[..., 8, -1, : NXd - 1].set(src_8row)      # row wins (8,-1,0)
+    # Corner holes keep the stale temp-buffer contents.
+    for (i, y, x), v in zip(HOLE_SLOTS, hole_vals):
+        out = out.at[..., i, y, x].set(v)
+    return out
+
+
+def stream_bounceback(f: jnp.ndarray, stale: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Push streaming with bounce-back walls on all four edges.
+
+    f: (..., Q, NY, NX). `stale` supplies the values retained at the corner
+    hole slots (the reference's recycled temp buffer — see
+    _bounceback_gather_map); defaults to f itself. The same operator applies
+    to the thermal populations g — there bounce-back is a zero-flux Neumann
+    condition (reference: include/streaming.hpp:55).
+    """
+    holes = hole_values(f if stale is None else stale)
+    return bounceback_from_periodic(stream_periodic(f), holes)
 
 
 # ---------------------------------------------------------------------------

@@ -54,8 +54,26 @@ def test_single_band_grid():
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref), rtol=1e-12)
 
 
-def test_fused_backend_rejects_bounceback():
-    cfg = dataclasses.replace(PlasmaConfig(), backend="fused",
-                              bc=BC.BOUNCE_BACK)
-    with pytest.raises(ValueError):
-        plasma.make_step(cfg)
+def test_fused_step_bounceback_matches_jnp():
+    """backend='fused' + bounce-back: the periodic kernel + edge fixups must
+    reproduce the jnp step (incl. the reference's stale-hole quirks) exactly,
+    over several steps so the holes' pre/post-collision distinction bites."""
+    from lbm_tpu.config import PoissonSolver
+    cfg_bb = dataclasses.replace(
+        PlasmaConfig(), NX=24, NY=32, dtype=jnp.float64,
+        bc=BC.BOUNCE_BACK, backend="fused", kernel_interpret=True,
+        poisson=PoissonSolver.SOR)
+    cfg_ref = dataclasses.replace(cfg_bb, backend="jnp")
+    s_k = plasma.init_state(cfg_bb)
+    s_r = plasma.init_state(cfg_ref)
+    step_k = jax.jit(plasma.make_step(cfg_bb))
+    step_r = jax.jit(plasma.make_step(cfg_ref))
+    for t in range(3):
+        s_k = step_k(s_k)
+        s_r = step_r(s_r)
+        np.testing.assert_allclose(np.asarray(s_k.f), np.asarray(s_r.f),
+                                   rtol=1e-12, atol=0, err_msg=f"f step {t}")
+        np.testing.assert_allclose(np.asarray(s_k.g), np.asarray(s_r.g),
+                                   rtol=1e-12, atol=0, err_msg=f"g step {t}")
+        np.testing.assert_allclose(np.asarray(s_k.Ex), np.asarray(s_r.Ex),
+                                   rtol=1e-12, atol=0)

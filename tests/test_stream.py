@@ -69,3 +69,40 @@ def test_cavity_stream_interior_is_pull():
         for y in range(1, NY - 1):
             for x in range(1, NX - 1):
                 assert out[i, y, x] == f[i, y - cy[i], x - cx[i]]
+
+
+def test_bounceback_fixup_matches_gather_oracle():
+    """The slice-fixup bounce-back (periodic + edge corrections) must match
+    the flat-gather transliteration of the reference's write loop exactly,
+    including corner write-order winners and stale holes."""
+    from lbm_tpu.ops import stream as S
+
+    rng = np.random.default_rng(21)
+    for (NY, NX) in [(8, 8), (8, 16), (12, 20), (16, 8), (9, 11)]:
+        f = rng.standard_normal((9, NY, NX))
+        stale = rng.standard_normal((9, NY, NX))
+        ref = np.asarray(S.stream_bounceback_gather(jnp.asarray(f),
+                                                    stale=jnp.asarray(stale)))
+        got = np.asarray(S.stream_bounceback(jnp.asarray(f),
+                                             stale=jnp.asarray(stale)))
+        np.testing.assert_array_equal(got, ref, err_msg=f"{NY}x{NX}")
+        # batched (species) axis too
+        fb = rng.standard_normal((3, 9, NY, NX))
+        sb = rng.standard_normal((3, 9, NY, NX))
+        refb = np.asarray(S.stream_bounceback_gather(jnp.asarray(fb),
+                                                     stale=jnp.asarray(sb)))
+        gotb = np.asarray(S.stream_bounceback(jnp.asarray(fb),
+                                              stale=jnp.asarray(sb)))
+        np.testing.assert_array_equal(gotb, refb)
+
+
+def test_hole_values_from_periodic_recovers_post():
+    from lbm_tpu.ops import stream as S
+
+    rng = np.random.default_rng(22)
+    f_post = jnp.asarray(rng.standard_normal((3, 9, 12, 20)))
+    out_p = stream_periodic(f_post)
+    direct = S.hole_values(f_post)
+    recovered = S.hole_values_from_periodic(out_p)
+    for d, r in zip(direct, recovered):
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(r))
