@@ -7,8 +7,11 @@ are fetched and encoded on a background thread, and the step loop never
 blocks on IO.
 
 Writer backends, in preference order:
-  1. native C++ uncompressed AVI (native/aviwriter.cpp, no dependencies)
-  2. animated GIF via PIL (pure-Python fallback)
+  1. OpenCV mp4v MP4 — the reference's exact artifact format
+     (src/visualize.cpp:26-28: cv::VideoWriter with fourcc "mp4v")
+  2. native C++ uncompressed AVI (native/aviwriter.cpp, no dependencies)
+  3. animated GIF via PIL (pure-Python fallback)
+Set LBM_VIDEO_FORMAT=avi|gif to skip the MP4 backend.
 """
 from __future__ import annotations
 
@@ -20,6 +23,26 @@ from typing import List, Optional
 import numpy as np
 
 from . import colormap
+
+
+class _Mp4Backend:
+    """MP4 via OpenCV's mp4v codec (matches the reference's writers)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: int):
+        import cv2
+
+        self.path = os.path.splitext(path)[0] + ".mp4"
+        self._w = cv2.VideoWriter(
+            self.path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height))
+        if not self._w.isOpened():
+            raise RuntimeError(f"cv2.VideoWriter cannot open {self.path}")
+
+    def write(self, frame: np.ndarray) -> None:
+        """frame: (H, W, 3) uint8 RGB (cv2 wants BGR)."""
+        self._w.write(np.ascontiguousarray(frame[..., ::-1]))
+
+    def close(self) -> None:
+        self._w.release()
 
 
 class _GifBackend:
@@ -44,8 +67,16 @@ class _GifBackend:
 def _open_writer(path: str, width: int, height: int, fps: int):
     from . import avi
 
-    if avi.available():
-        return avi.AviWriter(path, width, height, fps)
+    fmt = os.environ.get("LBM_VIDEO_FORMAT", "mp4")
+    if fmt == "mp4":
+        try:
+            return _Mp4Backend(path, width, height, fps)
+        except Exception:
+            pass  # no cv2 / codec — fall through to the native writer
+    if fmt != "gif" and avi.available():
+        w = avi.AviWriter(path, width, height, fps)
+        w.path = path
+        return w
     return _GifBackend(path, fps)
 
 
@@ -95,6 +126,8 @@ class VideoRecorder:
             "temperature": _open_writer(self._paths["temperature"], 3 * NX,
                                         NY + h_lbl, fps),
         }
+        # backends may rewrite the extension (.mp4 / .gif)
+        self._paths = {k: w.path for k, w in self._writers.items()}
         self._strips = {k: [_label_strip(row, 3 * NX) for row in rows]
                         for k, rows in _LABELS.items()}
         self._ny = NY
