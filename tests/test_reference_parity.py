@@ -193,3 +193,57 @@ def test_bounceback_trajectory_matches_cpp_reference(code):
             np.testing.assert_allclose(
                 np.asarray(mine.f[k]), want, rtol=3e-6, atol=3e-6 * scale,
                 err_msg=f"f_{s} after step {t} (bounce-back, solver {code})")
+
+
+def _parse_probe_fixture(path):
+    """-> {field: (T, 9) array} from the release-build probe-series dump."""
+    import csv
+
+    series = {}
+    with gzip.open(path, "rt") as fh:
+        rd = csv.reader(fh)
+        next(rd)
+        for row in rd:
+            series.setdefault(row[0], []).append([float(v) for v in row[2:]])
+    return {k: np.asarray(v) for k, v in series.items()}
+
+
+def test_probe_series_match_cpp_reference_200x200():
+    """Golden-size trajectory parity: the 19 probe time series of the
+    reference RELEASE build (src/plasma.cpp + src/visualize.cpp, compiled
+    here via scripts/make_reference_fixtures.sh) at 200x200 for 20 steps
+    with the golden parameters and the FFT solver — the configuration of
+    the committed golden artifacts (src/main_plasma.cpp:16-51).
+
+    Alignment (src/plasma.cpp:459-525): row t carries the macros computed
+    at the TOP of iteration t (the pre-step state) and the E fields from
+    the END of iteration t (post-Poisson).
+
+    Measured deviations (f64 engine vs C++ f64): <=2e-13 of series scale
+    for every charged/thermal/E field; ~1.7e-8 for the neutral velocities
+    (f64 cancellation against rho_n ~ 1.8e10, the reference's own
+    fragility). The 1e-5 gate leaves margin for BLAS/libm variation.
+    """
+    from lbm_tpu.io import probes
+
+    ref = _parse_probe_fixture(
+        os.path.join(FIXDIR, "ref_probes_200x200_20steps_fft.csv.gz"))
+    nsteps = 20
+    cfg = dataclasses.replace(
+        PlasmaConfig(), NX=200, NY=200, nsteps=nsteps, dtype=jnp.float64,
+        poisson=PoissonSolver.FFT, bc=BC.PERIODIC)
+    xs, ys = probes.probe_points(cfg.NX, cfg.NY)
+    state = plasma.init_state(cfg)
+    step = jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
+    mine = {k: [] for k in ref}
+    for t in range(nsteps):
+        mac = plasma.compute_macros(cfg, state)
+        state = step(state)
+        for k, v in probes.sample(mac, state.Ex, state.Ey, xs, ys).items():
+            mine[k].append(np.asarray(v))
+    for k in ref:
+        got = np.stack(mine[k])
+        scale = np.abs(ref[k]).max()
+        np.testing.assert_allclose(
+            got, ref[k], rtol=1e-5, atol=1e-5 * scale,
+            err_msg=f"probe series {k}")
