@@ -167,22 +167,44 @@ def bounceback_from_periodic(out: jnp.ndarray, hole_vals: list) -> jnp.ndarray:
 
     out: (..., Q, NY, NX) periodic push-streaming result.
     hole_vals: 8 arrays/scalars in HOLE_SLOTS order.
+
+    Every update is a FULL edge row or column: the corner-hole values and
+    the (7,-1,-1) serial-order override are concatenated onto the adjacent
+    edge slices instead of written as scalar updates. Semantically
+    identical to per-scalar writes in the reference's order, and required
+    for correctness under GSPMD: a scalar dynamic-update-slice chained
+    after overlapping edge-slice updates on a lattice-sharded array is
+    miscompiled by the SPMD partitioner (observed on jax 0.8: the scalar
+    lands on every shard's local corner; the full-row/column forms
+    partition correctly).
     """
+    lead = out.shape[:-3]
+
+    def one(v):
+        """A hole/corner value as a length-1 slice broadcast over lead."""
+        return jnp.broadcast_to(jnp.asarray(v, out.dtype), lead)[..., None]
+
+    def cat(*parts):
+        return jnp.concatenate(parts, axis=-1)
+
     # All sources are read from the pristine periodic result first.
     src_1 = out[..., 3, :, -1]        # f_post[3][:, 0]
     src_3 = out[..., 1, :, 0]         # f_post[1][:, -1]
     src_2 = out[..., 4, -1, :]        # f_post[4][0, :]
     src_4 = out[..., 2, 0, :]         # f_post[2][-1, :]
     NYd, NXd = out.shape[-2], out.shape[-1]
-    src_5col = out[..., 7, : NYd - 1, -1]   # f_post[7][y+1, 0], y<NY-1
-    src_5row = out[..., 7, -1, : NXd - 1]   # f_post[7][0, x+1], x<NX-1
-    src_7row = out[..., 5, 0, 1:]           # f_post[5][-1, x-1], x>=1
-    src_7col = out[..., 5, 1:, 0]           # f_post[5][y-1, -1], y>=1
-    src_7corner = out[..., 5, 0, 0]         # f_post[5][-1, -1]
-    src_6row = out[..., 8, -1, 1:]          # f_post[8][0, x-1], x>=1
-    src_6col = out[..., 8, : NYd - 1, 0]    # f_post[8][y+1, -1], y<NY-1
-    src_8row = out[..., 6, 0, : NXd - 1]    # f_post[6][0, x+1], x<NX-1
-    src_8col = out[..., 6, 1:, -1]          # f_post[6][y-1, 0], y>=1
+    (h6a, h8a, h5b, h7a, h5a, h7b, h6b, h8b) = [
+        one(v) for v in hole_vals]                      # HOLE_SLOTS order
+    src_5col = cat(out[..., 7, : NYd - 1, -1], h5a)  # + hole (5, -1, 0)
+    src_5row = cat(out[..., 7, -1, : NXd - 1], h5b)  # + hole (5, 0, -1)
+    src_6row = cat(h6a, out[..., 8, -1, 1:])         # hole (6, 0, 0) +
+    src_6col = cat(out[..., 8, : NYd - 1, 0], h6b)   # + hole (6, -1, -1)
+    src_7col = cat(h7a, out[..., 5, 1:, 0])          # hole (7, 0, -1) +
+    # hole (7, -1, 0) + row + the (7,-1,-1) corner winner f_post[5][-1,-1]
+    src_7row = cat(h7b, out[..., 5, 0, 1: NXd - 1],
+                   out[..., 5, 0, 0][..., None])
+    src_8col = cat(h8a, out[..., 6, 1:, -1])         # hole (8, 0, 0) +
+    src_8row = cat(out[..., 6, 0, : NXd - 1], h8b)   # + hole (8, -1, -1)
 
     # Axis directions: one column/row each.
     out = out.at[..., 1, :, 0].set(src_1)
@@ -190,18 +212,14 @@ def bounceback_from_periodic(out: jnp.ndarray, hole_vals: list) -> jnp.ndarray:
     out = out.at[..., 2, 0, :].set(src_2)
     out = out.at[..., 4, -1, :].set(src_4)
     # Diagonals: column/row order encodes the serial-corner winner.
-    out = out.at[..., 5, : NYd - 1, 0].set(src_5col)
-    out = out.at[..., 5, 0, : NXd - 1].set(src_5row)       # row wins (5,0,0)
-    out = out.at[..., 6, 0, 1:].set(src_6row)
-    out = out.at[..., 6, : NYd - 1, -1].set(src_6col)      # col wins (6,0,-1)
-    out = out.at[..., 7, 1:, -1].set(src_7col)
-    out = out.at[..., 7, -1, 1:].set(src_7row)
-    out = out.at[..., 7, -1, -1].set(src_7corner)          # explicit override
-    out = out.at[..., 8, 1:, 0].set(src_8col)
-    out = out.at[..., 8, -1, : NXd - 1].set(src_8row)      # row wins (8,-1,0)
-    # Corner holes keep the stale temp-buffer contents.
-    for (i, y, x), v in zip(HOLE_SLOTS, hole_vals):
-        out = out.at[..., i, y, x].set(v)
+    out = out.at[..., 5, :, 0].set(src_5col)
+    out = out.at[..., 5, 0, :].set(src_5row)     # row wins (5,0,0)
+    out = out.at[..., 6, 0, :].set(src_6row)
+    out = out.at[..., 6, :, -1].set(src_6col)    # col wins (6,0,-1)
+    out = out.at[..., 7, :, -1].set(src_7col)
+    out = out.at[..., 7, -1, :].set(src_7row)    # row wins (7,-1,-1)
+    out = out.at[..., 8, :, 0].set(src_8col)
+    out = out.at[..., 8, -1, :].set(src_8row)    # row wins (8,-1,0)
     return out
 
 
