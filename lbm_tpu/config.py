@@ -116,6 +116,16 @@ class PlasmaConfig:
     # composition; orders of magnitude slower — tests only).
     kernel_interpret: bool = False
 
+    # Store the neutral mass populations as deltas from the uniform
+    # background rho_n_init * w_i. Algebraically identical dynamics, but in
+    # f32 it rescues the neutral velocity/thermal channel: the golden
+    # scaling puts rho_n ~ 1.8e10 lattice units while |u_n| ~ 1e-8, so the
+    # classic f32 moments lose the entire momentum signal to rounding and
+    # T_n diverges (the reference's own fragility, SURVEY.md section
+    # 7.3.4). Off by default to keep bitwise compatibility with the
+    # classic path; recommended for f32 production runs.
+    neutral_delta: bool = False
+
     def units(self) -> LatticeUnits:
         return compute_lattice_units(
             Z_ion=self.Z_ion, A_ion=self.A_ion,

@@ -39,7 +39,8 @@ def _kernel(f_ref, g_ref, ex_ref, ey_ref, fo_ref, go_ref, rq_ref, *, params):
     g = g_ref[:]
     mac = update_macro(f, g, Ex, Ey,
                        q_e=params["q_e"], q_i=params["q_i"],
-                       m_e=params["m_e"], m_i=params["m_i"])
+                       m_e=params["m_e"], m_i=params["m_i"],
+                       neutral_ref=params["neutral_ref"])
     rq_ref[:] = mac.rho_q
     # mixture-velocity polynomials are shared between species: compute once
     pair_polys = {
@@ -56,7 +57,7 @@ def _kernel(f_ref, g_ref, ex_ref, ey_ref, fo_ref, go_ref, rq_ref, *, params):
             q_e=params["q_e"], q_i=params["q_i"],
             m_e=params["m_e"], m_i=params["m_i"],
             cs2=params["cs2"], kb=params["kb"],
-            pair_polys=pair_polys)
+            pair_polys=pair_polys, neutral_ref=params["neutral_ref"])
         for i in range(_Q):
             fo_ref[s, i] = f_dirs[i]
             go_ref[s, i] = g_dirs[i]
@@ -72,7 +73,7 @@ def _pick_tile(n: int, targets=(128, 64, 32, 16, 8)) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
-                     "interpret"),
+                     "interpret", "neutral_ref"),
 )
 def fused_collide(
     f: jnp.ndarray,   # (3, Q, NY, NX)
@@ -84,6 +85,7 @@ def fused_collide(
     q_e: float, q_i: float, m_e: float, m_i: float,
     cs2: float, kb: float,
     interpret: bool = False,
+    neutral_ref: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (f_post, g_post, rho_q)."""
     S, Q, NY, NX = f.shape
@@ -96,7 +98,7 @@ def fused_collide(
                               memory_space=pltpu.VMEM)
 
     params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
-                  cs2=cs2, kb=kb)
+                  cs2=cs2, kb=kb, neutral_ref=neutral_ref)
     kernel = functools.partial(_kernel, params=params)
 
     bytes_pop = S * Q * NY * NX * f.dtype.itemsize

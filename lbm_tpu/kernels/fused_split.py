@@ -149,12 +149,12 @@ def _scratch(ty, NX, dt):
 @functools.partial(
     jax.jit,
     static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2",
-                     "interpret", "band"),
+                     "interpret", "band", "neutral_ref"),
 )
 def collide_stream_f(
     f, Ex, Ey, *,
     taus, q_e: float, q_i: float, m_e: float, m_i: float, cs2: float,
-    interpret: bool = False, band: int = 0,
+    interpret: bool = False, band: int = 0, neutral_ref: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Mass side: (f_streamed, pack, rho_q). pack = (9, NY, NX)."""
     S, Q, NY, NX = f.shape
@@ -173,7 +173,8 @@ def collide_stream_f(
             Eyb = ey_ref[:]
             fb = f_ref[:]
             mac = update_macro(fb, None, Exb, Eyb,
-                               q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i)
+                               q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
+                               neutral_ref=neutral_ref)
             rq_ref[:] = mac.rho_q
             for s in range(3):
                 pack_ref[s] = mac.rho_raw[s]
@@ -185,7 +186,8 @@ def collide_stream_f(
             for s in range(_S):
                 dirs = collide_species_f_dirs(
                     s, fb[s], mac, Exb, Eyb, taus=taus, q_e=q_e, q_i=q_i,
-                    m_e=m_e, m_i=m_i, cs2=cs2, pair_polys=polys)
+                    m_e=m_e, m_i=m_i, cs2=cs2, pair_polys=polys,
+                    neutral_ref=neutral_ref)
                 out.append([_roll_x(dirs[i], _CX[i]) for i in range(_Q)])
             return out
 
@@ -286,13 +288,13 @@ def _pick_band_split(NY: int, NX: int, itemsize: int) -> int:
 
 
 def collide_stream_split(f, g, Ex, Ey, *, taus, q_e, q_i, m_e, m_i, cs2, kb,
-                         interpret=False, band=0):
+                         interpret=False, band=0, neutral_ref=0.0):
     """Full fused collide+stream via the A/B kernel pair.
 
     Same contract as fused_step.collide_stream: (f_new, g_new, rho_q)."""
     f_new, pack, rho_q = collide_stream_f(
         f, Ex, Ey, taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2,
-        interpret=interpret, band=band)
+        interpret=interpret, band=band, neutral_ref=neutral_ref)
     g_new = collide_stream_g(g, pack, taus=taus, cs2=cs2, kb=kb,
                              interpret=interpret, band=band)
     return f_new, g_new, rho_q

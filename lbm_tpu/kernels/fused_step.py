@@ -66,7 +66,8 @@ def _make_kernel(params, ty, nk):
         g = g_ref[:]
         mac = update_macro(f, g, Ex, Ey,
                            q_e=params["q_e"], q_i=params["q_i"],
-                           m_e=params["m_e"], m_i=params["m_i"])
+                           m_e=params["m_e"], m_i=params["m_i"],
+                           neutral_ref=params["neutral_ref"])
         rq_ref[:] = mac.rho_q
         pair_polys = {
             p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p],
@@ -79,7 +80,8 @@ def _make_kernel(params, ty, nk):
                 s, f[s], g[s], mac, Ex, Ey,
                 taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
                 m_e=params["m_e"], m_i=params["m_i"],
-                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
+                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
+                neutral_ref=params["neutral_ref"])
             fv.append([_roll_x(f_dirs[i], _CX[i]) for i in range(_Q)])
             gv.append([_roll_x(g_dirs[i], _CX[i]) for i in range(_Q)])
         return fv, gv
@@ -208,7 +210,8 @@ def _make_halo_kernel(params, ty, nk):
         x-rolled per-species plane lists."""
         mac = update_macro(f, g, Ex, Ey,
                            q_e=params["q_e"], q_i=params["q_i"],
-                           m_e=params["m_e"], m_i=params["m_i"])
+                           m_e=params["m_e"], m_i=params["m_i"],
+                           neutral_ref=params["neutral_ref"])
         pair_polys = {
             p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p],
                                  params["cs2"])
@@ -220,7 +223,8 @@ def _make_halo_kernel(params, ty, nk):
                 s, f[s], g[s], mac, Ex, Ey,
                 taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
                 m_e=params["m_e"], m_i=params["m_i"],
-                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
+                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
+                neutral_ref=params["neutral_ref"])
             fv.append([_roll_x(f_dirs[i], _CX[i]) for i in range(_Q)])
             gv.append([_roll_x(g_dirs[i], _CX[i]) for i in range(_Q)])
         return fv, gv, mac
@@ -296,7 +300,7 @@ def _make_halo_kernel(params, ty, nk):
 @functools.partial(
     jax.jit,
     static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
-                     "interpret", "band"),
+                     "interpret", "band", "neutral_ref"),
 )
 def collide_stream_halo(
     f: jnp.ndarray,       # (3, Q, NYl, NX) local shard
@@ -317,6 +321,7 @@ def collide_stream_halo(
     cs2: float, kb: float,
     interpret: bool = False,
     band: int = 0,
+    neutral_ref: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused collide+stream for one y-shard with explicit halo strips.
 
@@ -351,7 +356,7 @@ def collide_stream_halo(
                             memory_space=pltpu.VMEM)
 
     params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
-                  cs2=cs2, kb=kb)
+                  cs2=cs2, kb=kb, neutral_ref=neutral_ref)
     kernel = _make_halo_kernel(params, ty, nk)
     dt = f.dtype
     return pl.pallas_call(
@@ -399,7 +404,8 @@ def _make_halo2d_kernel(params, ty, nk, nxl):
         plane lists plus the macros."""
         mac = update_macro(f, g, Ex, Ey,
                            q_e=params["q_e"], q_i=params["q_i"],
-                           m_e=params["m_e"], m_i=params["m_i"])
+                           m_e=params["m_e"], m_i=params["m_i"],
+                           neutral_ref=params["neutral_ref"])
         pair_polys = {
             p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p],
                                  params["cs2"])
@@ -411,7 +417,8 @@ def _make_halo2d_kernel(params, ty, nk, nxl):
                 s, f[s], g[s], mac, Ex, Ey,
                 taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
                 m_e=params["m_e"], m_i=params["m_i"],
-                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
+                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
+                neutral_ref=params["neutral_ref"])
             fv.append(f_dirs)
             gv.append(g_dirs)
         return fv, gv, mac
@@ -517,7 +524,7 @@ def _make_halo2d_kernel(params, ty, nk, nxl):
 @functools.partial(
     jax.jit,
     static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
-                     "interpret", "band"),
+                     "interpret", "band", "neutral_ref"),
 )
 def collide_stream_halo2d(
     f, g, Ex, Ey,                  # local shard (3, Q, NYl, NXl) / (NYl, NXl)
@@ -530,6 +537,7 @@ def collide_stream_halo2d(
     cs2: float, kb: float,
     interpret: bool = False,
     band: int = 0,
+    neutral_ref: float = 0.0,
 ):
     """Fused collide+stream for one (y, x)-shard with explicit halos.
 
@@ -567,7 +575,7 @@ def collide_stream_halo2d(
                         memory_space=pltpu.VMEM)
 
     params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
-                  cs2=cs2, kb=kb)
+                  cs2=cs2, kb=kb, neutral_ref=neutral_ref)
     kernel = _make_halo2d_kernel(params, ty, nk, NX)
     dt = f.dtype
     return pl.pallas_call(
@@ -630,7 +638,7 @@ def _pick_band(NY: int, NX: int, itemsize: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
-                     "interpret", "band"),
+                     "interpret", "band", "neutral_ref"),
 )
 def collide_stream(
     f: jnp.ndarray,   # (3, Q, NY, NX)
@@ -643,6 +651,7 @@ def collide_stream(
     cs2: float, kb: float,
     interpret: bool = False,
     band: int = 0,
+    neutral_ref: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(f_streamed, g_streamed, rho_q) in one fused pass. Periodic BC."""
     S, Q, NY, NX = f.shape
@@ -674,7 +683,7 @@ def collide_stream(
                           memory_space=pltpu.VMEM)
 
     params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
-                  cs2=cs2, kb=kb)
+                  cs2=cs2, kb=kb, neutral_ref=neutral_ref)
     kernel = _make_kernel(params, ty, nk)
 
     dt = f.dtype

@@ -67,8 +67,11 @@ def init_state(cfg: PlasmaConfig) -> PlasmaState:
         ones = jnp.ones((NY, NX), dtype)
         # per-(species, direction) amplitudes in float64 on host, cast once
         w = np.asarray(D2Q9.W)  # float64
+        # delta mode: f[2] holds deviations from rho_n_init * w_i, which is
+        # exactly the (uniform) neutral initial condition -> deltas are 0
+        rho_n_amp = 0.0 if cfg.neutral_delta else u.rho_n_init
         amp_f = np.stack([w * u.rho_e_init, w * u.rho_i_init,
-                          w * u.rho_n_init]).astype(dtype)
+                          w * rho_n_amp]).astype(dtype)
         amp_g = np.stack([w * u.T_e_init, w * u.T_i_init,
                           w * u.T_n_init]).astype(dtype)
         mask = jnp.stack([box, box, ones])            # (3, NY, NX)
@@ -144,7 +147,27 @@ def compute_macros(cfg: PlasmaConfig, state: PlasmaState) -> Macros:
           if cfg.compat.debug_variant else (0.0, 0.0, 0.0))
     return update_macro(state.f, state.g, state.Ex, state.Ey,
                         q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
-                        guard_vals=gv)
+                        guard_vals=gv,
+                        neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0)
+
+
+def _neutral_hole_backgrounds(ref: float):
+    """Per-HOLE_SLOT background f value rho_ref * w_i for the neutral.
+
+    The reference's g-streaming leaks POST-COLLISION F values into the 8
+    bounce-back corner holes (recycled temp buffer, see
+    stream._bounceback_gather_map). In delta mode f[2] holds deltas, so the
+    classic leaked value is delta + rho_ref * w_i — g is not delta-stored,
+    so the background must be added back to keep the quirk bit-compatible.
+    """
+    return [ref * float(D2Q9.W[i]) for (i, _, _) in stream_ops.HOLE_SLOTS]
+
+
+def _g_holes_with_background(vals, neutral_ref: float):
+    if neutral_ref == 0.0:
+        return vals
+    bgs = _neutral_hole_backgrounds(neutral_ref)
+    return [v.at[..., 2].add(bg) for v, bg in zip(vals, bgs)]
 
 
 def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
@@ -175,8 +198,10 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
         raise ValueError("debug_variant mode is jnp-backend only")
     guard_vals = ((0.01 * u.cs2, 0.00001 * u.cs2, 0.0) if debug_variant
                   else (0.0, 0.0, 0.0))
+    neutral_ref = u.rho_n_init if cfg.neutral_delta else 0.0
     phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
-                cs2=u.cs2, kb=u.kb, interpret=cfg.kernel_interpret)
+                cs2=u.cs2, kb=u.kb, interpret=cfg.kernel_interpret,
+                neutral_ref=neutral_ref)
 
     def collide_stage(state: PlasmaState):
         if use_pallas:
@@ -184,13 +209,15 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             return fused_collide(
                 state.f, state.g, state.Ex, state.Ey,
                 taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
-                cs2=u.cs2, kb=u.kb, interpret=cfg.kernel_interpret)
+                cs2=u.cs2, kb=u.kb, interpret=cfg.kernel_interpret,
+                neutral_ref=neutral_ref)
         mac = update_macro(state.f, state.g, state.Ex, state.Ey,
                            q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
-                           guard_vals=guard_vals)
+                           guard_vals=guard_vals, neutral_ref=neutral_ref)
         f_post, g_post = collide(state.f, state.g, mac, state.Ex, state.Ey,
                                  taus=cfg.taus, q_e=u.q_e, q_i=u.q_i,
-                                 m_e=u.m_e, m_i=u.m_i, cs2=u.cs2, kb=u.kb)
+                                 m_e=u.m_e, m_i=u.m_i, cs2=u.cs2, kb=u.kb,
+                                 neutral_ref=neutral_ref)
         return f_post, g_post, mac.rho_q
 
     def step(state: PlasmaState) -> PlasmaState:
@@ -212,7 +239,8 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
                 f, g, rho_q = collide_stream(state.f, state.g, state.Ex,
                                              state.Ey, **phys)
             if not periodic:
-                g_holes = stream_ops.hole_values_from_periodic(f)
+                g_holes = _g_holes_with_background(
+                    stream_ops.hole_values_from_periodic(f), neutral_ref)
                 f = stream_ops.bounceback_from_periodic(f, f_holes)
                 g = stream_ops.bounceback_from_periodic(g, g_holes)
             Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi,
@@ -230,8 +258,13 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             # The debug predecessor has its own g-temp buffers, so its g
             # holes retain pre-collision g instead.
             f = stream_bounceback(f_post, stale=state.f)
-            g = stream_bounceback(g_post,
-                                  stale=state.g if debug_variant else f_post)
+            if debug_variant:
+                g = stream_bounceback(g_post, stale=state.g)
+            else:
+                g_holes = _g_holes_with_background(
+                    stream_ops.hole_values(f_post), neutral_ref)
+                g = stream_ops.bounceback_from_periodic(
+                    stream_periodic(g_post), g_holes)
         Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi, state.Ex, state.Ey)
         if debug_variant:
             # "pulsed" external field: zeroed at the end of step 0 for every

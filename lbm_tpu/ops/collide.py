@@ -31,7 +31,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..constants import D2Q9
-from .equilibrium import equilibrium_wpolys
+from .equilibrium import equilibrium_wpolys, equilibrium_wpolys_dev
 from .macros import Macros
 
 _W = [float(w) for w in D2Q9.W]
@@ -74,15 +74,39 @@ def _species_setup(s, mac, cs2, taus, pair_polys, self_wpolys=None):
 def collide_species_f_dirs(
     s, f_s, mac, Ex, Ey, *,
     taus, q_e, q_i, m_e, m_i, cs2,
-    pair_polys=None, self_wpolys=None,
+    pair_polys=None, self_wpolys=None, neutral_ref=0.0,
 ):
-    """Mass-population update for species s (never reads g/T)."""
+    """Mass-population update for species s (never reads g/T).
+
+    With neutral_ref != 0 the neutral populations are deltas from the
+    uniform background neutral_ref * w_i, and the relaxation is rewritten
+    exactly in delta form (subtract rho_ref w_i from both sides; the BGK
+    sum satisfies Sum_p inv_p = 1 - keep):
+
+        delta'_i = keep * delta_i + Sum_p inv_p (feq_p,i - rho_ref w_i)
+        feq_p,i - rho_ref w_i = rho_n * wdev_p,i + drho_n * w_i
+
+    with wdev the factored deviation polynomials — no large-number
+    cancellation anywhere (reference math: src/collisions.cpp:118-152;
+    algebraically identical, rounding moved off the 1.8e10 background).
+    """
     charge = (q_e, q_i, 0.0)
     mass = (m_e, m_i, 1.0)
     t_self, invs, wp, keep = _species_setup(s, mac, cs2, taus, pair_polys,
                                             self_wpolys)
     rho_s, ux_s, uy_s = mac.rho[s], mac.ux[s], mac.uy[s]
     amp_f = tuple(rho_s * inv for inv in invs)
+
+    if s == 2 and neutral_ref != 0.0:
+        p1, p2 = _PAIR_IDX[s]
+        wdev = (equilibrium_wpolys_dev(ux_s, uy_s, cs2),
+                equilibrium_wpolys_dev(mac.ux_pair[p1], mac.uy_pair[p1], cs2),
+                equilibrium_wpolys_dev(mac.ux_pair[p2], mac.uy_pair[p2], cs2))
+        damp = mac.drho_n * (1.0 - keep)
+        return [f_s[i] * keep
+                + amp_f[0] * wdev[0][i] + amp_f[1] * wdev[1][i]
+                + amp_f[2] * wdev[2][i] + damp * _W[i]
+                for i in range(_Q)]
 
     charged = charge[s] != 0.0
     if charged:
@@ -155,6 +179,7 @@ def collide_species_dirs(
     q_e: float, q_i: float, m_e: float, m_i: float,
     cs2: float, kb: float,
     pair_polys=None,  # optional precomputed equilibrium_wpolys per pair axis
+    neutral_ref: float = 0.0,
 ):
     """Post-collision populations for species s as two lists of Q arrays.
 
@@ -173,7 +198,8 @@ def collide_species_dirs(
     self_wpolys = equilibrium_wpolys(mac.ux[s], mac.uy[s], cs2)
     f_dirs = collide_species_f_dirs(
         s, f_s, mac, Ex, Ey, taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
-        cs2=cs2, pair_polys=pair_polys, self_wpolys=self_wpolys)
+        cs2=cs2, pair_polys=pair_polys, self_wpolys=self_wpolys,
+        neutral_ref=neutral_ref)
     g_dirs = collide_species_g_dirs(
         s, g_s, mac, taus=taus, cs2=cs2, kb=kb, pair_polys=pair_polys,
         self_wpolys=self_wpolys)
@@ -194,9 +220,11 @@ def collide(
     m_i: float,
     cs2: float,
     kb: float,
+    neutral_ref: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One collision step; returns (f_post, g_post) (pre-streaming)."""
-    kw = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2, kb=kb)
+    kw = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2, kb=kb,
+              neutral_ref=neutral_ref)
     pair_polys = {
         p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p], cs2)
         for p in range(3)

@@ -60,6 +60,27 @@ def equilibrium_wpolys(ux: jnp.ndarray, uy: jnp.ndarray, cs2: float):
     return [_W[i] * polys[i] for i in range(D2Q9.Q)]
 
 
+def equilibrium_wpolys_dev(ux: jnp.ndarray, uy: jnp.ndarray, cs2: float):
+    """w_i * (poly_i - 1) — the DEVIATION polynomials, in factored form.
+
+    Used by the neutral delta-storage mode (ops/collide.py): the neutral
+    equilibrium relative to the uniform background rho_ref * w_i is
+        feq_i - rho_ref w_i = rho (w_i poly_i) - rho_ref w_i
+                            = rho * wdev_i + (rho - rho_ref) * w_i,
+    and wdev_i MUST be built from the velocity terms directly — computing
+    wpoly_i - w_i would cancel catastrophically at the tiny neutral
+    velocities that motivate the mode (|u_n| ~ 1e-8 lattice units at the
+    golden parameters, SURVEY.md section 7.3.4)."""
+    inv = 1.0 / cs2
+    u2_term = (ux * ux + uy * uy) * (0.5 * inv)
+    out = []
+    for i in range(D2Q9.Q):
+        cu = _CX[i] * ux + _CY[i] * uy
+        out.append(_W[i] * (cu * inv + (cu * cu) * (0.5 * inv * inv)
+                            - u2_term))
+    return out
+
+
 def equilibrium_dirs(
     amp: jnp.ndarray,
     ux: jnp.ndarray,

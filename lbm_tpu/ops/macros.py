@@ -46,6 +46,10 @@ class Macros(NamedTuple):
     uy_pair: jnp.ndarray  # (3, NY, NX)
     rho_q: jnp.ndarray    # (NY, NX)
     rho_raw: jnp.ndarray = None  # (3, NY, NX) pre-guard momentum-sum density
+    # neutral density deviation Sum_i delta_i when f[2] is stored as a delta
+    # from the uniform background rho_ref * w_i (cfg.neutral_delta); None in
+    # classic mode. Kept separately because rho - rho_ref would cancel.
+    drho_n: jnp.ndarray = None
 
 
 def _sum_dirs(a_s):
@@ -96,15 +100,27 @@ def update_macro(
     m_e: float,
     m_i: float,
     guard_vals: tuple = (0.0, 0.0, 0.0),
+    neutral_ref: float = 0.0,
 ) -> Macros:
     """guard_vals: the per-species value the momentum==+/-rho guard assigns
     (0 in the final reference; 0.01*cs2 / 1e-5*cs2 / 0 in the debug
-    predecessor variant)."""
+    predecessor variant).
+
+    neutral_ref != 0 enables the neutral delta-storage mode: f[2] holds
+    deviations delta_i from the uniform background neutral_ref * w_i, so
+    rho_n = neutral_ref + Sum_i delta_i and the momenta come from the
+    deltas directly — cancellation-free where the classic f32 path loses
+    the entire neutral velocity signal to rounding (rho_n ~ 1.8e10 lattice
+    units at the golden parameters)."""
     qom = (q_e / m_e, q_i / m_i, 0.0)
 
     rho_raw, rho_l, ux_l, uy_l, T_l, alive_l = [], [], [], [], [], []
+    drho_n = None
     for s in range(3):
         rho, px, py = _moments(f[s])
+        if s == 2 and neutral_ref != 0.0:
+            drho_n = rho
+            rho = neutral_ref + rho
         alive = rho >= 1e-10
         safe_rho = jnp.where(alive, rho, 1.0)
         inv_rho = 1.0 / safe_rho  # one division shared by both components
@@ -134,7 +150,7 @@ def update_macro(
         rho=jnp.stack(rho_l), ux=jnp.stack(ux_l), uy=jnp.stack(uy_l),
         T=jnp.stack(T_l) if g is not None else None,
         ux_pair=jnp.stack(uxp), uy_pair=jnp.stack(uyp),
-        rho_q=rho_q, rho_raw=jnp.stack(rho_raw),
+        rho_q=rho_q, rho_raw=jnp.stack(rho_raw), drho_n=drho_n,
     )
 
 

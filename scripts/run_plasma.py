@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--bc", choices=["periodic", "bounceback"])
     p.add_argument("--omega-sor", type=float)
     p.add_argument("--backend", choices=["jnp", "pallas", "fused"], default="fused")
+    p.add_argument("--neutral-delta", dest="neutral_delta",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="store neutral populations as deltas from the "
+                        "uniform background (rescues the f32 neutral "
+                        "channel; default: on for f32, off for f64)")
     p.add_argument("--f64", action="store_true",
                    help="float64 parity mode (CPU)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -92,6 +97,10 @@ def main():
     if args.omega_sor: over["omega_sor"] = args.omega_sor
     over["backend"] = args.backend
     over["dtype"] = jnp.float64 if args.f64 else jnp.float32
+    # delta storage is an accuracy win in f32 (docs/STATUS.md drift table);
+    # f64 defaults to the classic layout for bitwise golden parity
+    over["neutral_delta"] = (args.neutral_delta if args.neutral_delta
+                             is not None else not args.f64)
     cfg = dataclasses.replace(cfg, **over)
 
     os.makedirs(args.out, exist_ok=True)
