@@ -11,8 +11,10 @@ with the k=0 mode zeroed — the direct generalization of the reference's
 2-D eigenvalue (src/poisson.cpp:388-409). The thermal energy-loss term uses
 Q=19 where the 2-D reference hard-codes Q=9.
 
-State layout: (3, 19, NZ, NY, NX). jnp/XLA path (the Pallas treatment of
-the 3-D stencil follows the 2-D kernel's band pipeline and is future work).
+State layout: (3, 19, NZ, NY, NX). The physics operators live in
+ops/d3.py (direction-unrolled, factored polynomials, scalar stencil
+constants — shared verbatim with the 3-D Pallas kernel, exactly like the
+2-D ops/ <-> kernels/ split).
 """
 from __future__ import annotations
 
@@ -24,6 +26,8 @@ import numpy as np
 
 from ..config import PlasmaConfig
 from ..constants import D3Q19
+from ..ops.d3 import (Macros3D, collide_species_dirs3, equilibrium_wpolys3,
+                      update_macro3)
 
 _Q = D3Q19.Q
 _S = 3
@@ -41,28 +45,38 @@ class Plasma3DState(NamedTuple):
 
 def init_state(cfg: PlasmaConfig) -> Plasma3DState:
     """Electrons/ions seeded in the center column (box in x-y spanning all
-    z — a plasma column), neutrals everywhere; uniform external E field."""
+    z — a plasma column), neutrals everywhere; uniform external E field.
+    Built ON-DEVICE (at 256^3 the f+g state is ~27 GB in f32 — host-side
+    construction + tunnel transfer is a non-starter, cf. 2-D init)."""
     assert cfg.NZ > 0, "3-D config requires NZ > 0"
     u = cfg.units()
     NZ, NY, NX = cfg.NZ, cfg.NY, cfg.NX
     dtype = cfg.dtype
-    w = np.asarray(D3Q19.W)[:, None, None, None]
 
-    box = np.zeros((NZ, NY, NX))
-    box[:, NY // 4 + 1: (3 * NY) // 4, NX // 4 + 1: (3 * NX) // 4] = 1.0
-    ones = np.ones((NZ, NY, NX))
+    @jax.jit
+    def build():
+        iy = jax.lax.broadcasted_iota(jnp.int32, (NZ, NY, NX), 1)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (NZ, NY, NX), 2)
+        box = ((iy >= NY // 4 + 1) & (iy < (3 * NY) // 4)
+               & (ix >= NX // 4 + 1) & (ix < (3 * NX) // 4)).astype(dtype)
+        ones = jnp.ones((NZ, NY, NX), dtype)
+        w = np.asarray(D3Q19.W)  # float64 on host, cast once
+        amp_f = np.stack([w * u.rho_e_init, w * u.rho_i_init,
+                          w * u.rho_n_init]).astype(dtype)
+        amp_g = np.stack([w * u.T_e_init, w * u.T_i_init,
+                          w * u.T_n_init]).astype(dtype)
+        mask = jnp.stack([box, box, ones])           # (3, NZ, NY, NX)
+        f = jnp.asarray(amp_f)[:, :, None, None, None] * mask[:, None]
+        g = jnp.asarray(amp_g)[:, :, None, None, None] * mask[:, None]
+        zero = jnp.zeros((NZ, NY, NX), dtype)
+        return Plasma3DState(
+            f=f, g=g,
+            Ex=jnp.full((NZ, NY, NX), u.Ex_ext, dtype),
+            Ey=jnp.full((NZ, NY, NX), u.Ey_ext, dtype),
+            Ez=zero, phi=zero, step=jnp.zeros((), jnp.int32),
+        )
 
-    f = np.stack([w * (u.rho_e_init * box), w * (u.rho_i_init * box),
-                  w * (u.rho_n_init * ones)])
-    g = np.stack([w * (u.T_e_init * box), w * (u.T_i_init * box),
-                  w * (u.T_n_init * ones)])
-    zero = jnp.zeros((NZ, NY, NX), dtype)
-    return Plasma3DState(
-        f=jnp.asarray(f, dtype), g=jnp.asarray(g, dtype),
-        Ex=jnp.full((NZ, NY, NX), u.Ex_ext, dtype),
-        Ey=jnp.full((NZ, NY, NX), u.Ey_ext, dtype),
-        Ez=zero, phi=zero, step=jnp.zeros((), jnp.int32),
-    )
+    return build()
 
 
 def _consts(dtype):
@@ -82,110 +96,26 @@ def _equilibrium(amp, ux, uy, uz, cs2, dtype):
                             - u2[None] * (0.5 * inv))
 
 
-class Macros3D(NamedTuple):
-    rho: jnp.ndarray
-    ux: jnp.ndarray
-    uy: jnp.ndarray
-    uz: jnp.ndarray
-    T: jnp.ndarray
-    u_pair: Tuple  # ((ux,uy,uz) per pair axis)
-    rho_q: jnp.ndarray
-
-
-def update_macro(f, g, Ex, Ey, Ez, *, q_e, q_i, m_e, m_i):
-    dtype = f.dtype
-    cx, cy, cz, _ = _consts(dtype)
-    rho_raw = jnp.sum(f, axis=1)
-    px = jnp.sum(f * cx[None], axis=1)
-    py = jnp.sum(f * cy[None], axis=1)
-    pz = jnp.sum(f * cz[None], axis=1)
-    T_raw = jnp.sum(g, axis=1)
-
-    alive = rho_raw >= 1e-10
-    safe = jnp.where(alive, rho_raw, 1.0)
-    ux = jnp.where((px == rho_raw) | (px == -rho_raw), 0.0, px / safe)
-    uy = jnp.where((py == rho_raw) | (py == -rho_raw), 0.0, py / safe)
-    uz = jnp.where((pz == rho_raw) | (pz == -rho_raw), 0.0, pz / safe)
-    qom = jnp.asarray(np.array([q_e / m_e, q_i / m_i, 0.0]),
-                      dtype)[:, None, None, None]
-    ux = ux + 0.5 * qom * Ex[None]
-    uy = uy + 0.5 * qom * Ey[None]
-    uz = uz + 0.5 * qom * Ez[None]
-
-    rho = jnp.where(alive, rho_raw, 0.0)
-    ux = jnp.where(alive, ux, 0.0)
-    uy = jnp.where(alive, uy, 0.0)
-    uz = jnp.where(alive, uz, 0.0)
-    T = jnp.where(alive, T_raw, 0.0)
-
-    pairs = []
-    for a, b in ((0, 1), (0, 2), (1, 2)):
-        ra, rb = rho_raw[a], rho_raw[b]
-        dead = (~alive[a]) & (~alive[b])
-        den = jnp.where(dead, 1.0, ra + rb)
-        pairs.append(tuple(
-            jnp.where(dead, 0.0, (ra * ua + rb * ub) / den)
-            for ua, ub in ((ux[a], ux[b]), (uy[a], uy[b]), (uz[a], uz[b]))))
-
-    rho_q = (q_i / m_i) * rho[1] + (q_e / m_e) * rho[0]
-    rho_q = jnp.where(rho_q < 1e-15, 0.0, rho_q)
-    return Macros3D(rho=rho, ux=ux, uy=uy, uz=uz, T=T,
-                    u_pair=tuple(pairs), rho_q=rho_q)
-
-
-_PAIR_IDX = ((0, 1), (0, 2), (1, 2))
+def update_macro(f, g, Ex, Ey, Ez, *, q_e, q_i, m_e, m_i) -> Macros3D:
+    """Moments for observation/the step (delegates to the shared op)."""
+    return update_macro3(f, g, Ex, Ey, Ez, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i)
 
 
 def collide(f, g, mac, Ex, Ey, Ez, *, taus, q_e, q_i, m_e, m_i, cs2, kb):
-    dtype = f.dtype
-    cx, cy, cz, w = _consts(dtype)
-    tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
-    tau_self = (tau_e, tau_i, tau_n)
-    tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
-    charge = (q_e, q_i, 0.0)
-    mass = (m_e, m_i, 1.0)
-
-    def term(rho_s, tau, feq):
-        r = 1.0 - 1.0 / tau
-        qf = _Q * feq / tau
-        return (2.0 * rho_s[None] * r * r - 2.0 * r * rho_s[None] - qf) / (
-            2.0 * (2.0 * r + qf))
-
+    """Triple-BGK + Guo + DDF thermal via the shared per-direction ops
+    (ops/d3.py) — no materialized (19, NZ, NY, NX) equilibrium fields."""
+    kw = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2, kb=kb)
+    pair_polys = {
+        p: equilibrium_wpolys3(mac.ux_pair[p], mac.uy_pair[p],
+                               mac.uz_pair[p], cs2)
+        for p in range(3)
+    }
     f_out, g_out = [], []
     for s in range(_S):
-        p1, p2 = _PAIR_IDX[s]
-        t_s = tau_self[s]
-        t1, t2 = tau_cross[s]
-        rho_s = mac.rho[s]
-        us = (mac.ux[s], mac.uy[s], mac.uz[s])
-        up1, up2 = mac.u_pair[p1], mac.u_pair[p2]
-
-        feq_s = _equilibrium(rho_s, *us, cs2, dtype)
-        feq_1 = _equilibrium(rho_s, *up1, cs2, dtype)
-        feq_2 = _equilibrium(rho_s, *up2, cs2, dtype)
-        geq_s = _equilibrium(mac.T[s], *us, cs2, dtype)
-        geq_1 = _equilibrium(mac.T[s], *up1, cs2, dtype)
-        geq_2 = _equilibrium(mac.T[s], *up2, cs2, dtype)
-
-        tm = term(rho_s, t_s, feq_s) + term(rho_s, t1, feq_1) \
-            + term(rho_s, t2, feq_2)
-        u2 = (us[0] ** 2 + us[1] ** 2 + us[2] ** 2)[None]
-        dT = -(rho_s[None] * tm * u2) / kb
-        C_T = (-(g[s] - geq_s) / t_s - (g[s] - geq_1) / t1
-               - (g[s] - geq_2) / t2)
-        g_out.append(g[s] + C_T + dT)
-
-        C = (-(f[s] - feq_s) / t_s - (f[s] - feq_1) / t1
-             - (f[s] - feq_2) / t2)
-        if charge[s] != 0.0:
-            cE = cx * Ex[None] + cy * Ey[None] + cz * Ez[None]
-            cu = cx * us[0][None] + cy * us[1][None] + cz * us[2][None]
-            uE = (us[0] * Ex + us[1] * Ey + us[2] * Ez)[None]
-            pref = w * (charge[s] / mass[s] / cs2) * rho_s[None] * (
-                1.0 - 1.0 / (2.0 * t_s))
-            f_out.append(f[s] + C + pref * (cE + cu * cE / cs2 - uE))
-        else:
-            f_out.append(f[s] + C)
+        f_dirs, g_dirs = collide_species_dirs3(
+            s, f[s], g[s], mac, Ex, Ey, Ez, pair_polys=pair_polys, **kw)
+        f_out.append(jnp.stack(f_dirs))
+        g_out.append(jnp.stack(g_dirs))
     return jnp.stack(f_out), jnp.stack(g_out)
 
 

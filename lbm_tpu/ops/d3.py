@@ -1,0 +1,214 @@
+"""Shared D3Q19 physics operators (3-D analog of macros.py/collide.py).
+
+The same pairwise-BGK + Guo-forcing + DDF-thermal structure as the 2-D
+reference (src/collisions.cpp), extended to three dimensions on the D3Q19
+stencil. Written the TPU way, like the 2-D ops:
+
+  * direction loops unrolled with SCALAR stencil constants (no captured
+    array constants — a Pallas kernel requirement, and it keeps every
+    per-direction intermediate a (NZ, NY, NX)-shaped register value
+    instead of a materialized (19, NZ, NY, NX) field);
+  * the amp-independent w_i * poly_i(u) factors are shared across the six
+    equilibrium uses per species (f/g x self/pair1/pair2) and across the
+    two species of each pair — 6 distinct poly sets for 36 equilibria;
+  * the three thermal energy-loss fractions are combined over a common
+    denominator (one division per direction).
+
+Shared verbatim by the jnp path (models/plasma3d.py) and the 3-D Pallas
+kernel. Species axis order: 0=electron, 1=ion, 2=neutral; pair axis order:
+0=(e,i), 1=(e,n), 2=(i,n).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..constants import D3Q19
+
+_W = [float(w) for w in D3Q19.W]
+_CX = [float(c) for c in D3Q19.CX]
+_CY = [float(c) for c in D3Q19.CY]
+_CZ = [float(c) for c in D3Q19.CZ]
+_Q = D3Q19.Q
+
+_PAIR_IDX = ((0, 1), (0, 2), (1, 2))
+
+
+def equilibrium_wpolys3(ux, uy, uz, cs2: float):
+    """w_i * poly_i(u) for the D3Q19 stencil (cf. 2-D equilibrium.py)."""
+    inv = 1.0 / cs2
+    u2_term = (ux * ux + uy * uy + uz * uz) * (0.5 * inv)
+    out = []
+    for i in range(_Q):
+        cu = _CX[i] * ux + _CY[i] * uy + _CZ[i] * uz
+        out.append(_W[i] * (1.0 + cu * inv + (cu * cu) * (0.5 * inv * inv)
+                            - u2_term))
+    return out
+
+
+class Macros3D(NamedTuple):
+    rho: jnp.ndarray       # (3, NZ, NY, NX) guarded
+    ux: jnp.ndarray
+    uy: jnp.ndarray
+    uz: jnp.ndarray
+    T: jnp.ndarray
+    ux_pair: jnp.ndarray   # (3, NZ, NY, NX) — (ei, en, in)
+    uy_pair: jnp.ndarray
+    uz_pair: jnp.ndarray
+    rho_q: jnp.ndarray     # (NZ, NY, NX)
+    rho_raw: jnp.ndarray = None
+
+
+def _sum_dirs(a_s):
+    acc = a_s[0]
+    for i in range(1, _Q):
+        acc = acc + a_s[i]
+    return acc
+
+
+def _moments3(f_s):
+    """rho, px, py, pz for one species (sequential direction order)."""
+    rho = _sum_dirs(f_s)
+    px = py = pz = None
+
+    def acc(m, c, v):
+        if c == 0.0:
+            return m
+        term = v if c > 0 else -v
+        return term if m is None else m + term
+
+    for i in range(_Q):
+        px = acc(px, _CX[i], f_s[i])
+        py = acc(py, _CY[i], f_s[i])
+        pz = acc(pz, _CZ[i], f_s[i])
+    return rho, px, py, pz
+
+
+def update_macro3(
+    f, g, Ex, Ey, Ez, *,
+    q_e: float, q_i: float, m_e: float, m_i: float,
+) -> Macros3D:
+    """Moments + guards + half-force + mixtures + rho_q (the 2-D
+    update_macro's semantics on the D3Q19 stencil; same guard thresholds,
+    macros.py:88-138)."""
+    qom = (q_e / m_e, q_i / m_i, 0.0)
+    rho_raw, rho_l, ux_l, uy_l, uz_l, T_l, alive_l = ([] for _ in range(7))
+    for s in range(3):
+        rho, px, py, pz = _moments3(f[s])
+        alive = rho >= 1e-10
+        inv_rho = 1.0 / jnp.where(alive, rho, 1.0)
+        ux = jnp.where((px == rho) | (px == -rho), 0.0, px * inv_rho)
+        uy = jnp.where((py == rho) | (py == -rho), 0.0, py * inv_rho)
+        uz = jnp.where((pz == rho) | (pz == -rho), 0.0, pz * inv_rho)
+        if qom[s] != 0.0:
+            ux = ux + (0.5 * qom[s]) * Ex
+            uy = uy + (0.5 * qom[s]) * Ey
+            uz = uz + (0.5 * qom[s]) * Ez
+        rho_raw.append(rho)
+        alive_l.append(alive)
+        rho_l.append(jnp.where(alive, rho, 0.0))
+        ux_l.append(jnp.where(alive, ux, 0.0))
+        uy_l.append(jnp.where(alive, uy, 0.0))
+        uz_l.append(jnp.where(alive, uz, 0.0))
+        if g is not None:
+            T_l.append(jnp.where(alive, _sum_dirs(g[s]), 0.0))
+
+    uxp, uyp, uzp = [], [], []
+    for a, b in _PAIR_IDX:
+        ra, rb = rho_raw[a], rho_raw[b]
+        both_dead = (~alive_l[a]) & (~alive_l[b])
+        inv = 1.0 / jnp.where(both_dead, 1.0, ra + rb)
+        uxp.append(jnp.where(both_dead, 0.0,
+                             (ra * ux_l[a] + rb * ux_l[b]) * inv))
+        uyp.append(jnp.where(both_dead, 0.0,
+                             (ra * uy_l[a] + rb * uy_l[b]) * inv))
+        uzp.append(jnp.where(both_dead, 0.0,
+                             (ra * uz_l[a] + rb * uz_l[b]) * inv))
+
+    rho_q = (q_i / m_i) * rho_l[1] + (q_e / m_e) * rho_l[0]
+    rho_q = jnp.where(rho_q < 1e-15, 0.0, rho_q)
+
+    return Macros3D(
+        rho=jnp.stack(rho_l), ux=jnp.stack(ux_l), uy=jnp.stack(uy_l),
+        uz=jnp.stack(uz_l),
+        T=jnp.stack(T_l) if g is not None else None,
+        ux_pair=jnp.stack(uxp), uy_pair=jnp.stack(uyp), uz_pair=jnp.stack(uzp),
+        rho_q=rho_q, rho_raw=jnp.stack(rho_raw),
+    )
+
+
+def collide_species_dirs3(
+    s: int,
+    f_s, g_s,             # indexable: [i] -> (NZ, NY, NX)
+    mac: Macros3D,
+    Ex, Ey, Ez,
+    *,
+    taus,
+    q_e: float, q_i: float, m_e: float, m_i: float,
+    cs2: float, kb: float,
+    pair_polys=None,
+):
+    """Post-collision (f_dirs, g_dirs) for species s, as lists of Q arrays
+    (the 2-D collide_species_dirs on D3Q19; same factored/packed algebra)."""
+    tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
+    tau_self = (tau_e, tau_i, tau_n)
+    tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
+    charge = (q_e, q_i, 0.0)
+    mass = (m_e, m_i, 1.0)
+    p1, p2 = _PAIR_IDX[s]
+    t_self = tau_self[s]
+    t_c1, t_c2 = tau_cross[s]
+    invs = (1.0 / t_self, 1.0 / t_c1, 1.0 / t_c2)
+    keep = 1.0 - (invs[0] + invs[1] + invs[2])
+
+    if pair_polys is None:
+        pair_polys = {
+            p: equilibrium_wpolys3(mac.ux_pair[p], mac.uy_pair[p],
+                                   mac.uz_pair[p], cs2)
+            for p in (p1, p2)
+        }
+    rho_s = mac.rho[s]
+    ux_s, uy_s, uz_s, T_s = mac.ux[s], mac.uy[s], mac.uz[s], mac.T[s]
+    wp = (equilibrium_wpolys3(ux_s, uy_s, uz_s, cs2),
+          pair_polys[p1], pair_polys[p2])
+    amp_f = tuple(rho_s * inv for inv in invs)
+    amp_g = tuple(T_s * inv for inv in invs)
+
+    charged = charge[s] != 0.0
+    if charged:
+        uE = ux_s * Ex + uy_s * Ey + uz_s * Ez
+        force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
+            1.0 - 1.0 / (2.0 * t_self))
+
+    # combined-fraction thermal terms (cf. 2-D collide.py:119-141)
+    tt = []
+    for inv in invs:
+        r = 1.0 - inv
+        tt.append(((2.0 * r * r - 2.0 * r) * rho_s, 4.0 * r))
+    u2 = ux_s * ux_s + uy_s * uy_s + uz_s * uz_s
+    dT_amp = -(rho_s * u2) / kb
+
+    f_dirs, g_dirs = [], []
+    for i in range(_Q):
+        feqd = amp_f[0] * wp[0][i] + amp_f[1] * wp[1][i] + amp_f[2] * wp[2][i]
+        relax = f_s[i] * keep + feqd
+        if charged:
+            cE = _CX[i] * Ex + _CY[i] * Ey + _CZ[i] * Ez
+            cu = _CX[i] * ux_s + _CY[i] * uy_s + _CZ[i] * uz_s
+            F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
+            f_dirs.append(relax + F)
+        else:
+            f_dirs.append(relax)
+
+        geqd = amp_g[0] * wp[0][i] + amp_g[1] * wp[1][i] + amp_g[2] * wp[2][i]
+        ns, ds = [], []
+        for p in range(3):
+            qf = _Q * (amp_f[p] * wp[p][i])
+            ns.append(tt[p][0] - qf)
+            ds.append(tt[p][1] + 2.0 * qf)
+        d12 = ds[0] * ds[1]
+        tm = (ns[0] * (ds[1] * ds[2]) + ns[1] * (ds[0] * ds[2])
+              + ns[2] * d12) / (d12 * ds[2])
+        g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
+    return f_dirs, g_dirs
