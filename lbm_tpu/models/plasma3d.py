@@ -130,8 +130,16 @@ def stream_periodic(f):
 
 
 def solve_fft3d(rho_q):
+    """3-D spectral Poisson solve, written as per-axis 1-D transforms.
+
+    Equivalent to rfftn/irfftn; the per-axis form is required under GSPMD
+    sharding — XLA's CPU fft thunk RET_CHECKs on the non-dim0-major layout
+    the partitioner picks for the fused multi-axis rfftn (the per-axis
+    chain partitions cleanly: local transforms + collective transposes)."""
     NZ, NY, NX = rho_q.shape
-    rho_hat = jnp.fft.rfftn(rho_q)
+    rho_hat = jnp.fft.rfft(rho_q, axis=-1)
+    rho_hat = jnp.fft.fft(rho_hat, axis=-2)
+    rho_hat = jnp.fft.fft(rho_hat, axis=-3)
     kz = np.fft.fftfreq(NZ) * NZ
     ky = np.fft.fftfreq(NY) * NY
     kx = np.arange(NX // 2 + 1)
@@ -139,8 +147,10 @@ def solve_fft3d(rho_q):
                  + np.sin(np.pi * ky / NY)[None, :, None] ** 2
                  + np.sin(np.pi * kx / NX)[None, None, :] ** 2)
     inv = np.where(den > 1e-15, 1.0 / np.maximum(den, 1e-300), 0.0)
-    phi = jnp.fft.irfftn(rho_hat * jnp.asarray(inv, rho_hat.dtype),
-                         s=(NZ, NY, NX))
+    phi_hat = rho_hat * jnp.asarray(inv, rho_hat.dtype)
+    phi_hat = jnp.fft.ifft(phi_hat, axis=-3)
+    phi_hat = jnp.fft.ifft(phi_hat, axis=-2)
+    phi = jnp.fft.irfft(phi_hat, n=NX, axis=-1)
     return phi.astype(rho_q.dtype)
 
 
@@ -158,7 +168,22 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
     if cfg.poisson not in (PoissonSolver.FFT, PoissonSolver.NONE):
         raise ValueError("3-D model supports FFT/NONE Poisson")
 
+    use_fused = cfg.backend in ("fused", "pallas")
+    if use_fused:
+        from ..kernels.fused_step3d import check_vmem3d
+        try:
+            check_vmem3d(cfg.NY, cfg.NX, jnp.dtype(cfg.dtype).itemsize)
+        except ValueError:
+            use_fused = False  # slice too wide for VMEM: jnp/XLA path
+
     def step(state: Plasma3DState) -> Plasma3DState:
+        if use_fused:
+            from ..kernels.fused_step3d import collide_stream3d
+            f, g, rho_q = collide_stream3d(
+                state.f, state.g, state.Ex, state.Ey, state.Ez,
+                taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb, interpret=cfg.kernel_interpret)
+            return _poisson_and_pack(cfg, state, f, g, rho_q)
         mac = update_macro(state.f, state.g, state.Ex, state.Ey, state.Ez,
                            q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i)
         f, g = collide(state.f, state.g, mac, state.Ex, state.Ey, state.Ez,
@@ -166,8 +191,11 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
                        m_e=u.m_e, m_i=u.m_i, cs2=u.cs2, kb=u.kb)
         f = stream_periodic(f)
         g = stream_periodic(g)
+        return _poisson_and_pack(cfg, state, f, g, mac.rho_q)
+
+    def _poisson_and_pack(cfg, state, f, g, rho_q):
         if cfg.poisson == PoissonSolver.FFT:
-            phi = solve_fft3d(mac.rho_q)
+            phi = solve_fft3d(rho_q)
             Ex, Ey, Ez = efield_periodic3d(phi)
         elif cfg.compat.none_solver_kills_external_field:
             # reference NONE-solver quirk (src/poisson.cpp:34-43)

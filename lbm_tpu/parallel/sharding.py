@@ -62,3 +62,38 @@ def validate_grid(cfg: PlasmaConfig, mesh: Mesh) -> None:
     if cfg.NY % ny or cfg.NX % nx:
         raise ValueError(
             f"grid {cfg.NY}x{cfg.NX} not divisible by mesh {ny}x{nx}")
+
+
+# ---------------------------------------------------------------------------
+# 3-D (D3Q19) model: shard the (NY, NX) lattice dims; NZ stays local (it is
+# the fused kernel's pipeline axis, and the 3-D FFT keeps one unsharded axis
+# per transform stage this way).
+# ---------------------------------------------------------------------------
+
+def state_shardings3d(mesh: Mesh):
+    from ..models.plasma3d import Plasma3DState
+
+    pop = NamedSharding(mesh, P(None, None, None, AXIS_Y, AXIS_X))
+    field = NamedSharding(mesh, P(None, AXIS_Y, AXIS_X))
+    scalar = NamedSharding(mesh, P())
+    return Plasma3DState(f=pop, g=pop, Ex=field, Ey=field, Ez=field,
+                         phi=field, step=scalar)
+
+
+def shard_state3d(state, mesh: Mesh):
+    sh = state_shardings3d(mesh)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def make_sharded_step3d(cfg: PlasmaConfig, mesh: Mesh, donate: bool = True):
+    """Jitted 3-D step with (NY, NX)-sharded state (GSPMD; jnp backend —
+    the fused kernel is a single-device program, its multi-chip story is
+    per-shard invocation under shard_map as in fused_sharded.py)."""
+    import dataclasses as _dc
+
+    from ..models.plasma3d import make_step
+
+    sh = state_shardings3d(mesh)
+    step = make_step(_dc.replace(cfg, backend="jnp"))
+    return jax.jit(step, in_shardings=(sh,), out_shardings=sh,
+                   donate_argnums=(0,) if donate else ())

@@ -24,6 +24,9 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--poisson", choices=["FFT", "NONE"], default="FFT")
     p.add_argument("--slice-every", type=int, default=10)
+    p.add_argument("--backend", choices=["jnp", "fused"], default="fused",
+                   help="fused = 3-D Pallas kernel (TPU; auto-falls back "
+                        "to jnp when the z-slice exceeds VMEM)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--f64", action="store_true")
     p.add_argument("--out", default="build/output_3d")
@@ -46,9 +49,12 @@ def main():
     from lbm_tpu.io import timing
     from lbm_tpu.models import plasma3d
 
+    if args.cpu and args.backend != "jnp":
+        print("--cpu: backend 'fused' needs a TPU, using 'jnp'")
+        args.backend = "jnp"
     cfg = dataclasses.replace(
         PlasmaConfig(), NX=args.n, NY=args.n, NZ=args.nz, nsteps=args.steps,
-        poisson=PoissonSolver[args.poisson],
+        poisson=PoissonSolver[args.poisson], backend=args.backend,
         dtype=jnp.float64 if args.f64 else jnp.float32)
     os.makedirs(args.out, exist_ok=True)
 

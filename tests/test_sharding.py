@@ -76,3 +76,25 @@ def test_output_stays_sharded():
     s = sh.make_sharded_step(cfg, m, donate=False)(s)
     assert len(s.f.sharding.device_set) == 8
     assert not s.f.is_fully_replicated
+
+
+def test_sharded_3d_matches_single_device():
+    """3-D (D3Q19) GSPMD step over the (dy, dx) mesh == single device."""
+    from lbm_tpu.models import plasma3d
+
+    cfg = dataclasses.replace(PlasmaConfig(), NX=16, NY=16, NZ=4, nsteps=2,
+                              dtype=jnp.float64)
+    m = mesh_mod.make_mesh()
+    s_single = plasma3d.init_state(cfg)
+    step1 = jax.jit(plasma3d.make_step(cfg))
+    s_multi = sh.shard_state3d(plasma3d.init_state(cfg), m)
+    stepN = sh.make_sharded_step3d(cfg, m, donate=False)
+    for _ in range(2):
+        s_single = step1(s_single)
+        s_multi = stepN(s_multi)
+    assert len(s_multi.f.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(s_multi.f), np.asarray(s_single.f),
+                               rtol=1e-12, atol=1e-20)
+    np.testing.assert_allclose(np.asarray(s_multi.Ex),
+                               np.asarray(s_single.Ex), rtol=1e-11,
+                               atol=1e-16)
