@@ -176,6 +176,203 @@ def _make_kernel(params, nk):
     return kernel
 
 
+def _make_halo_kernel3d(params, nk):
+    """Kernel variant for z-sharded (non-wrapping) domains.
+
+    The z-neighbors' boundary slices arrive as explicit halo inputs
+    (pre-collision, exchanged over ICI by the shard_map wrapper) and are
+    collided redundantly in-kernel, so no periodic-wrap epilogues are
+    needed: grid = nk + 1 (cf. the 2-D fused_step._make_halo_kernel).
+
+      k == 0:        collide the upper halo slice -> zlast scratch;
+                     collide slice 0 -> prev.
+      k in [1, nk):  collide slice k; assemble slice k-1.
+      k == nk:       collide the lower halo slice; its planes are the
+                     "below" input assembling slice nk-1.
+    """
+    def collide_slice(f_ref, g_ref, ex_ref, ey_ref, ez_ref, rq_ref=None):
+        Ex = ex_ref[0]
+        Ey = ey_ref[0]
+        Ez = ez_ref[0]
+        f = f_ref[:]
+        g = g_ref[:]
+        fsl = [[f[s, i, 0] for i in range(_Q)] for s in range(_S)]
+        gsl = [[g[s, i, 0] for i in range(_Q)] for s in range(_S)]
+        mac = update_macro3(fsl, gsl, Ex, Ey, Ez,
+                            q_e=params["q_e"], q_i=params["q_i"],
+                            m_e=params["m_e"], m_i=params["m_i"])
+        if rq_ref is not None:
+            rq_ref[0] = mac.rho_q
+        pair_polys = {
+            p: equilibrium_wpolys3(mac.ux_pair[p], mac.uy_pair[p],
+                                   mac.uz_pair[p], params["cs2"])
+            for p in range(3)
+        }
+        fv, gv = [], []
+        for s in range(_S):
+            f_dirs, g_dirs = collide_species_dirs3(
+                s, fsl[s], gsl[s], mac, Ex, Ey, Ez,
+                taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
+                m_e=params["m_e"], m_i=params["m_i"],
+                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
+            fv.append([_roll2(f_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
+            gv.append([_roll2(g_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
+        return fv, gv
+
+    def assemble(out_ref, s, prev, zlast, below):
+        for i in range(_Q):
+            cz = _CZ[i]
+            if cz == 0:
+                out_ref[s, i, 0] = prev[i, s]
+            elif cz == 1:
+                out_ref[s, i, 0] = zlast[_DIRS_ZPOS.index(i), s]
+            else:
+                out_ref[s, i, 0] = below[_DIRS_ZNEG.index(i)]
+
+    def kernel(f_ref, g_ref, ex_ref, ey_ref, ez_ref,
+               fup_ref, gup_ref, exu_ref, eyu_ref, ezu_ref,
+               fdn_ref, gdn_ref, exd_ref, eyd_ref, ezd_ref,
+               fo_ref, go_ref, rq_ref,
+               fprev, gprev, fzlast, gzlast):
+        k = pl.program_id(0)
+
+        @pl.when(k < nk)
+        def _():
+            @pl.when(k == 0)
+            def _():
+                fvu, gvu = collide_slice(fup_ref, gup_ref,
+                                         exu_ref, eyu_ref, ezu_ref)
+                for s in range(_S):
+                    for gi, i in enumerate(_DIRS_ZPOS):
+                        fzlast[gi, s] = fvu[s][i]
+                        gzlast[gi, s] = gvu[s][i]
+
+            fv, gv = collide_slice(f_ref, g_ref, ex_ref, ey_ref, ez_ref,
+                                   rq_ref)
+            for s in range(_S):
+                @pl.when(k >= 1)
+                def _(s=s):
+                    below_f = [fv[s][i] for i in _DIRS_ZNEG]
+                    below_g = [gv[s][i] for i in _DIRS_ZNEG]
+                    assemble(fo_ref, s, fprev, fzlast, below_f)
+                    assemble(go_ref, s, gprev, gzlast, below_g)
+
+                @pl.when(k >= 1)
+                def _(s=s):
+                    for gi, i in enumerate(_DIRS_ZPOS):
+                        fzlast[gi, s] = fprev[i, s]
+                        gzlast[gi, s] = gprev[i, s]
+                for i in range(_Q):
+                    fprev[i, s] = fv[s][i]
+                    gprev[i, s] = gv[s][i]
+
+        @pl.when(k == nk)
+        def _():
+            fvd, gvd = collide_slice(fdn_ref, gdn_ref,
+                                     exd_ref, eyd_ref, ezd_ref)
+            for s in range(_S):
+                below_f = [fvd[s][i] for i in _DIRS_ZNEG]
+                below_g = [gvd[s][i] for i in _DIRS_ZNEG]
+                assemble(fo_ref, s, fprev, fzlast, below_f)
+                assemble(go_ref, s, gprev, gzlast, below_g)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
+                     "interpret"),
+)
+def collide_stream_halo3d(
+    f: jnp.ndarray,     # (3, Q, NZl, NY, NX) local z-shard
+    g: jnp.ndarray,
+    Ex: jnp.ndarray,    # (NZl, NY, NX)
+    Ey: jnp.ndarray,
+    Ez: jnp.ndarray,
+    f_up: jnp.ndarray,  # (3, Q, 1, NY, NX) pre-collision slice from above
+    g_up: jnp.ndarray,
+    Ex_up: jnp.ndarray,  # (1, NY, NX)
+    Ey_up: jnp.ndarray,
+    Ez_up: jnp.ndarray,
+    f_dn: jnp.ndarray,  # (3, Q, 1, NY, NX) slice from below
+    g_dn: jnp.ndarray,
+    Ex_dn: jnp.ndarray,
+    Ey_dn: jnp.ndarray,
+    Ez_dn: jnp.ndarray,
+    *,
+    taus: Tuple[float, ...],
+    q_e: float, q_i: float, m_e: float, m_i: float,
+    cs2: float, kb: float,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused 3-D collide+stream for one z-shard with explicit halo slices.
+
+    The upper halo is the single slice immediately above the shard (the
+    up-neighbor's last slice), the lower halo the slice below; both carry
+    their E fields. Returns (f_new, g_new, rho_q) for the local shard.
+    """
+    S, Q, NZ, NY, NX = f.shape
+    check_vmem3d(NY, NX, f.dtype.itemsize)
+    nk = NZ
+    grid = (nk + 1,)
+
+    def in_band(k):
+        return jnp.minimum(k, nk - 1)
+
+    def out_band(k):
+        return jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0))
+
+    pop_in = pl.BlockSpec((S, Q, 1, NY, NX),
+                          lambda k: (0, 0, in_band(k), 0, 0),
+                          memory_space=pltpu.VMEM)
+    fld_in = pl.BlockSpec((1, NY, NX), lambda k: (in_band(k), 0, 0),
+                          memory_space=pltpu.VMEM)
+    pop_out = pl.BlockSpec((S, Q, 1, NY, NX),
+                           lambda k: (0, 0, out_band(k), 0, 0),
+                           memory_space=pltpu.VMEM)
+    halo_pop = pl.BlockSpec((S, Q, 1, NY, NX), lambda k: (0, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    halo_fld = pl.BlockSpec((1, NY, NX), lambda k: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
+                  cs2=cs2, kb=kb)
+    kernel = _make_halo_kernel3d(params, nk)
+    dt = f.dtype
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pop_in, pop_in, fld_in, fld_in, fld_in,
+                  halo_pop, halo_pop, halo_fld, halo_fld, halo_fld,
+                  halo_pop, halo_pop, halo_fld, halo_fld, halo_fld],
+        out_specs=(pop_out, pop_out, fld_in),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, dt),
+            jax.ShapeDtypeStruct(g.shape, dt),
+            jax.ShapeDtypeStruct(Ex.shape, Ex.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_Q, _S, NY, NX), dt),   # fprev
+            pltpu.VMEM((_Q, _S, NY, NX), dt),   # gprev
+            pltpu.VMEM((5, _S, NY, NX), dt),    # fzlast
+            pltpu.VMEM((5, _S, NY, NX), dt),    # gzlast
+        ],
+        # in-place HBM update (no wrap refetch in the halo variant)
+        input_output_aliases={0: 0, 1: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=int(6000 * NZ * NY * NX),
+            bytes_accessed=4 * S * Q * NZ * NY * NX * dt.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f, g, Ex, Ey, Ez,
+      f_up, g_up, Ex_up, Ey_up, Ez_up,
+      f_dn, g_dn, Ex_dn, Ey_dn, Ez_dn)
+
+
 def check_vmem3d(NY: int, NX: int, itemsize: int) -> None:
     """The z-slice working set must fit the scoped VMEM budget."""
     plane = NY * NX * itemsize

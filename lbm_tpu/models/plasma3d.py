@@ -129,24 +129,32 @@ def stream_periodic(f):
     return jnp.stack(parts, axis=-4)
 
 
-def solve_fft3d(rho_q):
-    """3-D spectral Poisson solve, written as per-axis 1-D transforms.
-
-    Equivalent to rfftn/irfftn; the per-axis form is required under GSPMD
-    sharding — XLA's CPU fft thunk RET_CHECKs on the non-dim0-major layout
-    the partitioner picks for the fused multi-axis rfftn (the per-axis
-    chain partitions cleanly: local transforms + collective transposes)."""
-    NZ, NY, NX = rho_q.shape
-    rho_hat = jnp.fft.rfft(rho_q, axis=-1)
-    rho_hat = jnp.fft.fft(rho_hat, axis=-2)
-    rho_hat = jnp.fft.fft(rho_hat, axis=-3)
+def spectral_inv3d(NZ: int, NY: int, NX: int) -> np.ndarray:
+    """1/eigenvalue of the discrete 3-D Laplacian on the rfft grid
+    (k=0 mode zeroed) — the reference's 2-D eigenvalue generalized."""
     kz = np.fft.fftfreq(NZ) * NZ
     ky = np.fft.fftfreq(NY) * NY
     kx = np.arange(NX // 2 + 1)
     den = 4.0 * (np.sin(np.pi * kz / NZ)[:, None, None] ** 2
                  + np.sin(np.pi * ky / NY)[None, :, None] ** 2
                  + np.sin(np.pi * kx / NX)[None, None, :] ** 2)
-    inv = np.where(den > 1e-15, 1.0 / np.maximum(den, 1e-300), 0.0)
+    return np.where(den > 1e-15, 1.0 / np.maximum(den, 1e-300), 0.0)
+
+
+def solve_fft3d(rho_q):
+    """3-D spectral Poisson solve, written as per-axis 1-D transforms.
+
+    Equivalent to rfftn/irfftn; the per-axis form is required under GSPMD
+    sharding — XLA's CPU fft thunk RET_CHECKs on the non-dim0-major layout
+    the partitioner picks for the fused multi-axis rfftn (the per-axis
+    chain partitions cleanly: local transforms + collective transposes).
+    For lattices sharded along z use the transpose-scheduled variant in
+    parallel/fused_sharded.py (XLA's sharded-axis FFT handler is broken)."""
+    NZ, NY, NX = rho_q.shape
+    rho_hat = jnp.fft.rfft(rho_q, axis=-1)
+    rho_hat = jnp.fft.fft(rho_hat, axis=-2)
+    rho_hat = jnp.fft.fft(rho_hat, axis=-3)
+    inv = spectral_inv3d(NZ, NY, NX)
     phi_hat = rho_hat * jnp.asarray(inv, rho_hat.dtype)
     phi_hat = jnp.fft.ifft(phi_hat, axis=-3)
     phi_hat = jnp.fft.ifft(phi_hat, axis=-2)
@@ -193,20 +201,24 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
         g = stream_periodic(g)
         return _poisson_and_pack(cfg, state, f, g, mac.rho_q)
 
-    def _poisson_and_pack(cfg, state, f, g, rho_q):
-        if cfg.poisson == PoissonSolver.FFT:
-            phi = solve_fft3d(rho_q)
-            Ex, Ey, Ez = efield_periodic3d(phi)
-        elif cfg.compat.none_solver_kills_external_field:
-            # reference NONE-solver quirk (src/poisson.cpp:34-43)
-            z = jnp.zeros_like(state.Ex)
-            Ex, Ey, Ez, phi = z, z, z, state.phi
-        else:
-            Ex, Ey, Ez, phi = state.Ex, state.Ey, state.Ez, state.phi
-        return Plasma3DState(f=f, g=g, Ex=Ex, Ey=Ey, Ez=Ez, phi=phi,
-                             step=state.step + 1)
-
     return step
+
+
+def _poisson_and_pack(cfg, state, f, g, rho_q) -> Plasma3DState:
+    """Poisson dispatch + state packing shared by the jnp/fused/sharded
+    steps (FFT periodic, or the NONE-solver quirk, src/poisson.cpp:34-43)."""
+    from ..config import PoissonSolver
+
+    if cfg.poisson == PoissonSolver.FFT:
+        phi = solve_fft3d(rho_q)
+        Ex, Ey, Ez = efield_periodic3d(phi)
+    elif cfg.compat.none_solver_kills_external_field:
+        z = jnp.zeros_like(state.Ex)
+        Ex, Ey, Ez, phi = z, z, z, state.phi
+    else:
+        Ex, Ey, Ez, phi = state.Ex, state.Ey, state.Ez, state.phi
+    return Plasma3DState(f=f, g=g, Ex=Ex, Ey=Ey, Ez=Ez, phi=phi,
+                         step=state.step + 1)
 
 
 def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):

@@ -30,6 +30,8 @@ from ..kernels.fused_step import collide_stream_halo, collide_stream_halo2d
 from ..models.plasma import PlasmaState, _solve_poisson
 from .mesh import AXIS_X, AXIS_Y
 
+AXIS_Z = "dz"
+
 
 def make_fused_sharded_step(
     cfg: PlasmaConfig,
@@ -177,6 +179,105 @@ def make_fused_sharded_step_2d(
         f=NamedSharding(mesh, pop_spec), g=NamedSharding(mesh, pop_spec),
         Ex=NamedSharding(mesh, fld_spec), Ey=NamedSharding(mesh, fld_spec),
         phi=NamedSharding(mesh, fld_spec),
+        step=NamedSharding(mesh, P()),
+    )
+    return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)
+
+
+def make_fused_sharded_step3d(
+    cfg: PlasmaConfig,
+    mesh: Mesh,
+    interpret: bool | None = None,
+):
+    """Multi-chip 3-D fused step: z-sharded shard_map + ICI slice halos.
+
+    The (NZ, NY, NX) lattice is sharded along z over a 1-D mesh (axis
+    "dz"); each step every device ppermutes its boundary z-slices of
+    f, g, Ex, Ey, Ez to its neighbors (ring, periodic) and runs the
+    halo-variant 3-D fused kernel on its shard. The Poisson solve runs on
+    the globally z-sharded rho_q under GSPMD (per-axis FFTs -> collective
+    transpose). z is also the kernel's pipeline axis, so sharding it
+    costs nothing extra in VMEM.
+    """
+    from ..kernels.fused_step3d import collide_stream_halo3d
+    from ..models.plasma3d import (Plasma3DState, _poisson_and_pack,
+                                   efield_periodic3d, spectral_inv3d)
+
+    if AXIS_Z not in mesh.axis_names:
+        raise ValueError(f"mesh must have a '{AXIS_Z}' axis")
+    n_dev = mesh.shape[AXIS_Z]
+    extra = [a for a in mesh.axis_names if a != AXIS_Z and mesh.shape[a] != 1]
+    if extra:
+        raise ValueError(f"3-D fused sharded step is 1-D ({AXIS_Z}) only; "
+                         f"got nontrivial axes {extra}")
+    if cfg.NZ % n_dev:
+        raise ValueError(f"NZ={cfg.NZ} must be divisible by {n_dev}")
+    if cfg.poisson not in (PoissonSolver.FFT, PoissonSolver.NONE):
+        raise ValueError("sharded fused step supports FFT/NONE Poisson")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+
+    u = cfg.units()
+    phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb)
+
+    pop_spec = P(None, None, AXIS_Z, None, None)
+    fld_spec = P(AXIS_Z, None, None)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pop_spec, pop_spec, fld_spec, fld_spec, fld_spec),
+             out_specs=(pop_spec, pop_spec, fld_spec),
+             check_vma=False)  # pallas_call outputs carry no vma metadata
+    def local_step(f, g, Ex, Ey, Ez):
+        fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]  # recv from d-1
+        bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]  # recv from d+1
+
+        def xchg(a, sl, perm):
+            return jax.lax.ppermute(a[..., sl, :, :], AXIS_Z, perm)
+
+        up = [xchg(a, slice(-1, None), fwd) for a in (f, g, Ex, Ey, Ez)]
+        dn = [xchg(a, slice(0, 1), bwd) for a in (f, g, Ex, Ey, Ez)]
+        return collide_stream_halo3d(
+            f, g, Ex, Ey, Ez, *up, *dn, interpret=interpret, **phys)
+
+    def solve_fft_transposed(rho_q):
+        """Distributed spectral solve: every 1-D FFT runs along a LOCAL
+        axis; the lattice is resharded z->y between the (x, y) and z
+        transform stages (the classic slab-decomposition FFT — XLA's
+        sharded-axis FFT handler crashes/miscompiles, so the transposes
+        are explicit sharding constraints and the transforms stay
+        local)."""
+        NZ, NY, NX = rho_q.shape
+        z_sh = NamedSharding(mesh, P(AXIS_Z, None, None))
+        y_sh = NamedSharding(mesh, P(None, AXIS_Z, None))
+        pin = jax.lax.with_sharding_constraint
+        # every transform's OUTPUT is pinned so backward sharding
+        # propagation can never put a partitioned dim under an fft op
+        h = pin(jnp.fft.rfft(rho_q, axis=-1), z_sh)   # x: local
+        h = pin(jnp.fft.fft(h, axis=-2), z_sh)        # y: local
+        h = pin(h, y_sh)                              # all-to-all z<->y
+        h = pin(jnp.fft.fft(h, axis=-3), y_sh)        # z: now local
+        h = h * jnp.asarray(spectral_inv3d(NZ, NY, NX), h.dtype)
+        h = pin(jnp.fft.ifft(h, axis=-3), y_sh)
+        h = pin(h, z_sh)                              # back to z-sharded
+        h = pin(jnp.fft.ifft(h, axis=-2), z_sh)
+        h = pin(jnp.fft.irfft(h, n=NX, axis=-1), z_sh)
+        return h.astype(rho_q.dtype)
+
+    def step(state):
+        f, g, rho_q = local_step(state.f, state.g, state.Ex, state.Ey,
+                                 state.Ez)
+        if cfg.poisson == PoissonSolver.FFT:
+            phi = solve_fft_transposed(rho_q)
+            Ex, Ey, Ez = efield_periodic3d(phi)
+            return Plasma3DState(f=f, g=g, Ex=Ex, Ey=Ey, Ez=Ez, phi=phi,
+                                 step=state.step + 1)
+        return _poisson_and_pack(cfg, state, f, g, rho_q)
+
+    shardings = Plasma3DState(
+        f=NamedSharding(mesh, pop_spec), g=NamedSharding(mesh, pop_spec),
+        Ex=NamedSharding(mesh, fld_spec), Ey=NamedSharding(mesh, fld_spec),
+        Ez=NamedSharding(mesh, fld_spec), phi=NamedSharding(mesh, fld_spec),
         step=NamedSharding(mesh, P()),
     )
     return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)
