@@ -29,7 +29,7 @@ import time
 BASELINE_MLUPS = 0.99  # reference best (BASELINE.md: 200x200, 13 cores)
 
 
-def measure(n: int, steps: int, backend: str) -> float:
+def measure(n: int, steps: int, backend: str, storage: str = "native") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,8 @@ def measure(n: int, steps: int, backend: str) -> float:
 
     cfg = dataclasses.replace(
         PlasmaConfig(), NX=n, NY=n, nsteps=steps, dtype=jnp.float32,
-        backend=backend,
+        backend=backend, storage=storage,
+        neutral_delta=(storage == "bf16"),
     )
     # Timing design: scanned rollouts (one dispatch + one sync each), every
     # trial re-started from the initial state (blown-up states must not be
@@ -91,24 +92,32 @@ def main() -> None:
     n = int(os.environ.get("BENCH_N", "2048"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     backend = os.environ.get("BENCH_BACKEND", "fused")
+    storage = os.environ.get("BENCH_STORAGE", "native")
     n_extra = int(os.environ.get("BENCH_N_EXTRA", "4096"))
+    with_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
 
-    mlups = measure(n, steps, backend)
+    mlups = measure(n, steps, backend, storage)
+    tag = "" if storage == "native" else f"_{storage}"
     out = {
-        "metric": f"plasma_mlups_{n}x{n}_fft_periodic_1chip",
+        "metric": f"plasma_mlups_{n}x{n}_fft_periodic_1chip{tag}",
         "value": round(mlups, 2),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / BASELINE_MLUPS, 1),
     }
+    extra = {}
     if n_extra and n_extra != n:
         # second grid size, fewer steps (the 4096^2 window blows up fast
         # and each step is ~4x the work)
         mlups_x = measure(n_extra, max(steps // 2, 10), backend)
-        out["extra"] = {
-            f"plasma_mlups_{n_extra}x{n_extra}_fft_periodic_1chip":
-                round(mlups_x, 2),
-            "vs_baseline": round(mlups_x / BASELINE_MLUPS, 1),
-        }
+        extra[f"plasma_mlups_{n_extra}x{n_extra}_fft_periodic_1chip"] = \
+            round(mlups_x, 2)
+        extra["vs_baseline"] = round(mlups_x / BASELINE_MLUPS, 1)
+    if with_bf16 and storage == "native":
+        # the opt-in bf16-storage fast mode (halved population HBM bytes)
+        mlups_b = measure(n, steps, backend, "bf16")
+        extra[f"plasma_mlups_{n}x{n}_bf16_storage"] = round(mlups_b, 2)
+    if extra:
+        out["extra"] = extra
     print(json.dumps(out))
 
 

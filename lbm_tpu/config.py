@@ -126,6 +126,15 @@ class PlasmaConfig:
     # classic path; recommended for f32 production runs.
     neutral_delta: bool = False
 
+    # Population STORAGE precision for f and g (fields/phi keep `dtype`).
+    # "bf16" halves the dominant HBM traffic (the step is bandwidth-bound:
+    # 432 B/site -> 216) for ~1.5x throughput; all arithmetic still runs
+    # in `dtype` in-register — only what crosses HBM is rounded. An opt-in
+    # fast mode: per-step storage rounding is ~4e-3 relative, so use with
+    # neutral_delta=True (the neutral channel stays sane) and expect
+    # golden-trajectory drift like an f32-vs-f64 run, sooner.
+    storage: str = "native"  # "native" | "bf16"
+
     def units(self) -> LatticeUnits:
         return compute_lattice_units(
             Z_ion=self.Z_ion, A_ion=self.A_ion,

@@ -57,13 +57,25 @@ def _roll_x(a: jnp.ndarray, shift: int) -> jnp.ndarray:
     return jnp.concatenate((a[..., -shift:], a[..., :-shift]), axis=-1)
 
 
+def _cast_io(f, g):
+    """bf16-storage mode: populations cross HBM in bf16, all arithmetic
+    runs in f32 in-register. Returns (f32 values, store-dtype)."""
+    dt_store = f.dtype
+    if dt_store == jnp.bfloat16:
+        return f.astype(jnp.float32), g.astype(jnp.float32), dt_store
+    return f, g, None
+
+
+def _store(plane, dt_store):
+    return plane if dt_store is None else plane.astype(dt_store)
+
+
 def _make_kernel(params, ty, nk):
     def collide_band(f_ref, g_ref, ex_ref, ey_ref, rq_ref):
         """Collide the fetched band; returns per-species x-rolled planes."""
         Ex = ex_ref[:]
         Ey = ey_ref[:]
-        f = f_ref[:]
-        g = g_ref[:]
+        f, g, dt_store = _cast_io(f_ref[:], g_ref[:])
         mac = update_macro(f, g, Ex, Ey,
                            q_e=params["q_e"], q_i=params["q_i"],
                            m_e=params["m_e"], m_i=params["m_i"],
@@ -82,8 +94,10 @@ def _make_kernel(params, ty, nk):
                 m_e=params["m_e"], m_i=params["m_i"],
                 cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
                 neutral_ref=params["neutral_ref"])
-            fv.append([_roll_x(f_dirs[i], _CX[i]) for i in range(_Q)])
-            gv.append([_roll_x(g_dirs[i], _CX[i]) for i in range(_Q)])
+            fv.append([_roll_x(_store(f_dirs[i], dt_store), _CX[i])
+                       for i in range(_Q)])
+            gv.append([_roll_x(_store(g_dirs[i], dt_store), _CX[i])
+                       for i in range(_Q)])
         return fv, gv
 
     def assemble(out_ref, s, prev, last8, below_rows):
@@ -208,6 +222,7 @@ def _make_halo_kernel(params, ty, nk):
     def collide_strip(f, g, Ex, Ey):
         """Collide an (S, Q, rows, NX) strip held as values; returns
         x-rolled per-species plane lists."""
+        f, g, dt_store = _cast_io(f, g)
         mac = update_macro(f, g, Ex, Ey,
                            q_e=params["q_e"], q_i=params["q_i"],
                            m_e=params["m_e"], m_i=params["m_i"],
@@ -225,8 +240,10 @@ def _make_halo_kernel(params, ty, nk):
                 m_e=params["m_e"], m_i=params["m_i"],
                 cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
                 neutral_ref=params["neutral_ref"])
-            fv.append([_roll_x(f_dirs[i], _CX[i]) for i in range(_Q)])
-            gv.append([_roll_x(g_dirs[i], _CX[i]) for i in range(_Q)])
+            fv.append([_roll_x(_store(f_dirs[i], dt_store), _CX[i])
+                       for i in range(_Q)])
+            gv.append([_roll_x(_store(g_dirs[i], dt_store), _CX[i])
+                       for i in range(_Q)])
         return fv, gv, mac
 
     def assemble(out_ref, s, prev, last8, below_rows, ty):
@@ -402,6 +419,7 @@ def _make_halo2d_kernel(params, ty, nk, nxl):
     def collide_strip(f, g, Ex, Ey):
         """Collide a strip held as values; returns UNROLLED per-species
         plane lists plus the macros."""
+        f, g, dt_store = _cast_io(f, g)
         mac = update_macro(f, g, Ex, Ey,
                            q_e=params["q_e"], q_i=params["q_i"],
                            m_e=params["m_e"], m_i=params["m_i"],
@@ -419,8 +437,8 @@ def _make_halo2d_kernel(params, ty, nk, nxl):
                 m_e=params["m_e"], m_i=params["m_i"],
                 cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
                 neutral_ref=params["neutral_ref"])
-            fv.append(f_dirs)
-            gv.append(g_dirs)
+            fv.append([_store(d, dt_store) for d in f_dirs])
+            gv.append([_store(d, dt_store) for d in g_dirs])
         return fv, gv, mac
 
     def roll_with_neighbors(p, p_lt, p_rt, cx):

@@ -77,6 +77,9 @@ def init_state(cfg: PlasmaConfig) -> PlasmaState:
         mask = jnp.stack([box, box, ones])            # (3, NY, NX)
         f = jnp.asarray(amp_f)[:, :, None, None] * mask[:, None]
         g = jnp.asarray(amp_g)[:, :, None, None] * mask[:, None]
+        if cfg.storage == "bf16":
+            f = f.astype(jnp.bfloat16)
+            g = g.astype(jnp.bfloat16)
         return PlasmaState(
             f=f, g=g,
             Ex=jnp.full((NY, NX), u.Ex_ext, dtype),
@@ -145,7 +148,11 @@ def compute_macros(cfg: PlasmaConfig, state: PlasmaState) -> Macros:
     u = cfg.units()
     gv = ((0.01 * u.cs2, 0.00001 * u.cs2, 0.0)
           if cfg.compat.debug_variant else (0.0, 0.0, 0.0))
-    return update_macro(state.f, state.g, state.Ex, state.Ey,
+    f, g = state.f, state.g
+    if cfg.storage == "bf16":
+        f = f.astype(cfg.dtype)
+        g = g.astype(cfg.dtype)
+    return update_macro(f, g, state.Ex, state.Ey,
                         q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
                         guard_vals=gv,
                         neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0)
@@ -163,11 +170,17 @@ def _neutral_hole_backgrounds(ref: float):
     return [ref * float(D2Q9.W[i]) for (i, _, _) in stream_ops.HOLE_SLOTS]
 
 
-def _g_holes_with_background(vals, neutral_ref: float):
+def _g_holes_with_background(vals, neutral_ref: float, compute_dtype=None):
+    """Add the neutral background to the 8 g-hole values. `compute_dtype`
+    (bf16-storage mode) does the add at full precision so the storage
+    rounding happens once, at the final write — matching the jnp path."""
     if neutral_ref == 0.0:
         return vals
     bgs = _neutral_hole_backgrounds(neutral_ref)
-    return [v.at[..., 2].add(bg) for v, bg in zip(vals, bgs)]
+    if compute_dtype is None:
+        return [v.at[..., 2].add(bg) for v, bg in zip(vals, bgs)]
+    return [v.astype(compute_dtype).at[..., 2].add(bg).astype(v.dtype)
+            for v, bg in zip(vals, bgs)]
 
 
 def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
@@ -177,10 +190,13 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
     use_pallas = cfg.backend == "pallas"
     use_fused = cfg.backend == "fused"
     use_split = False
+    storage_bf16 = cfg.storage == "bf16"
+    if storage_bf16 and cfg.backend == "pallas":
+        raise ValueError("bf16 storage supports the jnp and fused backends")
     if use_fused:
         from ..kernels.fused_split import _pick_band_split
         from ..kernels.fused_step import _pick_band
-        itemsize = jnp.dtype(cfg.dtype).itemsize
+        itemsize = 2 if storage_bf16 else jnp.dtype(cfg.dtype).itemsize
         try:
             _pick_band(cfg.NY, cfg.NX, itemsize)
         except ValueError:
@@ -188,11 +204,12 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             # the mass/thermal split pair (fits at 2x the width), then the
             # fused-collide kernel + XLA roll streaming
             use_fused = False
-            try:
-                _pick_band_split(cfg.NY, cfg.NX, itemsize)
-                use_split = True
-            except ValueError:
-                use_pallas = True
+            if not storage_bf16:  # split/pallas kernels are native-dtype
+                try:
+                    _pick_band_split(cfg.NY, cfg.NX, itemsize)
+                    use_split = True
+                except ValueError:
+                    use_pallas = True
     debug_variant = cfg.compat.debug_variant
     if debug_variant and (use_fused or use_pallas or use_split):
         raise ValueError("debug_variant mode is jnp-backend only")
@@ -240,13 +257,19 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
                                              state.Ey, **phys)
             if not periodic:
                 g_holes = _g_holes_with_background(
-                    stream_ops.hole_values_from_periodic(f), neutral_ref)
+                    stream_ops.hole_values_from_periodic(f), neutral_ref,
+                    compute_dtype=cfg.dtype if storage_bf16 else None)
                 f = stream_ops.bounceback_from_periodic(f, f_holes)
                 g = stream_ops.bounceback_from_periodic(g, g_holes)
             Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi,
                                          state.Ex, state.Ey)
             return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi,
                                step=state.step + 1)
+        if storage_bf16:
+            # storage rounding happens exactly once per step, at the final
+            # HBM write; everything in between runs in cfg.dtype
+            state = state._replace(f=state.f.astype(cfg.dtype),
+                                   g=state.g.astype(cfg.dtype))
         f_post, g_post, rho_q = collide_stage(state)
         if periodic:
             f = stream_periodic(f_post)
@@ -272,6 +295,9 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
             first = state.step == 0
             Ex = jnp.where(first, 0.0, Ex)
             Ey = jnp.where(first, 0.0, Ey)
+        if storage_bf16:
+            f = f.astype(jnp.bfloat16)
+            g = g.astype(jnp.bfloat16)
         return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi, step=state.step + 1)
 
     return step

@@ -1,0 +1,88 @@
+"""bf16 population-storage mode (cfg.storage == "bf16").
+
+f and g cross HBM in bfloat16; every moment/collision/Poisson computation
+runs in cfg.dtype in-register, and the storage rounding happens exactly
+once per step, at the final write. This halves the dominant HBM traffic of
+the bandwidth-bound step (docs/STATUS.md roofline: 432 B/site -> 216) as an
+opt-in fast mode. The fused kernel must reproduce the jnp semantics
+bitwise, and the mode must keep macroscopic drift vs native-f32 bounded at
+the bf16-rounding level over short windows.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.config import BC, PlasmaConfig, PoissonSolver
+from lbm_tpu.models import plasma
+
+
+def _cfg(bc=BC.PERIODIC, backend="jnp", storage="bf16", n=24, **kw):
+    return dataclasses.replace(
+        PlasmaConfig(), NX=n, NY=32, dtype=jnp.float32, bc=bc,
+        poisson=PoissonSolver.FFT, neutral_delta=True, storage=storage,
+        backend=backend, **kw)
+
+
+@pytest.mark.parametrize("bc", [BC.PERIODIC, BC.BOUNCE_BACK])
+def test_fused_kernel_matches_jnp_bitwise(bc):
+    """Kernel (interpret mode) == jnp step exactly in bf16-storage mode:
+    the in-kernel cast points (load->f32, f32->store) sit at the same
+    algebraic positions as the jnp path's step-boundary casts, and
+    rounding commutes with the streaming permutation."""
+    cfg_j = _cfg(bc=bc)
+    cfg_k = _cfg(bc=bc, backend="fused", kernel_interpret=True)
+    s_j = plasma.init_state(cfg_j)
+    s_k = plasma.init_state(cfg_k)
+    step_j = jax.jit(plasma.make_step(cfg_j))
+    step_k = jax.jit(plasma.make_step(cfg_k))
+    for t in range(3):
+        s_j = step_j(s_j)
+        s_k = step_k(s_k)
+        for name in ("f", "g", "Ex", "Ey", "phi"):
+            a = np.asarray(getattr(s_j, name), dtype=np.float64)
+            b = np.asarray(getattr(s_k, name), dtype=np.float64)
+            assert np.array_equal(a, b), (
+                f"{name} step {t}: max|d|={np.abs(a - b).max()}")
+
+
+def test_storage_dtype_and_field_dtypes():
+    """Populations live in bf16; fields/phi stay cfg.dtype."""
+    cfg = _cfg()
+    s = plasma.init_state(cfg)
+    assert s.f.dtype == jnp.bfloat16 and s.g.dtype == jnp.bfloat16
+    assert s.Ex.dtype == jnp.float32 and s.phi.dtype == jnp.float32
+    s = jax.jit(plasma.make_step(cfg))(s)
+    assert s.f.dtype == jnp.bfloat16 and s.g.dtype == jnp.bfloat16
+    assert s.Ex.dtype == jnp.float32
+
+
+def test_drift_vs_native_f32_bounded():
+    """Short-window macroscopic drift vs native f32 stays at the
+    bf16-rounding level (the ion/neutral channels ~1e-2; the chaotic
+    electron channel is looser but must not blow up)."""
+    cfg32 = _cfg(storage="native", n=64)
+    cfgb = _cfg(n=64)
+    s32, sb = plasma.init_state(cfg32), plasma.init_state(cfgb)
+    st32 = jax.jit(plasma.make_step(cfg32))
+    stb = jax.jit(plasma.make_step(cfgb))
+    for _ in range(20):
+        s32 = st32(s32)
+        sb = stb(sb)
+    m32 = plasma.compute_macros(cfg32, s32)
+    mb = plasma.compute_macros(cfgb, sb)
+    for name, tol in (("rho", 5e-2), ("ux", 0.3), ("uy", 0.3), ("T", 0.3)):
+        a = np.asarray(getattr(m32, name), np.float64)
+        b = np.asarray(getattr(mb, name), np.float64)
+        for s in range(3):
+            scale = np.abs(a[s]).max()
+            d = np.abs(a[s] - b[s]).max()
+            assert np.isfinite(b[s]).all(), f"{name}[{s}] non-finite"
+            assert d <= tol * scale, f"{name}[{s}] drift {d/scale:.2e}"
+
+
+def test_pallas_backend_rejected():
+    with pytest.raises(ValueError):
+        plasma.make_step(_cfg(backend="pallas"))
