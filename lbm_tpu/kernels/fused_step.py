@@ -70,6 +70,19 @@ def _store(plane, dt_store):
     return plane if dt_store is None else plane.astype(dt_store)
 
 
+def _g_recip_for(dt_store):
+    """bf16 mode runs the partial-fraction thermal term with the VPU's
+    approximate reciprocal (~1.6e-5 rel — the scale of one bf16 storage
+    rounding): the exact form's per-direction division chain is the single
+    largest exposed-compute block once the DMA bytes are halved (measured
+    0.80 ms of the 1.15 ms exposed at 2048^2). Native mode keeps the exact
+    form — its rounding is part of the golden trajectory, and the f32
+    kernel is DMA-bound anyway."""
+    if dt_store is None:
+        return None
+    return lambda x: pl.reciprocal(x, approx=True)
+
+
 def _make_kernel(params, ty, nk):
     def collide_band(f_ref, g_ref, ex_ref, ey_ref, rq_ref):
         """Collide the fetched band; returns per-species x-rolled planes."""
@@ -93,7 +106,8 @@ def _make_kernel(params, ty, nk):
                 taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
                 m_e=params["m_e"], m_i=params["m_i"],
                 cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
-                neutral_ref=params["neutral_ref"])
+                neutral_ref=params["neutral_ref"],
+                g_recip=_g_recip_for(dt_store))
             fv.append([_roll_x(_store(f_dirs[i], dt_store), _CX[i])
                        for i in range(_Q)])
             gv.append([_roll_x(_store(g_dirs[i], dt_store), _CX[i])
@@ -239,7 +253,8 @@ def _make_halo_kernel(params, ty, nk):
                 taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
                 m_e=params["m_e"], m_i=params["m_i"],
                 cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
-                neutral_ref=params["neutral_ref"])
+                neutral_ref=params["neutral_ref"],
+                g_recip=_g_recip_for(dt_store))
             fv.append([_roll_x(_store(f_dirs[i], dt_store), _CX[i])
                        for i in range(_Q)])
             gv.append([_roll_x(_store(g_dirs[i], dt_store), _CX[i])
@@ -436,7 +451,8 @@ def _make_halo2d_kernel(params, ty, nk, nxl):
                 taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
                 m_e=params["m_e"], m_i=params["m_i"],
                 cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
-                neutral_ref=params["neutral_ref"])
+                neutral_ref=params["neutral_ref"],
+                g_recip=_g_recip_for(dt_store))
             fv.append([_store(d, dt_store) for d in f_dirs])
             gv.append([_store(d, dt_store) for d in g_dirs])
         return fv, gv, mac

@@ -234,7 +234,12 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
         f_post, g_post = collide(state.f, state.g, mac, state.Ex, state.Ey,
                                  taus=cfg.taus, q_e=u.q_e, q_i=u.q_i,
                                  m_e=u.m_e, m_i=u.m_i, cs2=u.cs2, kb=u.kb,
-                                 neutral_ref=neutral_ref)
+                                 neutral_ref=neutral_ref,
+                                 # bf16 mode: same partial-fraction thermal
+                                 # algebra as the kernel, exact reciprocal
+                                 # (the kernel's approx one is Pallas-only)
+                                 g_recip=(lambda x: 1.0 / x)
+                                 if storage_bf16 else None)
         return f_post, g_post, mac.rho_q
 
     def step(state: PlasmaState) -> PlasmaState:

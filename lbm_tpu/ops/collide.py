@@ -167,6 +167,55 @@ def collide_species_g_dirs(
     return g_dirs
 
 
+def collide_species_g_dirs_fast(
+    s, g_s, mac, *,
+    taus, cs2, kb, recip,
+    pair_polys=None, self_wpolys=None,
+):
+    """Thermal update with the energy-loss term in partial-fraction form.
+
+    Algebraically identical to collide_species_g_dirs:
+
+        ns/ds = (a - q)/(b + 2q) = -1/2 + C / (q + b/2),
+        C = (a + b/2)/2 = rho (r^2 - r) + r   (per-cell, hoisted)
+
+    so tm = -3/2 + Sum_p C_p * recip(q_p + 2 r_p) — one shallow
+    reciprocal per pair instead of the common-denominator chain (5 muls +
+    1 serial division per direction). `recip` supplies the reciprocal:
+    pl.reciprocal(approx=True) in the Pallas kernels (~1.6e-5 rel, the
+    same magnitude as one bf16 storage rounding), exact 1/x on the jnp
+    path. Used by the bf16-storage fast mode only — the native path keeps
+    the original form, whose rounding is part of the golden trajectory.
+
+    Degenerate cells match the original form wherever the original is
+    finite (r_p = 0 gives C_p = 0 and an exact -1/2 contribution; dead
+    cells with r_p != 0 give exactly 0).
+    """
+    t_self, invs, wp, keep = _species_setup(s, mac, cs2, taus, pair_polys,
+                                            self_wpolys)
+    rho_s, ux_s, uy_s, T_s = mac.rho[s], mac.ux[s], mac.uy[s], mac.T[s]
+    amp_f = tuple(rho_s * inv for inv in invs)
+    amp_g = tuple(T_s * inv for inv in invs)
+
+    cs, offs = [], []
+    for inv in invs:
+        r = 1.0 - inv
+        cs.append(rho_s * (r * r - r) + r)   # C_p, per-cell
+        offs.append(2.0 * r)                 # b_p / 2, scalar
+    u2 = ux_s * ux_s + uy_s * uy_s
+    dT_amp = -(rho_s * u2) / kb
+
+    g_dirs = []
+    for i in range(_Q):
+        geqd = amp_g[0] * wp[0][i] + amp_g[1] * wp[1][i] + amp_g[2] * wp[2][i]
+        tm = -1.5
+        for p in range(3):
+            qf = _Q * (amp_f[p] * wp[p][i])   # = Q feq_p / tau_p
+            tm = tm + cs[p] * recip(qf + offs[p])
+        g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
+    return g_dirs
+
+
 def collide_species_dirs(
     s: int,
     f_s,              # indexable: f_s[i] -> (NY, NX) direction i
@@ -180,6 +229,7 @@ def collide_species_dirs(
     cs2: float, kb: float,
     pair_polys=None,  # optional precomputed equilibrium_wpolys per pair axis
     neutral_ref: float = 0.0,
+    g_recip=None,     # not None: fast thermal path with this reciprocal
 ):
     """Post-collision populations for species s as two lists of Q arrays.
 
@@ -200,9 +250,14 @@ def collide_species_dirs(
         s, f_s, mac, Ex, Ey, taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
         cs2=cs2, pair_polys=pair_polys, self_wpolys=self_wpolys,
         neutral_ref=neutral_ref)
-    g_dirs = collide_species_g_dirs(
-        s, g_s, mac, taus=taus, cs2=cs2, kb=kb, pair_polys=pair_polys,
-        self_wpolys=self_wpolys)
+    if g_recip is not None:
+        g_dirs = collide_species_g_dirs_fast(
+            s, g_s, mac, taus=taus, cs2=cs2, kb=kb, recip=g_recip,
+            pair_polys=pair_polys, self_wpolys=self_wpolys)
+    else:
+        g_dirs = collide_species_g_dirs(
+            s, g_s, mac, taus=taus, cs2=cs2, kb=kb, pair_polys=pair_polys,
+            self_wpolys=self_wpolys)
     return f_dirs, g_dirs
 
 
@@ -221,10 +276,11 @@ def collide(
     cs2: float,
     kb: float,
     neutral_ref: float = 0.0,
+    g_recip=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One collision step; returns (f_post, g_post) (pre-streaming)."""
     kw = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2, kb=kb,
-              neutral_ref=neutral_ref)
+              neutral_ref=neutral_ref, g_recip=g_recip)
     pair_polys = {
         p: equilibrium_wpolys(mac.ux_pair[p], mac.uy_pair[p], cs2)
         for p in range(3)

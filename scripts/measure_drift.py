@@ -48,10 +48,11 @@ def main():
 
     cpu = jax.devices("cpu")[0]
 
-    def run(dtype, delta, backend="jnp", device=cpu):
+    def run(dtype, delta, backend="jnp", device=cpu, storage="native"):
         cfg = dataclasses.replace(
             PlasmaConfig(), NX=args.n, NY=args.n, nsteps=args.steps,
-            dtype=dtype, neutral_delta=delta, backend=backend)
+            dtype=dtype, neutral_delta=delta, backend=backend,
+            storage=storage)
         with jax.default_device(device):
             s = plasma.init_state(cfg)
             step = jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
@@ -69,24 +70,27 @@ def main():
     f32_dev = jax.devices()[0] if args.tpu else cpu
     f32_backend = "fused" if args.tpu else "jnp"
     runs = {"classic": run(jnp.float32, False, f32_backend, f32_dev),
-            "delta": run(jnp.float32, True, f32_backend, f32_dev)}
+            "delta": run(jnp.float32, True, f32_backend, f32_dev),
+            "bf16": run(jnp.float32, True, f32_backend, f32_dev,
+                        storage="bf16")}
 
     species = "ein"
     print(f"{'field':8s} {'classic-f32':>12s} {'delta-f32':>12s}"
-          f"   (max |err| / field scale)")
+          f" {'bf16-delta':>12s}   (max |err| / field scale)")
     for name in ("rho", "ux", "uy", "T"):
         for k, s in enumerate(species):
             t = np.asarray(truth[name][k], np.float64)
             scale = np.abs(t).max()
             errs = [np.abs(np.asarray(runs[m][name][k], np.float64) - t).max()
-                    / scale for m in ("classic", "delta")]
-            print(f"{name}_{s:6s} {errs[0]:12.3e} {errs[1]:12.3e}")
+                    / scale for m in ("classic", "delta", "bf16")]
+            print(f"{name}_{s:6s} {errs[0]:12.3e} {errs[1]:12.3e}"
+                  f" {errs[2]:12.3e}")
     for name in ("rho_q", "Ex", "Ey"):
         t = np.asarray(truth[name], np.float64)
         scale = np.abs(t).max()
         errs = [np.abs(np.asarray(runs[m][name], np.float64) - t).max()
-                / scale for m in ("classic", "delta")]
-        print(f"{name:8s} {errs[0]:12.3e} {errs[1]:12.3e}")
+                / scale for m in ("classic", "delta", "bf16")]
+        print(f"{name:8s} {errs[0]:12.3e} {errs[1]:12.3e} {errs[2]:12.3e}")
 
 
 if __name__ == "__main__":

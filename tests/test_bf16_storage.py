@@ -27,11 +27,16 @@ def _cfg(bc=BC.PERIODIC, backend="jnp", storage="bf16", n=24, **kw):
 
 
 @pytest.mark.parametrize("bc", [BC.PERIODIC, BC.BOUNCE_BACK])
-def test_fused_kernel_matches_jnp_bitwise(bc):
-    """Kernel (interpret mode) == jnp step exactly in bf16-storage mode:
-    the in-kernel cast points (load->f32, f32->store) sit at the same
-    algebraic positions as the jnp path's step-boundary casts, and
-    rounding commutes with the streaming permutation."""
+def test_fused_kernel_matches_jnp(bc):
+    """Kernel (interpret mode) vs jnp step in bf16-storage mode.
+
+    f/Ex/Ey/phi/rho_q are BITWISE equal: the in-kernel cast points sit at
+    the same algebraic positions as the jnp path's step-boundary casts,
+    rounding commutes with the streaming permutation, and the thermal
+    populations never feed back into the mass/field dynamics (the DDF
+    coupling is one-way). g carries the approx-reciprocal difference of
+    the kernel's fast thermal term (~1.6e-5 rel before storage rounding,
+    at most a couple of bf16 ulps after), so it gets a tolerance."""
     cfg_j = _cfg(bc=bc)
     cfg_k = _cfg(bc=bc, backend="fused", kernel_interpret=True)
     s_j = plasma.init_state(cfg_j)
@@ -41,11 +46,17 @@ def test_fused_kernel_matches_jnp_bitwise(bc):
     for t in range(3):
         s_j = step_j(s_j)
         s_k = step_k(s_k)
-        for name in ("f", "g", "Ex", "Ey", "phi"):
+        for name in ("f", "Ex", "Ey", "phi"):
             a = np.asarray(getattr(s_j, name), dtype=np.float64)
             b = np.asarray(getattr(s_k, name), dtype=np.float64)
             assert np.array_equal(a, b), (
                 f"{name} step {t}: max|d|={np.abs(a - b).max()}")
+        a = np.asarray(s_j.g, dtype=np.float64)
+        b = np.asarray(s_k.g, dtype=np.float64)
+        for s in range(3):
+            scale = np.abs(a[s]).max()
+            d = np.abs(a[s] - b[s]).max()
+            assert d <= 2e-2 * scale, f"g[{s}] step {t}: {d/scale:.2e}"
 
 
 def test_storage_dtype_and_field_dtypes():
