@@ -195,7 +195,6 @@ def collide_species_g_dirs_fast(
                                             self_wpolys)
     rho_s, ux_s, uy_s, T_s = mac.rho[s], mac.ux[s], mac.uy[s], mac.T[s]
     amp_f = tuple(rho_s * inv for inv in invs)
-    amp_g = tuple(T_s * inv for inv in invs)
 
     cs, offs = [], []
     for inv in invs:
@@ -204,14 +203,19 @@ def collide_species_g_dirs_fast(
         offs.append(2.0 * r)                 # b_p / 2, scalar
     u2 = ux_s * ux_s + uy_s * uy_s
     dT_amp = -(rho_s * u2) / kb
+    # geqd = Sum_p (T inv_p) wp_p = (T / rho) * Sum_p (rho inv_p) wp_p:
+    # the amp ratio is per-cell, so the thermal equilibria reuse the qf
+    # products the energy-loss term needs anyway (1 mul/plane instead of
+    # 3 mul + 2 add). Dead cells have T = 0, so the guarded ratio is 0.
+    ratio_q = (T_s * recip(jnp.where(rho_s == 0.0, 1.0, rho_s))) * (1.0 / _Q)
 
     g_dirs = []
     for i in range(_Q):
-        geqd = amp_g[0] * wp[0][i] + amp_g[1] * wp[1][i] + amp_g[2] * wp[2][i]
+        qf = [_Q * (amp_f[p] * wp[p][i]) for p in range(3)]  # Q feq_p/tau_p
+        geqd = ratio_q * (qf[0] + qf[1] + qf[2])
         tm = -1.5
         for p in range(3):
-            qf = _Q * (amp_f[p] * wp[p][i])   # = Q feq_p / tau_p
-            tm = tm + cs[p] * recip(qf + offs[p])
+            tm = tm + cs[p] * recip(qf[p] + offs[p])
         g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
     return g_dirs
 
