@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import D3Q19
 from ..ops.d3 import collide_species_dirs3, equilibrium_wpolys3, update_macro3
+from .fused_step import _g_recip_for
 
 _CX = [int(c) for c in D3Q19.CX]
 _CY = [int(c) for c in D3Q19.CY]
@@ -63,11 +64,16 @@ def _make_kernel(params, nk):
         Ez = ez_ref[0]
         f = f_ref[:]
         g = g_ref[:]
+        dt_store = f.dtype if f.dtype == jnp.bfloat16 else None
+        if dt_store is not None:
+            f = f.astype(jnp.float32)
+            g = g.astype(jnp.float32)
         fsl = [[f[s, i, 0] for i in range(_Q)] for s in range(_S)]
         gsl = [[g[s, i, 0] for i in range(_Q)] for s in range(_S)]
         mac = update_macro3(fsl, gsl, Ex, Ey, Ez,
                             q_e=params["q_e"], q_i=params["q_i"],
-                            m_e=params["m_e"], m_i=params["m_i"])
+                            m_e=params["m_e"], m_i=params["m_i"],
+                            neutral_ref=params["neutral_ref"])
         rq_ref[0] = mac.rho_q
         pair_polys = {
             p: equilibrium_wpolys3(mac.ux_pair[p], mac.uy_pair[p],
@@ -80,7 +86,12 @@ def _make_kernel(params, nk):
                 s, fsl[s], gsl[s], mac, Ex, Ey, Ez,
                 taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
                 m_e=params["m_e"], m_i=params["m_i"],
-                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
+                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
+                neutral_ref=params["neutral_ref"],
+                g_recip=_g_recip_for(dt_store))
+            if dt_store is not None:
+                f_dirs = [d.astype(dt_store) for d in f_dirs]
+                g_dirs = [d.astype(dt_store) for d in g_dirs]
             fv.append([_roll2(f_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
             gv.append([_roll2(g_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
         return fv, gv
@@ -196,11 +207,16 @@ def _make_halo_kernel3d(params, nk):
         Ez = ez_ref[0]
         f = f_ref[:]
         g = g_ref[:]
+        dt_store = f.dtype if f.dtype == jnp.bfloat16 else None
+        if dt_store is not None:
+            f = f.astype(jnp.float32)
+            g = g.astype(jnp.float32)
         fsl = [[f[s, i, 0] for i in range(_Q)] for s in range(_S)]
         gsl = [[g[s, i, 0] for i in range(_Q)] for s in range(_S)]
         mac = update_macro3(fsl, gsl, Ex, Ey, Ez,
                             q_e=params["q_e"], q_i=params["q_i"],
-                            m_e=params["m_e"], m_i=params["m_i"])
+                            m_e=params["m_e"], m_i=params["m_i"],
+                            neutral_ref=params["neutral_ref"])
         if rq_ref is not None:
             rq_ref[0] = mac.rho_q
         pair_polys = {
@@ -214,7 +230,12 @@ def _make_halo_kernel3d(params, nk):
                 s, fsl[s], gsl[s], mac, Ex, Ey, Ez,
                 taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
                 m_e=params["m_e"], m_i=params["m_i"],
-                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys)
+                cs2=params["cs2"], kb=params["kb"], pair_polys=pair_polys,
+                neutral_ref=params["neutral_ref"],
+                g_recip=_g_recip_for(dt_store))
+            if dt_store is not None:
+                f_dirs = [d.astype(dt_store) for d in f_dirs]
+                g_dirs = [d.astype(dt_store) for d in g_dirs]
             fv.append([_roll2(f_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
             gv.append([_roll2(g_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
         return fv, gv
@@ -282,7 +303,7 @@ def _make_halo_kernel3d(params, nk):
 @functools.partial(
     jax.jit,
     static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
-                     "interpret"),
+                     "interpret", "neutral_ref"),
 )
 def collide_stream_halo3d(
     f: jnp.ndarray,     # (3, Q, NZl, NY, NX) local z-shard
@@ -305,6 +326,7 @@ def collide_stream_halo3d(
     q_e: float, q_i: float, m_e: float, m_i: float,
     cs2: float, kb: float,
     interpret: bool = False,
+    neutral_ref: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused 3-D collide+stream for one z-shard with explicit halo slices.
 
@@ -337,7 +359,7 @@ def collide_stream_halo3d(
                             memory_space=pltpu.VMEM)
 
     params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
-                  cs2=cs2, kb=kb)
+                  cs2=cs2, kb=kb, neutral_ref=neutral_ref)
     kernel = _make_halo_kernel3d(params, nk)
     dt = f.dtype
     return pl.pallas_call(
@@ -392,7 +414,7 @@ def check_vmem3d(NY: int, NX: int, itemsize: int) -> None:
 @functools.partial(
     jax.jit,
     static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
-                     "interpret"),
+                     "interpret", "neutral_ref"),
 )
 def collide_stream3d(
     f: jnp.ndarray,   # (3, Q, NZ, NY, NX)
@@ -405,6 +427,7 @@ def collide_stream3d(
     q_e: float, q_i: float, m_e: float, m_i: float,
     cs2: float, kb: float,
     interpret: bool = False,
+    neutral_ref: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(f_streamed, g_streamed, rho_q) in one fused pass. Periodic BC."""
     S, Q, NZ, NY, NX = f.shape
@@ -429,7 +452,7 @@ def collide_stream3d(
                            memory_space=pltpu.VMEM)
 
     params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
-                  cs2=cs2, kb=kb)
+                  cs2=cs2, kb=kb, neutral_ref=neutral_ref)
     kernel = _make_kernel(params, nk)
 
     dt = f.dtype

@@ -61,13 +61,19 @@ def init_state(cfg: PlasmaConfig) -> Plasma3DState:
                & (ix >= NX // 4 + 1) & (ix < (3 * NX) // 4)).astype(dtype)
         ones = jnp.ones((NZ, NY, NX), dtype)
         w = np.asarray(D3Q19.W)  # float64 on host, cast once
+        # delta mode: f[2] holds deviations from rho_n_init * w_i, which is
+        # exactly the uniform neutral IC -> deltas start at 0 (cf. 2-D init)
+        rho_n_amp = 0.0 if cfg.neutral_delta else u.rho_n_init
         amp_f = np.stack([w * u.rho_e_init, w * u.rho_i_init,
-                          w * u.rho_n_init]).astype(dtype)
+                          w * rho_n_amp]).astype(dtype)
         amp_g = np.stack([w * u.T_e_init, w * u.T_i_init,
                           w * u.T_n_init]).astype(dtype)
         mask = jnp.stack([box, box, ones])           # (3, NZ, NY, NX)
         f = jnp.asarray(amp_f)[:, :, None, None, None] * mask[:, None]
         g = jnp.asarray(amp_g)[:, :, None, None, None] * mask[:, None]
+        if cfg.storage == "bf16":
+            f = f.astype(jnp.bfloat16)
+            g = g.astype(jnp.bfloat16)
         zero = jnp.zeros((NZ, NY, NX), dtype)
         return Plasma3DState(
             f=f, g=g,
@@ -96,15 +102,19 @@ def _equilibrium(amp, ux, uy, uz, cs2, dtype):
                             - u2[None] * (0.5 * inv))
 
 
-def update_macro(f, g, Ex, Ey, Ez, *, q_e, q_i, m_e, m_i) -> Macros3D:
+def update_macro(f, g, Ex, Ey, Ez, *, q_e, q_i, m_e, m_i,
+                 neutral_ref=0.0) -> Macros3D:
     """Moments for observation/the step (delegates to the shared op)."""
-    return update_macro3(f, g, Ex, Ey, Ez, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i)
+    return update_macro3(f, g, Ex, Ey, Ez, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
+                         neutral_ref=neutral_ref)
 
 
-def collide(f, g, mac, Ex, Ey, Ez, *, taus, q_e, q_i, m_e, m_i, cs2, kb):
+def collide(f, g, mac, Ex, Ey, Ez, *, taus, q_e, q_i, m_e, m_i, cs2, kb,
+            neutral_ref=0.0, g_recip=None):
     """Triple-BGK + Guo + DDF thermal via the shared per-direction ops
     (ops/d3.py) — no materialized (19, NZ, NY, NX) equilibrium fields."""
-    kw = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2, kb=kb)
+    kw = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i, cs2=cs2, kb=kb,
+              neutral_ref=neutral_ref, g_recip=g_recip)
     pair_polys = {
         p: equilibrium_wpolys3(mac.ux_pair[p], mac.uy_pair[p],
                                mac.uz_pair[p], cs2)
@@ -176,11 +186,14 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
     if cfg.poisson not in (PoissonSolver.FFT, PoissonSolver.NONE):
         raise ValueError("3-D model supports FFT/NONE Poisson")
 
+    storage_bf16 = cfg.storage == "bf16"
+    neutral_ref = u.rho_n_init if cfg.neutral_delta else 0.0
     use_fused = cfg.backend in ("fused", "pallas")
     if use_fused:
         from ..kernels.fused_step3d import check_vmem3d
+        itemsize = 2 if storage_bf16 else jnp.dtype(cfg.dtype).itemsize
         try:
-            check_vmem3d(cfg.NY, cfg.NX, jnp.dtype(cfg.dtype).itemsize)
+            check_vmem3d(cfg.NY, cfg.NX, itemsize)
         except ValueError:
             use_fused = False  # slice too wide for VMEM: jnp/XLA path
 
@@ -190,15 +203,26 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
             f, g, rho_q = collide_stream3d(
                 state.f, state.g, state.Ex, state.Ey, state.Ez,
                 taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
-                cs2=u.cs2, kb=u.kb, interpret=cfg.kernel_interpret)
+                cs2=u.cs2, kb=u.kb, interpret=cfg.kernel_interpret,
+                neutral_ref=neutral_ref)
             return _poisson_and_pack(cfg, state, f, g, rho_q)
+        if storage_bf16:
+            # storage rounding happens once per step at the final write
+            state = state._replace(f=state.f.astype(cfg.dtype),
+                                   g=state.g.astype(cfg.dtype))
         mac = update_macro(state.f, state.g, state.Ex, state.Ey, state.Ez,
-                           q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i)
+                           q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                           neutral_ref=neutral_ref)
         f, g = collide(state.f, state.g, mac, state.Ex, state.Ey, state.Ez,
                        taus=cfg.taus, q_e=u.q_e, q_i=u.q_i,
-                       m_e=u.m_e, m_i=u.m_i, cs2=u.cs2, kb=u.kb)
+                       m_e=u.m_e, m_i=u.m_i, cs2=u.cs2, kb=u.kb,
+                       neutral_ref=neutral_ref,
+                       g_recip=(lambda x: 1.0 / x) if storage_bf16 else None)
         f = stream_periodic(f)
         g = stream_periodic(g)
+        if storage_bf16:
+            f = f.astype(jnp.bfloat16)
+            g = g.astype(jnp.bfloat16)
         return _poisson_and_pack(cfg, state, f, g, mac.rho_q)
 
     return step

@@ -47,6 +47,21 @@ def equilibrium_wpolys3(ux, uy, uz, cs2: float):
     return out
 
 
+def equilibrium_wpolys3_dev(ux, uy, uz, cs2: float):
+    """w_i * (poly_i - 1) — deviation polynomials for the neutral
+    delta-storage mode, built from the velocity terms directly (never as
+    wpoly - w, which would cancel catastrophically at the tiny neutral
+    velocities the mode exists to rescue; cf. 2-D equilibrium.py)."""
+    inv = 1.0 / cs2
+    u2_term = (ux * ux + uy * uy + uz * uz) * (0.5 * inv)
+    out = []
+    for i in range(_Q):
+        cu = _CX[i] * ux + _CY[i] * uy + _CZ[i] * uz
+        out.append(_W[i] * (cu * inv + (cu * cu) * (0.5 * inv * inv)
+                            - u2_term))
+    return out
+
+
 class Macros3D(NamedTuple):
     rho: jnp.ndarray       # (3, NZ, NY, NX) guarded
     ux: jnp.ndarray
@@ -58,6 +73,8 @@ class Macros3D(NamedTuple):
     uz_pair: jnp.ndarray
     rho_q: jnp.ndarray     # (NZ, NY, NX)
     rho_raw: jnp.ndarray = None
+    # neutral density deviation when f[2] is delta-stored (cf. 2-D Macros)
+    drho_n: jnp.ndarray = None
 
 
 def _sum_dirs(a_s):
@@ -88,14 +105,21 @@ def _moments3(f_s):
 def update_macro3(
     f, g, Ex, Ey, Ez, *,
     q_e: float, q_i: float, m_e: float, m_i: float,
+    neutral_ref: float = 0.0,
 ) -> Macros3D:
     """Moments + guards + half-force + mixtures + rho_q (the 2-D
     update_macro's semantics on the D3Q19 stencil; same guard thresholds,
-    macros.py:88-138)."""
+    macros.py:88-138). neutral_ref != 0 enables the neutral delta-storage
+    mode: f[2] holds deviations from the uniform background
+    neutral_ref * w_i (cf. 2-D update_macro)."""
     qom = (q_e / m_e, q_i / m_i, 0.0)
     rho_raw, rho_l, ux_l, uy_l, uz_l, T_l, alive_l = ([] for _ in range(7))
+    drho_n = None
     for s in range(3):
         rho, px, py, pz = _moments3(f[s])
+        if s == 2 and neutral_ref != 0.0:
+            drho_n = rho
+            rho = neutral_ref + rho
         alive = rho >= 1e-10
         inv_rho = 1.0 / jnp.where(alive, rho, 1.0)
         ux = jnp.where((px == rho) | (px == -rho), 0.0, px * inv_rho)
@@ -134,7 +158,7 @@ def update_macro3(
         uz=jnp.stack(uz_l),
         T=jnp.stack(T_l) if g is not None else None,
         ux_pair=jnp.stack(uxp), uy_pair=jnp.stack(uyp), uz_pair=jnp.stack(uzp),
-        rho_q=rho_q, rho_raw=jnp.stack(rho_raw),
+        rho_q=rho_q, rho_raw=jnp.stack(rho_raw), drho_n=drho_n,
     )
 
 
@@ -148,9 +172,16 @@ def collide_species_dirs3(
     q_e: float, q_i: float, m_e: float, m_i: float,
     cs2: float, kb: float,
     pair_polys=None,
+    neutral_ref: float = 0.0,
+    g_recip=None,
 ):
     """Post-collision (f_dirs, g_dirs) for species s, as lists of Q arrays
-    (the 2-D collide_species_dirs on D3Q19; same factored/packed algebra)."""
+    (the 2-D collide_species_dirs on D3Q19; same factored/packed algebra).
+
+    neutral_ref != 0: exact delta-form BGK for the neutral mass populations
+    (cf. 2-D collide_species_f_dirs). g_recip != None: partial-fraction
+    thermal term with the supplied reciprocal — the bf16 fast mode
+    (cf. 2-D collide_species_g_dirs_fast)."""
     tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
     tau_self = (tau_e, tau_i, tau_n)
     tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
@@ -188,19 +219,54 @@ def collide_species_dirs3(
         tt.append(((2.0 * r * r - 2.0 * r) * rho_s, 4.0 * r))
     u2 = ux_s * ux_s + uy_s * uy_s + uz_s * uz_s
     dT_amp = -(rho_s * u2) / kb
+    delta_mode = s == 2 and neutral_ref != 0.0
+    if delta_mode:
+        # exact delta-form relaxation (cf. 2-D collide_species_f_dirs):
+        # delta'_i = keep delta_i + Sum_p amp_p wdev_p,i + damp w_i
+        wdev = (equilibrium_wpolys3_dev(ux_s, uy_s, uz_s, cs2),
+                equilibrium_wpolys3_dev(mac.ux_pair[p1], mac.uy_pair[p1],
+                                        mac.uz_pair[p1], cs2),
+                equilibrium_wpolys3_dev(mac.ux_pair[p2], mac.uy_pair[p2],
+                                        mac.uz_pair[p2], cs2))
+        damp = mac.drho_n * (1.0 - keep)
+    if g_recip is not None:
+        # partial-fraction fast thermal path (cf. 2-D
+        # collide_species_g_dirs_fast): tm = -3/2 + Sum C_p recip(q_p+2r_p),
+        # geqd = (T/rho) Sum q_p / Q
+        cs_l, offs = [], []
+        for inv in invs:
+            r = 1.0 - inv
+            cs_l.append(rho_s * (r * r - r) + r)
+            offs.append(2.0 * r)
+        ratio_q = (T_s * g_recip(jnp.where(rho_s == 0.0, 1.0, rho_s))
+                   ) * (1.0 / _Q)
 
     f_dirs, g_dirs = [], []
     for i in range(_Q):
-        feqd = amp_f[0] * wp[0][i] + amp_f[1] * wp[1][i] + amp_f[2] * wp[2][i]
-        relax = f_s[i] * keep + feqd
-        if charged:
-            cE = _CX[i] * Ex + _CY[i] * Ey + _CZ[i] * Ez
-            cu = _CX[i] * ux_s + _CY[i] * uy_s + _CZ[i] * uz_s
-            F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
-            f_dirs.append(relax + F)
+        if delta_mode:
+            f_dirs.append(f_s[i] * keep
+                          + amp_f[0] * wdev[0][i] + amp_f[1] * wdev[1][i]
+                          + amp_f[2] * wdev[2][i] + damp * _W[i])
         else:
-            f_dirs.append(relax)
+            feqd = (amp_f[0] * wp[0][i] + amp_f[1] * wp[1][i]
+                    + amp_f[2] * wp[2][i])
+            relax = f_s[i] * keep + feqd
+            if charged:
+                cE = _CX[i] * Ex + _CY[i] * Ey + _CZ[i] * Ez
+                cu = _CX[i] * ux_s + _CY[i] * uy_s + _CZ[i] * uz_s
+                F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
+                f_dirs.append(relax + F)
+            else:
+                f_dirs.append(relax)
 
+        if g_recip is not None:
+            qf = [_Q * (amp_f[p] * wp[p][i]) for p in range(3)]
+            geqd = ratio_q * (qf[0] + qf[1] + qf[2])
+            tm = -1.5
+            for p in range(3):
+                tm = tm + cs_l[p] * g_recip(qf[p] + offs[p])
+            g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
+            continue
         geqd = amp_g[0] * wp[0][i] + amp_g[1] * wp[1][i] + amp_g[2] * wp[2][i]
         ns, ds = [], []
         for p in range(3):

@@ -219,7 +219,8 @@ def make_fused_sharded_step3d(
 
     u = cfg.units()
     phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
-                cs2=u.cs2, kb=u.kb)
+                cs2=u.cs2, kb=u.kb,
+                neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0)
 
     pop_spec = P(None, None, AXIS_Z, None, None)
     fld_spec = P(AXIS_Z, None, None)

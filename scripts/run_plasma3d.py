@@ -29,6 +29,14 @@ def main():
                         "to jnp when the z-slice exceeds VMEM)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--storage", choices=["native", "bf16"], default="native",
+                   help="population storage precision (bf16: half the HBM "
+                        "bytes; arithmetic stays f32; implies neutral "
+                        "delta storage)")
+    p.add_argument("--neutral-delta", dest="neutral_delta",
+                   action=argparse.BooleanOptionalAction, default=None,
+                   help="store neutral populations as deltas from the "
+                        "uniform background (default: on for f32)")
     p.add_argument("--out", default="build/output_3d")
     args = p.parse_args()
 
@@ -52,10 +60,15 @@ def main():
     if args.cpu and args.backend != "jnp":
         print("--cpu: backend 'fused' needs a TPU, using 'jnp'")
         args.backend = "jnp"
+    if args.storage == "bf16" and args.f64:
+        raise SystemExit("--storage bf16 is an f32 fast mode (drop --f64)")
     cfg = dataclasses.replace(
         PlasmaConfig(), NX=args.n, NY=args.n, NZ=args.nz, nsteps=args.steps,
         poisson=PoissonSolver[args.poisson], backend=args.backend,
-        dtype=jnp.float64 if args.f64 else jnp.float32)
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+        storage=args.storage,
+        neutral_delta=(args.neutral_delta if args.neutral_delta is not None
+                       else not args.f64))
     os.makedirs(args.out, exist_ok=True)
 
     state = plasma3d.init_state(cfg)
