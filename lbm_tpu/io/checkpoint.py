@@ -21,7 +21,15 @@ _FIELDS = PlasmaState._fields
 
 def save(path: str, state: PlasmaState) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays = {k: np.asarray(v) for k, v in zip(_FIELDS, state)}
+    arrays = {}
+    for k, v in zip(_FIELDS, state):
+        a = np.asarray(v)
+        if a.dtype == jnp.bfloat16:
+            # npz has no bfloat16 (it round-trips as void V2 and breaks on
+            # reload): store the raw bits as uint16 under a tagged key
+            arrays[k + "__bf16"] = a.view(np.uint16)
+        else:
+            arrays[k] = a
     np.savez_compressed(path, **arrays)
 
 
@@ -29,9 +37,13 @@ def load(path: str, dtype=None, device=None) -> PlasmaState:
     with np.load(path) as z:
         vals = []
         for k in _FIELDS:
-            a = z[k]
-            if dtype is not None and a.dtype.kind == "f":
-                a = a.astype(dtype)
+            if k + "__bf16" in z:
+                bits = z[k + "__bf16"]
+                a = bits.view(jnp.bfloat16)  # bf16 storage stays bf16
+            else:
+                a = z[k]
+                if dtype is not None and a.dtype.kind == "f":
+                    a = a.astype(dtype)
             vals.append(jnp.asarray(a))
     state = PlasmaState(*vals)
     if device is not None:

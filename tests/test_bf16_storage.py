@@ -97,3 +97,19 @@ def test_drift_vs_native_f32_bounded():
 def test_pallas_backend_rejected():
     with pytest.raises(ValueError):
         plasma.make_step(_cfg(backend="pallas"))
+
+
+def test_checkpoint_roundtrip_bf16(tmp_path):
+    """npz has no bfloat16; the checkpoint stores the raw bits as tagged
+    uint16 and restores them bit-exactly (resume must not re-round)."""
+    from lbm_tpu.io import checkpoint as ckpt
+
+    cfg = _cfg()
+    s = jax.jit(plasma.make_step(cfg))(plasma.init_state(cfg))
+    path = str(tmp_path / "ck.npz")
+    ckpt.save(path, s)
+    s2 = ckpt.load(path, dtype=cfg.dtype)
+    assert s2.f.dtype == jnp.bfloat16 and s2.Ex.dtype == jnp.float32
+    assert np.array_equal(np.asarray(s2.f).view(np.uint16),
+                          np.asarray(s.f).view(np.uint16))
+    assert np.array_equal(np.asarray(s2.Ex), np.asarray(s.Ex))
