@@ -82,6 +82,49 @@ def measure(n: int, steps: int, backend: str, storage: str = "native") -> float:
     return n * n * eff / dt / 1e6
 
 
+def measure3d(n: int, steps: int, storage: str = "native") -> float:
+    """3-D (D3Q19) fused-kernel step throughput at n^3, same timing design."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.config import PlasmaConfig, PoissonSolver
+    from lbm_tpu.models import plasma3d
+
+    cfg = dataclasses.replace(
+        PlasmaConfig(), NX=n, NY=n, NZ=n, nsteps=steps, dtype=jnp.float32,
+        backend="fused", poisson=PoissonSolver.FFT, storage=storage,
+        neutral_delta=(storage == "bf16"),
+    )
+    k_short = max(steps // 5, 1)
+    roll_long = jax.jit(plasma3d.make_rollout(cfg, steps), donate_argnums=(0,))
+    roll_short = jax.jit(plasma3d.make_rollout(cfg, k_short),
+                         donate_argnums=(0,))
+
+    @jax.jit
+    def finite(s):
+        return jnp.isfinite(s.f.astype(jnp.float32)).all()
+
+    def trial(roll):
+        s = plasma3d.init_state(cfg)
+        bool(finite(s))
+        t0 = time.perf_counter()
+        s = roll(s)
+        ok = bool(finite(s))
+        dt = time.perf_counter() - t0
+        assert ok, f"non-finite 3-D state in benchmark window ({n}^3)"
+        return dt
+
+    trial(roll_long)
+    trial(roll_short)
+    t_long = min(trial(roll_long) for _ in range(3))
+    t_short = min(trial(roll_short) for _ in range(3))
+    dt = t_long - t_short
+    eff = steps - k_short
+    if dt <= 0:
+        dt, eff = t_long, steps
+    return n ** 3 * eff / dt / 1e6
+
+
 def main() -> None:
     import jax
 
@@ -116,6 +159,11 @@ def main() -> None:
         # the opt-in bf16-storage fast mode (halved population HBM bytes)
         mlups_b = measure(n, steps, backend, "bf16")
         extra[f"plasma_mlups_{n}x{n}_bf16_storage"] = round(mlups_b, 2)
+    n3d = int(os.environ.get("BENCH_N_3D", "128"))
+    if n3d:
+        # the 3-D D3Q19 fused kernel (bf16 storage: its fast mode)
+        mlups_3d = measure3d(n3d, max(steps // 2, 10), "bf16")
+        extra[f"plasma3d_mlups_{n3d}^3_bf16"] = round(mlups_3d, 2)
     if extra:
         out["extra"] = extra
     print(json.dumps(out))

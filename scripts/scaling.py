@@ -147,6 +147,8 @@ def cmd_run(args):
         cfg = dataclasses.replace(
             C.PlasmaConfig(), NX=nx, NY=ny, nsteps=args.steps, poisson=sol,
             bc=bc, dtype=jnp.float32, backend=backend,
+            storage=args.storage,
+            neutral_delta=args.storage == "bf16",
             poisson_max_iter=args.poisson_iters)
         wall_ms, eff = _run_one(cfg, mesh, args.steps)
         wall_ms *= args.steps / eff   # normalize to the nominal step count
@@ -342,6 +344,8 @@ def main():
     r.add_argument("--bc", default="PERIODIC")
     r.add_argument("--steps", type=int, default=30)
     r.add_argument("--backend", default="fused")
+    r.add_argument("--storage", choices=["native", "bf16"], default="native",
+                   help="population storage precision for the sweep")
     r.add_argument("--devices", default="",
                    help="comma list of device counts -> sharded sweep on a "
                         "virtual CPU mesh (e.g. 1,2,4,8)")
