@@ -102,7 +102,13 @@ def measure3d(n: int, steps: int, storage: str = "native") -> float:
 
     @jax.jit
     def finite(s):
-        return jnp.isfinite(s.f.astype(jnp.float32)).all()
+        # all floating leaves: the DDF coupling is one-way (f never reads
+        # g), so an f-only check would miss a thermal blow-up entirely
+        leaves = [jnp.isfinite(x.astype(jnp.float32)).all()
+                  for x in jax.tree.leaves(s)
+                  if jnp.issubdtype(x.dtype, jnp.floating)
+                  or x.dtype == jnp.bfloat16]
+        return jnp.stack(leaves).all()
 
     def trial(roll):
         s = plasma3d.init_state(cfg)

@@ -135,6 +135,16 @@ class PlasmaConfig:
     # golden-trajectory drift like an f32-vs-f64 run, sooner.
     storage: str = "native"  # "native" | "bf16"
 
+    def __post_init__(self):
+        # every consumer tests `storage == "bf16"`, so a typo ("bfloat16",
+        # "BF16") would silently run native mode — fail loudly instead
+        if self.storage not in ("native", "bf16"):
+            raise ValueError(f"storage must be 'native' or 'bf16', "
+                             f"got {self.storage!r}")
+        if self.backend not in ("jnp", "pallas", "fused"):
+            raise ValueError(f"backend must be jnp|pallas|fused, "
+                             f"got {self.backend!r}")
+
     def units(self) -> LatticeUnits:
         return compute_lattice_units(
             Z_ion=self.Z_ion, A_ion=self.A_ion,

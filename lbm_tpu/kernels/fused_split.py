@@ -120,11 +120,14 @@ def _band_pipeline(kernel_compute, out_ref, extra_scratch, k, nk, ty):
 def _specs(S, Q, ty, NX, nk):
     def in_band(k):
         # clamped; never re-fetch band 0 (aliased outputs overwrite it)
-        return jnp.minimum(k, nk - 1)
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
 
     def out_band(k):
-        return jnp.where(k == nk + 1, 0,
-                         jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0)))
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk + 1, jnp.int32(0),
+                 jnp.where(k == nk, jnp.int32(nk - 1),
+                           jnp.maximum(k - jnp.int32(1), jnp.int32(0))))
 
     pop_in = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, in_band(k), 0),
                           memory_space=pltpu.VMEM)

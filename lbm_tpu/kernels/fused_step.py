@@ -371,10 +371,13 @@ def collide_stream_halo(
     grid = (nk + 1,)
 
     def in_band(k):
-        return jnp.minimum(k, nk - 1)
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
 
     def out_band(k):
-        return jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0))
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk, jnp.int32(nk - 1),
+                 jnp.maximum(k - jnp.int32(1), jnp.int32(0)))
 
     pop_in = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, in_band(k), 0),
                           memory_space=pltpu.VMEM)
@@ -588,10 +591,13 @@ def collide_stream_halo2d(
     grid = (nk + 1,)
 
     def in_band(k):
-        return jnp.minimum(k, nk - 1)
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
 
     def out_band(k):
-        return jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0))
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk, jnp.int32(nk - 1),
+                 jnp.maximum(k - jnp.int32(1), jnp.int32(0)))
 
     pop_in = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, in_band(k), 0),
                           memory_space=pltpu.VMEM)
@@ -662,7 +668,9 @@ def _pick_band(NY: int, NX: int, itemsize: int) -> int:
             (2 + 2) * 2 * _S * _Q * ty * NX * itemsize   # in/out x2 buffers
             + (2 + 2) * _S * _Q * ty * NX * itemsize      # prev + b0 planes
             + 6 * 3 * _S * 8 * NX * itemsize              # edge chunks
-            + 80 * ty * NX * itemsize                     # live temporaries
+            # live temporaries are COMPUTE-dtype (f32 when storage is
+            # bf16), not storage-dtype
+            + 80 * ty * NX * max(itemsize, 4)
         )
         if vmem < 90 * 1024 * 1024:
             return ty
@@ -700,12 +708,15 @@ def collide_stream(
         # With the outputs aliased onto f/g, band 0 must NOT be re-read
         # after its output block has been flushed — band 0's wrap assembly
         # uses its planes saved in scratch instead.
-        return jnp.minimum(k, nk - 1)
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
 
     def out_band(k):
         # 0 (placeholder), bands 0..nk-2, band nk-1, band 0 (final)
-        return jnp.where(k == nk + 1, 0,
-                         jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0)))
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk + 1, jnp.int32(0),
+                 jnp.where(k == nk, jnp.int32(nk - 1),
+                           jnp.maximum(k - jnp.int32(1), jnp.int32(0))))
 
     pop_in = pl.BlockSpec((S, Q, ty, NX), lambda k: (0, 0, in_band(k), 0),
                           memory_space=pltpu.VMEM)

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import D3Q19
 from ..ops.d3 import collide_species_dirs3, equilibrium_wpolys3, update_macro3
-from .fused_step import _g_recip_for
+from .fused_step import _cast_io, _g_recip_for
 
 _CX = [int(c) for c in D3Q19.CX]
 _CY = [int(c) for c in D3Q19.CY]
@@ -62,12 +62,7 @@ def _make_kernel(params, nk):
         Ex = ex_ref[0]
         Ey = ey_ref[0]
         Ez = ez_ref[0]
-        f = f_ref[:]
-        g = g_ref[:]
-        dt_store = f.dtype if f.dtype == jnp.bfloat16 else None
-        if dt_store is not None:
-            f = f.astype(jnp.float32)
-            g = g.astype(jnp.float32)
+        f, g, dt_store = _cast_io(f_ref[:], g_ref[:])
         fsl = [[f[s, i, 0] for i in range(_Q)] for s in range(_S)]
         gsl = [[g[s, i, 0] for i in range(_Q)] for s in range(_S)]
         mac = update_macro3(fsl, gsl, Ex, Ey, Ez,
@@ -205,12 +200,7 @@ def _make_halo_kernel3d(params, nk):
         Ex = ex_ref[0]
         Ey = ey_ref[0]
         Ez = ez_ref[0]
-        f = f_ref[:]
-        g = g_ref[:]
-        dt_store = f.dtype if f.dtype == jnp.bfloat16 else None
-        if dt_store is not None:
-            f = f.astype(jnp.float32)
-            g = g.astype(jnp.float32)
+        f, g, dt_store = _cast_io(f_ref[:], g_ref[:])
         fsl = [[f[s, i, 0] for i in range(_Q)] for s in range(_S)]
         gsl = [[g[s, i, 0] for i in range(_Q)] for s in range(_S)]
         mac = update_macro3(fsl, gsl, Ex, Ey, Ez,
@@ -340,10 +330,13 @@ def collide_stream_halo3d(
     grid = (nk + 1,)
 
     def in_band(k):
-        return jnp.minimum(k, nk - 1)
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
 
     def out_band(k):
-        return jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0))
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk, jnp.int32(nk - 1),
+                 jnp.maximum(k - jnp.int32(1), jnp.int32(0)))
 
     pop_in = pl.BlockSpec((S, Q, 1, NY, NX),
                           lambda k: (0, 0, in_band(k), 0, 0),
@@ -403,7 +396,8 @@ def check_vmem3d(NY: int, NX: int, itemsize: int) -> None:
         + 2 * _Q * _S * plane              # prev f+g
         + 2 * _Q * _S * plane              # b0 f+g
         + 4 * 5 * _S * plane               # zlast + b1, f+g
-        + 200 * plane                      # live collide temporaries
+        # live collide temporaries are COMPUTE-dtype (f32 under bf16)
+        + 200 * NY * NX * max(itemsize, 4)
     )
     if vmem >= 95 * 1024 * 1024:
         raise ValueError(
@@ -436,11 +430,14 @@ def collide_stream3d(
     grid = (nk + 2,)
 
     def in_band(k):
-        return jnp.minimum(k, nk - 1)
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
 
     def out_band(k):
-        return jnp.where(k == nk + 1, 0,
-                         jnp.where(k == nk, nk - 1, jnp.maximum(k - 1, 0)))
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk + 1, jnp.int32(0),
+                 jnp.where(k == nk, jnp.int32(nk - 1),
+                           jnp.maximum(k - jnp.int32(1), jnp.int32(0))))
 
     pop_in = pl.BlockSpec((S, Q, 1, NY, NX),
                           lambda k: (0, 0, in_band(k), 0, 0),

@@ -172,8 +172,12 @@ def _neutral_hole_backgrounds(ref: float):
 
 def _g_holes_with_background(vals, neutral_ref: float, compute_dtype=None):
     """Add the neutral background to the 8 g-hole values. `compute_dtype`
-    (bf16-storage mode) does the add at full precision so the storage
-    rounding happens once, at the final write — matching the jnp path."""
+    (bf16-storage mode) does the add at full precision. Note the fused
+    path's hole bases are already bf16-rounded (the kernel stored them),
+    so those 8 cells round twice vs the jnp path's round-at-final-write —
+    at most one bf16 ulp of the ~1.8e10 background, inside the g-channel
+    tolerance (the unrounded values are not recoverable from the in-place
+    kernel output)."""
     if neutral_ref == 0.0:
         return vals
     bgs = _neutral_hole_backgrounds(neutral_ref)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..constants import D2Q9
 from .equilibrium import equilibrium_wpolys, equilibrium_wpolys_dev
-from .macros import Macros
+from .macros import Macros, _c
 
 _W = [float(w) for w in D2Q9.W]
 _CX = [float(c) for c in D2Q9.CX]
@@ -207,7 +207,8 @@ def collide_species_g_dirs_fast(
     # the amp ratio is per-cell, so the thermal equilibria reuse the qf
     # products the energy-loss term needs anyway (1 mul/plane instead of
     # 3 mul + 2 add). Dead cells have T = 0, so the guarded ratio is 0.
-    ratio_q = (T_s * recip(jnp.where(rho_s == 0.0, 1.0, rho_s))) * (1.0 / _Q)
+    ratio_q = (T_s * recip(jnp.where(rho_s == 0.0, _c(1.0, rho_s),
+                                 rho_s))) * (1.0 / _Q)
 
     g_dirs = []
     for i in range(_Q):

@@ -25,6 +25,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..constants import D3Q19
+from .macros import _c
 
 _W = [float(w) for w in D3Q19.W]
 _CX = [float(c) for c in D3Q19.CX]
@@ -121,37 +122,37 @@ def update_macro3(
             drho_n = rho
             rho = neutral_ref + rho
         alive = rho >= 1e-10
-        inv_rho = 1.0 / jnp.where(alive, rho, 1.0)
-        ux = jnp.where((px == rho) | (px == -rho), 0.0, px * inv_rho)
-        uy = jnp.where((py == rho) | (py == -rho), 0.0, py * inv_rho)
-        uz = jnp.where((pz == rho) | (pz == -rho), 0.0, pz * inv_rho)
+        inv_rho = 1.0 / jnp.where(alive, rho, _c(1.0, rho))
+        ux = jnp.where((px == rho) | (px == -rho), _c(0.0, rho), px * inv_rho)
+        uy = jnp.where((py == rho) | (py == -rho), _c(0.0, rho), py * inv_rho)
+        uz = jnp.where((pz == rho) | (pz == -rho), _c(0.0, rho), pz * inv_rho)
         if qom[s] != 0.0:
             ux = ux + (0.5 * qom[s]) * Ex
             uy = uy + (0.5 * qom[s]) * Ey
             uz = uz + (0.5 * qom[s]) * Ez
         rho_raw.append(rho)
         alive_l.append(alive)
-        rho_l.append(jnp.where(alive, rho, 0.0))
-        ux_l.append(jnp.where(alive, ux, 0.0))
-        uy_l.append(jnp.where(alive, uy, 0.0))
-        uz_l.append(jnp.where(alive, uz, 0.0))
+        rho_l.append(jnp.where(alive, rho, _c(0.0, rho)))
+        ux_l.append(jnp.where(alive, ux, _c(0.0, rho)))
+        uy_l.append(jnp.where(alive, uy, _c(0.0, rho)))
+        uz_l.append(jnp.where(alive, uz, _c(0.0, rho)))
         if g is not None:
-            T_l.append(jnp.where(alive, _sum_dirs(g[s]), 0.0))
+            T_l.append(jnp.where(alive, _sum_dirs(g[s]), _c(0.0, rho)))
 
     uxp, uyp, uzp = [], [], []
     for a, b in _PAIR_IDX:
         ra, rb = rho_raw[a], rho_raw[b]
         both_dead = (~alive_l[a]) & (~alive_l[b])
-        inv = 1.0 / jnp.where(both_dead, 1.0, ra + rb)
-        uxp.append(jnp.where(both_dead, 0.0,
+        inv = 1.0 / jnp.where(both_dead, _c(1.0, ra), ra + rb)
+        uxp.append(jnp.where(both_dead, _c(0.0, ra),
                              (ra * ux_l[a] + rb * ux_l[b]) * inv))
-        uyp.append(jnp.where(both_dead, 0.0,
+        uyp.append(jnp.where(both_dead, _c(0.0, ra),
                              (ra * uy_l[a] + rb * uy_l[b]) * inv))
-        uzp.append(jnp.where(both_dead, 0.0,
+        uzp.append(jnp.where(both_dead, _c(0.0, ra),
                              (ra * uz_l[a] + rb * uz_l[b]) * inv))
 
     rho_q = (q_i / m_i) * rho_l[1] + (q_e / m_e) * rho_l[0]
-    rho_q = jnp.where(rho_q < 1e-15, 0.0, rho_q)
+    rho_q = jnp.where(rho_q < 1e-15, _c(0.0, rho_q), rho_q)
 
     return Macros3D(
         rho=jnp.stack(rho_l), ux=jnp.stack(ux_l), uy=jnp.stack(uy_l),
@@ -238,8 +239,8 @@ def collide_species_dirs3(
             r = 1.0 - inv
             cs_l.append(rho_s * (r * r - r) + r)
             offs.append(2.0 * r)
-        ratio_q = (T_s * g_recip(jnp.where(rho_s == 0.0, 1.0, rho_s))
-                   ) * (1.0 / _Q)
+        ratio_q = (T_s * g_recip(jnp.where(rho_s == 0.0, _c(1.0, rho_s),
+                                           rho_s))) * (1.0 / _Q)
 
     f_dirs, g_dirs = [], []
     for i in range(_Q):

@@ -52,6 +52,15 @@ class Macros(NamedTuple):
     drho_n: jnp.ndarray = None
 
 
+def _c(v, like):
+    """Scalar constant in `like`'s dtype. jnp.where materializes Python
+    floats as default-dtype scalars, which under jax_enable_x64 puts f64[]
+    constants inside the Pallas kernel traces — Mosaic has no f64 and its
+    convert lowering recurses to a RecursionError. Exact for 0/1/guard
+    values in every dtype, so bitwise-neutral everywhere else."""
+    return jnp.asarray(v, like.dtype)
+
+
 def _sum_dirs(a_s):
     """Sequential 0..8 accumulation (the reference's reduction order)."""
     acc = a_s[0]
@@ -83,9 +92,9 @@ def _mixture_velocities(rho_raw, alive, ux, uy):
     for a, b in ((0, 1), (0, 2), (1, 2)):
         ra, rb = rho_raw[a], rho_raw[b]
         both_dead = (~alive[a]) & (~alive[b])
-        inv = 1.0 / jnp.where(both_dead, 1.0, ra + rb)
-        uxp.append(jnp.where(both_dead, 0.0, (ra * ux[a] + rb * ux[b]) * inv))
-        uyp.append(jnp.where(both_dead, 0.0, (ra * uy[a] + rb * uy[b]) * inv))
+        inv = 1.0 / jnp.where(both_dead, _c(1.0, ra), ra + rb)
+        uxp.append(jnp.where(both_dead, _c(0.0, ra), (ra * ux[a] + rb * ux[b]) * inv))
+        uyp.append(jnp.where(both_dead, _c(0.0, ra), (ra * uy[a] + rb * uy[b]) * inv))
     return uxp, uyp
 
 
@@ -122,29 +131,29 @@ def update_macro(
             drho_n = rho
             rho = neutral_ref + rho
         alive = rho >= 1e-10
-        safe_rho = jnp.where(alive, rho, 1.0)
+        safe_rho = jnp.where(alive, rho, _c(1.0, rho))
         inv_rho = 1.0 / safe_rho  # one division shared by both components
         # exact-equality anti-blowup guard (reference: src/plasma.cpp:380-387)
         gv = guard_vals[s]
-        ux = jnp.where((px == rho) | (px == -rho), gv, px * inv_rho)
-        uy = jnp.where((py == rho) | (py == -rho), gv, py * inv_rho)
+        ux = jnp.where((px == rho) | (px == -rho), _c(gv, rho), px * inv_rho)
+        uy = jnp.where((py == rho) | (py == -rho), _c(gv, rho), py * inv_rho)
         if qom[s] != 0.0:
             # half-step Guo force correction (src/plasma.cpp:389-390)
             ux = ux + (0.5 * qom[s]) * Ex
             uy = uy + (0.5 * qom[s]) * Ey
         rho_raw.append(rho)
         alive_l.append(alive)
-        rho_l.append(jnp.where(alive, rho, 0.0))
-        ux_l.append(jnp.where(alive, ux, 0.0))
-        uy_l.append(jnp.where(alive, uy, 0.0))
+        rho_l.append(jnp.where(alive, rho, _c(0.0, rho)))
+        ux_l.append(jnp.where(alive, ux, _c(0.0, rho)))
+        uy_l.append(jnp.where(alive, uy, _c(0.0, rho)))
         if g is not None:
-            T_l.append(jnp.where(alive, _sum_dirs(g[s]), 0.0))
+            T_l.append(jnp.where(alive, _sum_dirs(g[s]), _c(0.0, rho)))
 
     uxp, uyp = _mixture_velocities(rho_raw, alive_l, ux_l, uy_l)
 
     # charge density with the signed < 1e-15 clamp (src/plasma.cpp:452-453)
     rho_q = (q_i / m_i) * rho_l[1] + (q_e / m_e) * rho_l[0]
-    rho_q = jnp.where(rho_q < 1e-15, 0.0, rho_q)
+    rho_q = jnp.where(rho_q < 1e-15, _c(0.0, rho_q), rho_q)
 
     return Macros(
         rho=jnp.stack(rho_l), ux=jnp.stack(ux_l), uy=jnp.stack(uy_l),
@@ -167,8 +176,8 @@ def macros_from_pack(pack, g, guard_vals=(0.0, 0.0, 0.0)) -> Macros:
     ux = [pack[3 + s] for s in range(3)]
     uy = [pack[6 + s] for s in range(3)]
     alive = [r >= 1e-10 for r in rho_raw]
-    rho = [jnp.where(a, r, 0.0) for a, r in zip(alive, rho_raw)]
-    T = [jnp.where(a, _sum_dirs(g[s]), 0.0) for s, a in enumerate(alive)]
+    rho = [jnp.where(a, r, _c(0.0, r)) for a, r in zip(alive, rho_raw)]
+    T = [jnp.where(a, _sum_dirs(g[s]), _c(0.0, g[s][0])) for s, a in enumerate(alive)]
     uxp, uyp = _mixture_velocities(rho_raw, alive, ux, uy)
     return Macros(
         rho=jnp.stack(rho), ux=jnp.stack(ux), uy=jnp.stack(uy),

@@ -36,7 +36,9 @@ def main():
     import jax
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    # x64 is flipped on ONLY for the f64 truth run (below): Pallas/Mosaic
+    # does not lower TPU kernels traced under jax_enable_x64 (index plumbing
+    # goes 64-bit), so the f32/bf16 TPU legs must trace with x64 off.
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), "..",
                                    ".jax_cache"))
@@ -65,14 +67,15 @@ def main():
                  rho_q=mac.rho_q, Ex=Ex, Ey=Ey))
 
     print(f"golden drift, {args.n}x{args.n}, {args.steps} steps", flush=True)
-    truth = run(jnp.float64, delta=False)
-
     f32_dev = jax.devices()[0] if args.tpu else cpu
     f32_backend = "fused" if args.tpu else "jnp"
     runs = {"classic": run(jnp.float32, False, f32_backend, f32_dev),
             "delta": run(jnp.float32, True, f32_backend, f32_dev),
             "bf16": run(jnp.float32, True, f32_backend, f32_dev,
                         storage="bf16")}
+
+    jax.config.update("jax_enable_x64", True)  # f64 truth (CPU jnp) only
+    truth = run(jnp.float64, delta=False)
 
     species = "ein"
     print(f"{'field':8s} {'classic-f32':>12s} {'delta-f32':>12s}"

@@ -115,6 +115,16 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     state = (ckpt.load(args.resume, dtype=cfg.dtype) if args.resume
              else plasma.init_state(cfg))
+    if args.resume:
+        # reconcile the checkpoint's population dtype with cfg.storage: the
+        # jnp step would crash on the 2nd iteration (AOT signature), the
+        # fused kernel would silently run the checkpoint's storage mode
+        want = jnp.bfloat16 if cfg.storage == "bf16" else cfg.dtype
+        if state.f.dtype != want:
+            print(f"resume: converting populations "
+                  f"{state.f.dtype} -> {jnp.dtype(want).name}")
+            state = state._replace(f=state.f.astype(want),
+                                   g=state.g.astype(want))
     # AOT-compile so the timer measures simulation, not compilation
     step = (jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
             .lower(state).compile())

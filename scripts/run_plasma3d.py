@@ -86,9 +86,14 @@ def main():
         timer.tick()
         if (t + 1) % args.slice_every == 0:
             u = cfg.units()
+            # observation honors the storage/delta contracts: upcast bf16
+            # populations (moments/rho_q are near-cancellations) and pass
+            # neutral_ref so delta-stored neutrals read as full densities
             mac = plasma3d.update_macro(
-                state.f, state.g, state.Ex, state.Ey, state.Ez,
-                q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i)
+                state.f.astype(cfg.dtype), state.g.astype(cfg.dtype),
+                state.Ex, state.Ey, state.Ez,
+                q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0)
             zmid = cfg.NZ // 2
             fig, axes = plt.subplots(1, 2, figsize=(9, 4), dpi=100)
             im = axes[0].imshow(np.asarray(mac.rho[0][zmid]), origin="lower")
