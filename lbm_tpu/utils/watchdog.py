@@ -20,11 +20,18 @@ class BlowupError(RuntimeError):
         self.step = step
 
 
-def state_is_finite(state) -> bool:
-    """One device-side reduction over every array in the state pytree."""
+def finite_reduction(state):
+    """Jittable whole-state isfinite reduction (every floating leaf, incl.
+    bfloat16 storage). The single definition of "finite" shared by the
+    watchdog, bench.py, and the scaling harness."""
     leaves = [jnp.isfinite(x).all() for x in jax.tree.leaves(state)
               if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)]
-    return bool(jax.device_get(jnp.stack(leaves).all()))
+    return jnp.stack(leaves).all()
+
+
+def state_is_finite(state) -> bool:
+    """One device-side reduction over every array in the state pytree."""
+    return bool(jax.device_get(finite_reduction(state)))
 
 
 class Watchdog:

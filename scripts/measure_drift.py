@@ -8,7 +8,7 @@ rescues the neutral channel from the rho_n ~ 1.8e10 f32 cancellation
 (docs/STATUS.md "fp32 vs fp64 drift"). The f64 truth runs the classic
 layout (golden-trajectory parity is pinned to it by the C++ fixtures).
 
-    python scripts/measure_drift.py [--backend jnp|fused] [--steps 200]
+    python scripts/measure_drift.py [--tpu] [--steps 200]
 
 CPU by default; --tpu times the fused kernel path on the real chip.
 """

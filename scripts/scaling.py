@@ -46,11 +46,8 @@ def _timed_trials(make_fn, init_fn, steps: int):
     roll_long = make_fn(steps)
     roll_short = make_fn(k_short)
 
-    @jax.jit
-    def finite(s):
-        leaves = [jnp.isfinite(x).all() for x in jax.tree.leaves(s)
-                  if jnp.issubdtype(x.dtype, jnp.floating)]
-        return jnp.stack(leaves).all()
+    from lbm_tpu.utils.watchdog import finite_reduction
+    finite = jax.jit(finite_reduction)
 
     def trial(roll):
         s = init_fn()
@@ -227,6 +224,11 @@ def cmd_plot(args):
             if not len(sel):
                 continue
             tag = f"{_BC_NAMES.get(bcv, bcv)}_{_SOLVER_NAMES.get(pv, pv)}"
+            # normalize to PER-STEP wall-ms before grouping: the CSV is
+            # append-mode across invocations whose --steps may differ, so
+            # grouping raw totals would average incommensurable rows
+            sel = sel.copy()
+            sel[:, 6] = sel[:, 6] / sel[:, 2]
             keys, mean, std = _group_mean_std(sel, (0, 1, 3))
             nx, ny, cores = keys[:, 0], keys[:, 1], keys[:, 2]
             sites = nx * ny
@@ -244,7 +246,7 @@ def cmd_plot(args):
                 ideal = mean[m][o][0] * cores[m][o][0] / cores[m][o]
                 ax.plot(cores[m][o], ideal, "k--", alpha=0.5, label="ideal")
                 ax.set_xlabel("Number of Devices")
-                ax.set_ylabel("Computation Time (ms)")
+                ax.set_ylabel("Computation Time per step (ms)")
                 ax.set_title(f"Strong scalability — Grid "
                              f"{int(gsize[0])}x{int(gsize[1])}\n{tag}")
                 ax.legend()
@@ -270,7 +272,7 @@ def cmd_plot(args):
                 ax.errorbar(cores[m][o], mean[m][o], yerr=std[m][o],
                             fmt="o-", capsize=5)
                 ax.set_xlabel("Number of Devices")
-                ax.set_ylabel("Computation Time (ms)")
+                ax.set_ylabel("Computation Time per step (ms)")
                 ax.set_title(f"Weak scalability — load/device ≈ "
                              f"{int(lv)} sites\n{tag}")
                 ax.grid(True)
@@ -281,7 +283,7 @@ def cmd_plot(args):
                 any_weak = True
             if any_weak:
                 ax_c.set_xlabel("Number of Devices")
-                ax_c.set_ylabel("Computation Time (ms)")
+                ax_c.set_ylabel("Computation Time per step (ms)")
                 ax_c.set_title(f"Weak scalability comparison\n{tag}")
                 ax_c.legend()
                 ax_c.grid(True)
@@ -298,8 +300,7 @@ def cmd_plot(args):
                 o = np.argsort(sites[m])
                 fig, ax = plt.subplots(figsize=(7, 5), dpi=110)
                 s = keys[m][o]
-                mlups = (s[:, 0] * s[:, 1] *
-                         sel[0, 2] / mean[m][o] / 1000)
+                mlups = s[:, 0] * s[:, 1] / mean[m][o] / 1000
                 ax.plot(sites[m][o], mlups, "o-")
                 ax.set_xscale("log", base=2)
                 ax.set_xlabel("Grid Size (NX * NY)")
