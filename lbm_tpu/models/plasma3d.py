@@ -189,16 +189,33 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
     storage_bf16 = cfg.storage == "bf16"
     neutral_ref = u.rho_n_init if cfg.neutral_delta else 0.0
     use_fused = cfg.backend in ("fused", "pallas")
+    use_split = False
     if use_fused:
+        from ..kernels.fused_split3d import check_vmem_split3d
         from ..kernels.fused_step3d import check_vmem3d
         itemsize = 2 if storage_bf16 else jnp.dtype(cfg.dtype).itemsize
         try:
             check_vmem3d(cfg.NY, cfg.NX, itemsize)
         except ValueError:
-            use_fused = False  # slice too wide for VMEM: jnp/XLA path
+            # cross-section too wide for the single kernel: try the
+            # mass/thermal split pair (fits ~2x the area), then jnp/XLA
+            use_fused = False
+            try:
+                check_vmem_split3d(cfg.NY, cfg.NX, itemsize)
+                use_split = True
+            except ValueError:
+                pass
 
     def step(state: Plasma3DState) -> Plasma3DState:
-        if use_fused:
+        if use_fused or use_split:
+            if use_split:
+                from ..kernels.fused_split3d import collide_stream_split3d
+                f, g, rho_q = collide_stream_split3d(
+                    state.f, state.g, state.Ex, state.Ey, state.Ez,
+                    taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e,
+                    m_i=u.m_i, cs2=u.cs2, kb=u.kb,
+                    interpret=cfg.kernel_interpret, neutral_ref=neutral_ref)
+                return _poisson_and_pack(cfg, state, f, g, rho_q)
             from ..kernels.fused_step3d import collide_stream3d
             f, g, rho_q = collide_stream3d(
                 state.f, state.g, state.Ex, state.Ey, state.Ez,

@@ -163,6 +163,136 @@ def update_macro3(
     )
 
 
+def _species_setup3(s, mac, cs2, taus, pair_polys, self_wpolys=None):
+    """Shared per-species precomputation (cf. 2-D _species_setup)."""
+    tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
+    tau_self = (tau_e, tau_i, tau_n)
+    tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
+    p1, p2 = _PAIR_IDX[s]
+    t_self = tau_self[s]
+    t_c1, t_c2 = tau_cross[s]
+    invs = (1.0 / t_self, 1.0 / t_c1, 1.0 / t_c2)
+    keep = 1.0 - (invs[0] + invs[1] + invs[2])
+    if pair_polys is None:
+        pair_polys = {
+            p: equilibrium_wpolys3(mac.ux_pair[p], mac.uy_pair[p],
+                                   mac.uz_pair[p], cs2)
+            for p in (p1, p2)
+        }
+    wpoly_self = (self_wpolys if self_wpolys is not None
+                  else equilibrium_wpolys3(mac.ux[s], mac.uy[s], mac.uz[s],
+                                           cs2))
+    wp = (wpoly_self, pair_polys[p1], pair_polys[p2])
+    return t_self, invs, wp, keep
+
+
+def collide_species_f_dirs3(
+    s, f_s, mac, Ex, Ey, Ez, *,
+    taus, q_e, q_i, m_e, m_i, cs2,
+    pair_polys=None, self_wpolys=None, neutral_ref=0.0,
+):
+    """Mass-population update for species s (never reads g/T); the 3-D
+    analog of 2-D collide_species_f_dirs, incl. the exact delta-form BGK
+    for delta-stored neutrals."""
+    charge = (q_e, q_i, 0.0)
+    mass = (m_e, m_i, 1.0)
+    t_self, invs, wp, keep = _species_setup3(s, mac, cs2, taus, pair_polys,
+                                             self_wpolys)
+    p1, p2 = _PAIR_IDX[s]
+    rho_s = mac.rho[s]
+    ux_s, uy_s, uz_s = mac.ux[s], mac.uy[s], mac.uz[s]
+    amp_f = tuple(rho_s * inv for inv in invs)
+
+    if s == 2 and neutral_ref != 0.0:
+        # exact delta-form relaxation (cf. 2-D collide_species_f_dirs):
+        # delta'_i = keep delta_i + Sum_p amp_p wdev_p,i + damp w_i
+        wdev = (equilibrium_wpolys3_dev(ux_s, uy_s, uz_s, cs2),
+                equilibrium_wpolys3_dev(mac.ux_pair[p1], mac.uy_pair[p1],
+                                        mac.uz_pair[p1], cs2),
+                equilibrium_wpolys3_dev(mac.ux_pair[p2], mac.uy_pair[p2],
+                                        mac.uz_pair[p2], cs2))
+        damp = mac.drho_n * (1.0 - keep)
+        return [f_s[i] * keep
+                + amp_f[0] * wdev[0][i] + amp_f[1] * wdev[1][i]
+                + amp_f[2] * wdev[2][i] + damp * _W[i]
+                for i in range(_Q)]
+
+    charged = charge[s] != 0.0
+    if charged:
+        uE = ux_s * Ex + uy_s * Ey + uz_s * Ez
+        force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
+            1.0 - 1.0 / (2.0 * t_self))
+
+    f_dirs = []
+    for i in range(_Q):
+        feqd = (amp_f[0] * wp[0][i] + amp_f[1] * wp[1][i]
+                + amp_f[2] * wp[2][i])
+        relax = f_s[i] * keep + feqd
+        if charged:
+            cE = _CX[i] * Ex + _CY[i] * Ey + _CZ[i] * Ez
+            cu = _CX[i] * ux_s + _CY[i] * uy_s + _CZ[i] * uz_s
+            F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
+            f_dirs.append(relax + F)
+        else:
+            f_dirs.append(relax)
+    return f_dirs
+
+
+def collide_species_g_dirs3(
+    s, g_s, mac, *,
+    taus, cs2, kb,
+    pair_polys=None, self_wpolys=None, g_recip=None,
+):
+    """Thermal (DDF) update for species s; needs only macros, not f or E.
+    g_recip != None: partial-fraction fast thermal (bf16 mode, cf. 2-D
+    collide_species_g_dirs_fast); None: the exact combined-fraction form."""
+    t_self, invs, wp, keep = _species_setup3(s, mac, cs2, taus, pair_polys,
+                                             self_wpolys)
+    rho_s, T_s = mac.rho[s], mac.T[s]
+    ux_s, uy_s, uz_s = mac.ux[s], mac.uy[s], mac.uz[s]
+    amp_f = tuple(rho_s * inv for inv in invs)
+    u2 = ux_s * ux_s + uy_s * uy_s + uz_s * uz_s
+    dT_amp = -(rho_s * u2) / kb
+
+    if g_recip is not None:
+        cs_l, offs = [], []
+        for inv in invs:
+            r = 1.0 - inv
+            cs_l.append(rho_s * (r * r - r) + r)
+            offs.append(2.0 * r)
+        ratio_q = (T_s * g_recip(jnp.where(rho_s == 0.0, _c(1.0, rho_s),
+                                           rho_s))) * (1.0 / _Q)
+        g_dirs = []
+        for i in range(_Q):
+            qf = [_Q * (amp_f[p] * wp[p][i]) for p in range(3)]
+            geqd = ratio_q * (qf[0] + qf[1] + qf[2])
+            tm = -1.5
+            for p in range(3):
+                tm = tm + cs_l[p] * g_recip(qf[p] + offs[p])
+            g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
+        return g_dirs
+
+    amp_g = tuple(T_s * inv for inv in invs)
+    # combined-fraction thermal terms (cf. 2-D collide.py:119-141)
+    tt = []
+    for inv in invs:
+        r = 1.0 - inv
+        tt.append(((2.0 * r * r - 2.0 * r) * rho_s, 4.0 * r))
+    g_dirs = []
+    for i in range(_Q):
+        geqd = amp_g[0] * wp[0][i] + amp_g[1] * wp[1][i] + amp_g[2] * wp[2][i]
+        ns, ds = [], []
+        for p in range(3):
+            qf = _Q * (amp_f[p] * wp[p][i])
+            ns.append(tt[p][0] - qf)
+            ds.append(tt[p][1] + 2.0 * qf)
+        d12 = ds[0] * ds[1]
+        tm = (ns[0] * (ds[1] * ds[2]) + ns[1] * (ds[0] * ds[2])
+              + ns[2] * d12) / (d12 * ds[2])
+        g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
+    return g_dirs
+
+
 def collide_species_dirs3(
     s: int,
     f_s, g_s,             # indexable: [i] -> (NZ, NY, NX)
@@ -183,99 +313,54 @@ def collide_species_dirs3(
     (cf. 2-D collide_species_f_dirs). g_recip != None: partial-fraction
     thermal term with the supplied reciprocal — the bf16 fast mode
     (cf. 2-D collide_species_g_dirs_fast)."""
-    tau_e, tau_i, tau_n, tau_ei, tau_en, tau_in = taus
-    tau_self = (tau_e, tau_i, tau_n)
-    tau_cross = ((tau_ei, tau_en), (tau_ei, tau_in), (tau_en, tau_in))
-    charge = (q_e, q_i, 0.0)
-    mass = (m_e, m_i, 1.0)
-    p1, p2 = _PAIR_IDX[s]
-    t_self = tau_self[s]
-    t_c1, t_c2 = tau_cross[s]
-    invs = (1.0 / t_self, 1.0 / t_c1, 1.0 / t_c2)
-    keep = 1.0 - (invs[0] + invs[1] + invs[2])
-
     if pair_polys is None:
+        p1, p2 = _PAIR_IDX[s]
         pair_polys = {
             p: equilibrium_wpolys3(mac.ux_pair[p], mac.uy_pair[p],
                                    mac.uz_pair[p], cs2)
             for p in (p1, p2)
         }
-    rho_s = mac.rho[s]
-    ux_s, uy_s, uz_s, T_s = mac.ux[s], mac.uy[s], mac.uz[s], mac.T[s]
-    wp = (equilibrium_wpolys3(ux_s, uy_s, uz_s, cs2),
-          pair_polys[p1], pair_polys[p2])
-    amp_f = tuple(rho_s * inv for inv in invs)
-    amp_g = tuple(T_s * inv for inv in invs)
-
-    charged = charge[s] != 0.0
-    if charged:
-        uE = ux_s * Ex + uy_s * Ey + uz_s * Ez
-        force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
-            1.0 - 1.0 / (2.0 * t_self))
-
-    # combined-fraction thermal terms (cf. 2-D collide.py:119-141)
-    tt = []
-    for inv in invs:
-        r = 1.0 - inv
-        tt.append(((2.0 * r * r - 2.0 * r) * rho_s, 4.0 * r))
-    u2 = ux_s * ux_s + uy_s * uy_s + uz_s * uz_s
-    dT_amp = -(rho_s * u2) / kb
-    delta_mode = s == 2 and neutral_ref != 0.0
-    if delta_mode:
-        # exact delta-form relaxation (cf. 2-D collide_species_f_dirs):
-        # delta'_i = keep delta_i + Sum_p amp_p wdev_p,i + damp w_i
-        wdev = (equilibrium_wpolys3_dev(ux_s, uy_s, uz_s, cs2),
-                equilibrium_wpolys3_dev(mac.ux_pair[p1], mac.uy_pair[p1],
-                                        mac.uz_pair[p1], cs2),
-                equilibrium_wpolys3_dev(mac.ux_pair[p2], mac.uy_pair[p2],
-                                        mac.uz_pair[p2], cs2))
-        damp = mac.drho_n * (1.0 - keep)
-    if g_recip is not None:
-        # partial-fraction fast thermal path (cf. 2-D
-        # collide_species_g_dirs_fast): tm = -3/2 + Sum C_p recip(q_p+2r_p),
-        # geqd = (T/rho) Sum q_p / Q
-        cs_l, offs = [], []
-        for inv in invs:
-            r = 1.0 - inv
-            cs_l.append(rho_s * (r * r - r) + r)
-            offs.append(2.0 * r)
-        ratio_q = (T_s * g_recip(jnp.where(rho_s == 0.0, _c(1.0, rho_s),
-                                           rho_s))) * (1.0 / _Q)
-
-    f_dirs, g_dirs = [], []
-    for i in range(_Q):
-        if delta_mode:
-            f_dirs.append(f_s[i] * keep
-                          + amp_f[0] * wdev[0][i] + amp_f[1] * wdev[1][i]
-                          + amp_f[2] * wdev[2][i] + damp * _W[i])
-        else:
-            feqd = (amp_f[0] * wp[0][i] + amp_f[1] * wp[1][i]
-                    + amp_f[2] * wp[2][i])
-            relax = f_s[i] * keep + feqd
-            if charged:
-                cE = _CX[i] * Ex + _CY[i] * Ey + _CZ[i] * Ez
-                cu = _CX[i] * ux_s + _CY[i] * uy_s + _CZ[i] * uz_s
-                F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
-                f_dirs.append(relax + F)
-            else:
-                f_dirs.append(relax)
-
-        if g_recip is not None:
-            qf = [_Q * (amp_f[p] * wp[p][i]) for p in range(3)]
-            geqd = ratio_q * (qf[0] + qf[1] + qf[2])
-            tm = -1.5
-            for p in range(3):
-                tm = tm + cs_l[p] * g_recip(qf[p] + offs[p])
-            g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
-            continue
-        geqd = amp_g[0] * wp[0][i] + amp_g[1] * wp[1][i] + amp_g[2] * wp[2][i]
-        ns, ds = [], []
-        for p in range(3):
-            qf = _Q * (amp_f[p] * wp[p][i])
-            ns.append(tt[p][0] - qf)
-            ds.append(tt[p][1] + 2.0 * qf)
-        d12 = ds[0] * ds[1]
-        tm = (ns[0] * (ds[1] * ds[2]) + ns[1] * (ds[0] * ds[2])
-              + ns[2] * d12) / (d12 * ds[2])
-        g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
+    self_wpolys = equilibrium_wpolys3(mac.ux[s], mac.uy[s], mac.uz[s], cs2)
+    f_dirs = collide_species_f_dirs3(
+        s, f_s, mac, Ex, Ey, Ez, taus=taus, q_e=q_e, q_i=q_i, m_e=m_e,
+        m_i=m_i, cs2=cs2, pair_polys=pair_polys, self_wpolys=self_wpolys,
+        neutral_ref=neutral_ref)
+    g_dirs = collide_species_g_dirs3(
+        s, g_s, mac, taus=taus, cs2=cs2, kb=kb, pair_polys=pair_polys,
+        self_wpolys=self_wpolys, g_recip=g_recip)
     return f_dirs, g_dirs
+
+
+def macros_from_pack3(pack, g):
+    """Rebuild the Macros3D the thermal (g) side needs from the mass
+    kernel's pack: pack = stack([rho_raw(3), ux(3), uy(3), uz(3)]) ->
+    (12, ...). Guard masks, guarded densities, T moments and mixture
+    velocities are recomputed locally (cheap) instead of shipping more
+    planes through HBM (cf. 2-D macros_from_pack). Delta-transparent:
+    rho_raw already carries the full neutral density."""
+    rho_raw = [pack[s] for s in range(3)]
+    ux = [pack[3 + s] for s in range(3)]
+    uy = [pack[6 + s] for s in range(3)]
+    uz = [pack[9 + s] for s in range(3)]
+    alive = [r >= 1e-10 for r in rho_raw]
+    rho = [jnp.where(a, r, _c(0.0, r)) for a, r in zip(alive, rho_raw)]
+    T = [jnp.where(a, _sum_dirs(g[s]), _c(0.0, rho_raw[s]))
+         for s, a in enumerate(alive)]
+    uxp, uyp, uzp = [], [], []
+    for a, b in _PAIR_IDX:
+        ra, rb = rho_raw[a], rho_raw[b]
+        both_dead = (~alive[a]) & (~alive[b])
+        inv = 1.0 / jnp.where(both_dead, _c(1.0, ra), ra + rb)
+        uxp.append(jnp.where(both_dead, _c(0.0, ra),
+                             (ra * ux[a] + rb * ux[b]) * inv))
+        uyp.append(jnp.where(both_dead, _c(0.0, ra),
+                             (ra * uy[a] + rb * uy[b]) * inv))
+        uzp.append(jnp.where(both_dead, _c(0.0, ra),
+                             (ra * uz[a] + rb * uz[b]) * inv))
+    return Macros3D(
+        rho=jnp.stack(rho), ux=jnp.stack(ux), uy=jnp.stack(uy),
+        uz=jnp.stack(uz), T=jnp.stack(T),
+        ux_pair=jnp.stack(uxp), uy_pair=jnp.stack(uyp),
+        uz_pair=jnp.stack(uzp),
+        rho_q=None, rho_raw=jnp.stack(rho_raw),
+    )
