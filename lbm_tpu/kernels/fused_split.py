@@ -1,8 +1,9 @@
 """Wide-grid fused step: two band-pipeline kernels (mass / thermal).
 
 The single fused kernel (fused_step.py) needs the f AND g band blocks plus
-their double buffers simultaneously in VMEM, capping the full-width band at
-NX=1024 (f32). The mass collisions never read g, and the thermal side only
+their double buffers simultaneously in VMEM, capping the full-width band
+(NX=4096 in f32 at the raised 100 MB budget; 8192 in bf16). The mass
+collisions never read g, and the thermal side only
 needs g plus 9 macro planes, so the step splits into two kernels that each
 fit at twice the width:
 
