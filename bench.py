@@ -133,9 +133,10 @@ def main() -> None:
     n = int(os.environ.get("BENCH_N", "2048"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     backend = os.environ.get("BENCH_BACKEND", "fused")
-    storage = os.environ.get("BENCH_STORAGE", "native")
+    # the headline tracks the engine's BEST mode (bf16 storage, the opt-in
+    # fast path); the f32-native number rides in extra for continuity
+    storage = os.environ.get("BENCH_STORAGE", "bf16")
     n_extra = int(os.environ.get("BENCH_N_EXTRA", "4096"))
-    with_bf16 = os.environ.get("BENCH_BF16", "1") != "0"
 
     mlups = measure(n, steps, backend, storage)
     tag = "" if storage == "native" else f"_{storage}"
@@ -156,18 +157,19 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - report, don't die
             extra[key] = f"error: {type(e).__name__}: {e}"[:200]
 
+    other = "native" if storage == "bf16" else "bf16"
+    attempt(f"plasma_mlups_{n}x{n}_{other}",
+            lambda: measure(n, steps, backend, other))
     if n_extra and n_extra != n:
-        # second grid size, fewer steps (the 4096^2 window blows up fast
-        # and each step is ~4x the work)
-        attempt(f"plasma_mlups_{n_extra}x{n_extra}_fft_periodic_1chip",
-                lambda: measure(n_extra, max(steps // 2, 10), backend))
-        v = extra.get(f"plasma_mlups_{n_extra}x{n_extra}_fft_periodic_1chip")
+        # the BASELINE target grid, both storage modes; fewer steps (the
+        # 4096^2 window blows up fast and each step is ~4x the work)
+        for st in ("bf16", "native"):
+            attempt(f"plasma_mlups_{n_extra}x{n_extra}_{st}",
+                    lambda st=st: measure(n_extra, max(steps // 2, 10),
+                                          backend, st))
+        v = extra.get(f"plasma_mlups_{n_extra}x{n_extra}_bf16")
         if isinstance(v, float):
-            extra["vs_baseline"] = round(v / BASELINE_MLUPS, 1)
-    if with_bf16 and storage == "native":
-        # the opt-in bf16-storage fast mode (halved population HBM bytes)
-        attempt(f"plasma_mlups_{n}x{n}_bf16_storage",
-                lambda: measure(n, steps, backend, "bf16"))
+            extra["vs_baseline_4096_bf16"] = round(v / BASELINE_MLUPS, 1)
     n3d = int(os.environ.get("BENCH_N_3D", "128"))
     if n3d:
         # the 3-D D3Q19 fused kernel (bf16 storage: its fast mode)

@@ -4,6 +4,14 @@ The reference has none (SURVEY.md section 5.4) — state lives in RAM for the
 run. Here the whole PlasmaState (f, g, Ex, Ey, phi, step) round-trips
 through orbax when available, with a plain .npz fallback, so any run is
 resumable mid-trajectory.
+
+Layout metadata: the npz records how the populations are stored —
+``neutral_delta`` (is f[2] deviations from the uniform background?) and
+``storage`` (native/bf16, also evident from the tagged bf16 keys) — so a
+resume can detect a layout mismatch instead of silently reinterpreting
+full neutral populations as deltas (which would double rho_n).
+``convert_neutral_layout`` converts between the two layouts exactly
+(the background rho_n_init * w_i is added/subtracted in float64).
 """
 from __future__ import annotations
 
@@ -18,8 +26,14 @@ from ..models.plasma import PlasmaState
 
 _FIELDS = PlasmaState._fields
 
+# npz keys carrying layout metadata rather than state arrays
+_META_DELTA = "__meta_neutral_delta"
+_META_STORAGE = "__meta_storage"
 
-def save(path: str, state: PlasmaState) -> None:
+
+def save(path: str, state: PlasmaState, *,
+         neutral_delta: Optional[bool] = None,
+         storage: Optional[str] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {}
     for k, v in zip(_FIELDS, state):
@@ -30,7 +44,24 @@ def save(path: str, state: PlasmaState) -> None:
             arrays[k + "__bf16"] = a.view(np.uint16)
         else:
             arrays[k] = a
+    if neutral_delta is not None:
+        arrays[_META_DELTA] = np.asarray(int(neutral_delta), np.int8)
+    if storage is not None:
+        arrays[_META_STORAGE] = np.asarray(storage, np.str_)
     np.savez_compressed(path, **arrays)
+
+
+def load_meta(path: str) -> dict:
+    """Layout metadata recorded in the checkpoint (empty for pre-metadata
+    files — those predate the layout tagging and must be declared by the
+    caller, see run_plasma.py --assume-ckpt-layout)."""
+    meta = {}
+    with np.load(path) as z:
+        if _META_DELTA in z:
+            meta["neutral_delta"] = bool(z[_META_DELTA])
+        if _META_STORAGE in z:
+            meta["storage"] = str(z[_META_STORAGE])
+    return meta
 
 
 def load(path: str, dtype=None, device=None) -> PlasmaState:
@@ -39,7 +70,12 @@ def load(path: str, dtype=None, device=None) -> PlasmaState:
         for k in _FIELDS:
             if k + "__bf16" in z:
                 bits = z[k + "__bf16"]
-                a = bits.view(jnp.bfloat16)  # bf16 storage stays bf16
+                a = bits.view(jnp.bfloat16)
+                if dtype is not None:
+                    # an explicit dtype request wins (e.g. loading a bf16
+                    # checkpoint at f64 for analysis); bf16 storage stays
+                    # bf16 only for dtype=None
+                    a = a.astype(dtype)
             else:
                 a = z[k]
                 if dtype is not None and a.dtype.kind == "f":
@@ -49,6 +85,33 @@ def load(path: str, dtype=None, device=None) -> PlasmaState:
     if device is not None:
         state = jax.device_put(state, device)
     return state
+
+
+def convert_neutral_layout(state: PlasmaState, *, to_delta: bool,
+                           rho_n_ref: float) -> PlasmaState:
+    """Convert f[2] between the classic and delta neutral layouts.
+
+    classic -> delta subtracts the uniform background rho_n_ref * w_i per
+    direction; delta -> classic adds it. The arithmetic runs in float64 (the
+    background is ~1.8e10 lattice units at the golden scaling) and is cast
+    back to the stored dtype, so the conversion is exact at storage
+    precision. Works for D2Q9 (Q=9) and D3Q19 (Q=19) population stacks.
+    """
+    from ..constants import D2Q9, D3Q19
+
+    f = state.f
+    Q = f.shape[1]
+    W = {9: D2Q9.W, 19: D3Q19.W}[Q]
+    bg = (np.asarray(W, np.float64) * float(rho_n_ref))
+    bg = bg.reshape((Q,) + (1,) * (f.ndim - 2))
+    sign = -1.0 if to_delta else 1.0
+    # host-side numpy so the +-1.8e10 background arithmetic is true f64
+    # regardless of the jax_enable_x64 flag
+    f_n = np.asarray(f[2]).astype(np.float64) + sign * bg
+    # numpy handles the cast back (incl. bfloat16 via ml_dtypes), so the
+    # rounding is a single f64 -> storage-dtype step
+    f_n = jnp.asarray(f_n.astype(np.dtype(f.dtype)))
+    return state._replace(f=f.at[2].set(f_n))
 
 
 def save_orbax(path: str, state: PlasmaState) -> None:

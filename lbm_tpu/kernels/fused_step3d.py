@@ -19,9 +19,12 @@ except the Poisson solve. The lattice is processed in single z-slice bands
 
 In-place HBM update via input_output_aliases, same write-after-read
 argument as the 2-D kernel. VMEM budget: the slice working set is
-S*Q*NY*NX bytes per population array; the single kernel covers up to
-~192^2 slices in f32 under the 100 MB scoped budget (the z extent is
-unconstrained — it is the pipeline axis).
+S*Q*NY*NX bytes per population array; check_vmem3d's accounting (744
+double-counted in/out planes + ~200 temp planes vs the 95 MB gate) admits
+f32 cross-sections to ~152-160^2 and bf16 to ~216^2 under the 100 MB
+scoped budget (the z extent is unconstrained — it is the pipeline axis).
+Wider cross-sections go to the mass/thermal split pair
+(kernels/fused_split3d.py: bf16 to ~256^2, f32 to ~192^2).
 """
 from __future__ import annotations
 

@@ -188,9 +188,17 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
 
     storage_bf16 = cfg.storage == "bf16"
     neutral_ref = u.rho_n_init if cfg.neutral_delta else 0.0
-    use_fused = cfg.backend in ("fused", "pallas")
+    if cfg.backend == "pallas":
+        # the 3-D model has no separate collide-only kernel; a user asking
+        # for 'pallas' (e.g. kernel-vs-jnp debugging) must not silently get
+        # a different code path — match the 2-D model's explicit errors
+        raise ValueError("3-D model backends are 'jnp' and 'fused' "
+                         "(there is no separate 3-D pallas collide kernel)")
+    use_fused = cfg.backend == "fused"
     use_split = False
     if use_fused:
+        import warnings
+
         from ..kernels.fused_split3d import check_vmem_split3d
         from ..kernels.fused_step3d import check_vmem3d
         itemsize = 2 if storage_bf16 else jnp.dtype(cfg.dtype).itemsize
@@ -204,7 +212,10 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
                 check_vmem_split3d(cfg.NY, cfg.NX, itemsize)
                 use_split = True
             except ValueError:
-                pass
+                warnings.warn(
+                    f"3-D cross-section {cfg.NY}x{cfg.NX} exceeds both "
+                    f"fused kernels' VMEM budgets; falling back to the jnp "
+                    f"backend (~7x slower)", stacklevel=2)
 
     def step(state: Plasma3DState) -> Plasma3DState:
         if use_fused or use_split:

@@ -41,8 +41,9 @@ for s in 0 1; do
 done
 
 # Golden-size probe-series fixture from the RELEASE build (src/): the 19
-# probe time series at 200x200 for 20 steps with the FFT solver — the
-# configuration of the committed golden artifacts (src/main_plasma.cpp).
+# probe time series at 200x200 for the FULL 200-step golden window with the
+# FFT solver — the configuration of the committed golden artifacts
+# (src/main_plasma.cpp, build/graphs_200x200_200TS/).
 REL_SRC="/root/reference/src"
 REL_INC="/root/reference/include"
 cp "$(dirname "$0")/fixture_support/main_fixture_probes.cpp" "$WORK/"
@@ -53,7 +54,7 @@ g++ -O2 -std=c++20 -fopenmp -I"$WORK" -I"$REL_INC" -I/usr/include/opencv4 -w \
     -lopencv_core -lopencv_imgproc -lopencv_videoio -lopencv_imgcodecs \
     -lopencv_highgui -o "$WORK/ref_probes"
 rm -f ref_probes.csv
-"$WORK/ref_probes" 3 200 20 > /dev/null 2>&1 || true
-[ "$(wc -l < ref_probes.csv)" = "381" ]   # header + 19 fields x 20 steps
-gzip -c ref_probes.csv > "$OUT/ref_probes_200x200_20steps_fft.csv.gz"
-echo "probe series 200x200 ok"
+"$WORK/ref_probes" 3 200 200 > /dev/null 2>&1 || true
+[ "$(wc -l < ref_probes.csv)" = "3801" ]  # header + 19 fields x 200 steps
+gzip -c ref_probes.csv > "$OUT/ref_probes_200x200_200steps_fft.csv.gz"
+echo "probe series 200x200/200 ok"

@@ -51,8 +51,21 @@ def parse_args():
     p.add_argument("--video-every", type=int, default=1)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--assume-ckpt-layout", choices=["classic", "delta"],
+                   default=None,
+                   help="declare the neutral-population layout of a "
+                        "pre-metadata checkpoint (newer checkpoints record "
+                        "it and don't need this)")
     p.add_argument("--debug-dump", action="store_true",
-                   help="stage dumps on small grids (NX<11)")
+                   help="per-stage grid dumps on small grids (NX<11) in the "
+                        "C++ debug build's exact format (all 5 pipeline "
+                        "stages every step); runs the staged jnp step")
+    p.add_argument("--debug-variant", action="store_true",
+                   help="replicate the 'Plasma debug' predecessor build "
+                        "(guard values, step-0 E pulse, true periodic "
+                        "iterative sweeps) — the configuration of the C++ "
+                        "debug_dump fixtures, for diffing --debug-dump "
+                        "output against the reference debug build")
     p.add_argument("--watchdog-every", type=int, default=100,
                    help="NaN-watchdog cadence in steps (0 = off)")
     p.add_argument("--profile", type=str, default=None,
@@ -110,12 +123,41 @@ def main():
         if args.f64:
             raise SystemExit("--storage bf16 is an f32 fast mode (drop --f64)")
         over["storage"] = args.storage
+    if args.debug_variant:
+        # the C++ debug build's behavior set (tests/test_reference_parity.py)
+        over["compat"] = C.CompatFlags(
+            none_solver_kills_external_field=False,
+            dirichlet_iterative_under_periodic=False,
+            debug_variant=True)
+        over["backend"] = "jnp"  # debug_variant mode is jnp-backend only
     cfg = dataclasses.replace(cfg, **over)
 
     os.makedirs(args.out, exist_ok=True)
     state = (ckpt.load(args.resume, dtype=cfg.dtype) if args.resume
              else plasma.init_state(cfg))
     if args.resume:
+        # Reconcile the checkpoint's NEUTRAL LAYOUT with cfg.neutral_delta:
+        # resuming a classic-layout f[2] under delta mode would silently
+        # reinterpret full populations as deviations (doubling rho_n). The
+        # layout is read from the checkpoint's metadata; pre-metadata files
+        # must be declared via --assume-ckpt-layout.
+        meta = ckpt.load_meta(args.resume)
+        ckpt_delta = meta.get("neutral_delta")
+        if ckpt_delta is None and args.assume_ckpt_layout:
+            ckpt_delta = args.assume_ckpt_layout == "delta"
+        if ckpt_delta is None:
+            raise SystemExit(
+                f"--resume: {args.resume} predates layout metadata; declare "
+                f"its neutral layout with --assume-ckpt-layout classic|delta "
+                f"(classic = full neutral populations, the pre-metadata "
+                f"default; delta = deviations from the uniform background)")
+        if ckpt_delta != cfg.neutral_delta:
+            print(f"resume: converting neutral layout "
+                  f"{'delta' if ckpt_delta else 'classic'} -> "
+                  f"{'delta' if cfg.neutral_delta else 'classic'}")
+            state = ckpt.convert_neutral_layout(
+                state, to_delta=cfg.neutral_delta,
+                rho_n_ref=cfg.units().rho_n_init)
         # reconcile the checkpoint's population dtype with cfg.storage: the
         # jnp step would crash on the 2nd iteration (AOT signature), the
         # fused kernel would silently run the checkpoint's storage mode
@@ -125,17 +167,26 @@ def main():
                   f"{state.f.dtype} -> {jnp.dtype(want).name}")
             state = state._replace(f=state.f.astype(want),
                                    g=state.g.astype(want))
-    # AOT-compile so the timer measures simulation, not compilation
-    step = (jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
-            .lower(state).compile())
-
     rec = probes.ProbeRecorder(cfg.NX, cfg.NY)
     vid = None
     if not args.no_video:
         vid = video.VideoRecorder(os.path.join(args.out, "video"),
                                   cfg.NX, cfg.NY)
-    dmp = debug_dump.DebugDumper(
-        cfg, os.path.join(args.out, "debug_dump.txt")) if args.debug_dump else None
+    dmp = staged = None
+    if args.debug_dump:
+        dmp = debug_dump.DebugDumper(
+            cfg, os.path.join(args.out, "debug_dump.txt"))
+        if dmp.enabled:
+            # per-stage dumps need the stage-granular step (the production
+            # step fuses the pipeline); tiny grids only, speed irrelevant
+            from lbm_tpu.models import plasma_staged
+            staged = plasma_staged.make_staged_step(cfg)
+            feq = plasma_staged.init_feq(cfg)
+    step = None
+    if staged is None:
+        # AOT-compile so the timer measures simulation, not compilation
+        step = (jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
+                .lower(state).compile())
 
     from lbm_tpu.utils.watchdog import Watchdog
     wd = (Watchdog(every=args.watchdog_every)
@@ -151,18 +202,23 @@ def main():
         # the TOP of iteration t (pre-collide, src/main_plasma.cpp loop), so
         # compute them from the pre-step state; Ex/Ey are the post-Poisson
         # fields of the same iteration, which live on the post-step state.
-        mac = plasma.compute_macros(cfg, state)
-        state = step(state)
+        if staged is not None:
+            state, feq, stages = staged(state, feq)
+            mac = stages["UpdateMacro"].mac
+            for stage in plasma_staged.STAGES:
+                dmp.dump_stage(t, stage, stages[stage])
+        else:
+            mac = plasma.compute_macros(cfg, state)
+            state = step(state)
         timer.tick()
         if wd is not None:
             state = wd.check(t, state)
         rec.record(mac, state.Ex, state.Ey)
         if vid is not None and t % args.video_every == 0:
             vid.record(mac)
-        if dmp is not None:
-            dmp.dump(t, "poisson", state)
         if args.checkpoint_every and (t + 1) % args.checkpoint_every == 0:
-            ckpt.save(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"), state)
+            ckpt.save(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"), state,
+                      neutral_delta=cfg.neutral_delta, storage=cfg.storage)
     jax.block_until_ready(state)
     # real sync (see bench.py note about block_until_ready under axon)
     float(state.f[0, 0, 0, 0])
@@ -177,7 +233,8 @@ def main():
     rec.save_csv(os.path.join(args.out, "graphs"))
     if not args.no_plots:
         rec.save_plots(os.path.join(args.out, "graphs"))
-    ckpt.save(os.path.join(args.out, "final_state.npz"), state)
+    ckpt.save(os.path.join(args.out, "final_state.npz"), state,
+              neutral_delta=cfg.neutral_delta, storage=cfg.storage)
 
     timing.append_timing_csv(
         os.path.join(args.out, "simulation_time_plasma_details.csv"),

@@ -111,6 +111,77 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(back.step) == 1
 
 
+def test_checkpoint_layout_metadata(tmp_path):
+    """Layout metadata round-trips; pre-metadata files report empty meta."""
+    cfg = dataclasses.replace(PlasmaConfig(), NX=8, NY=8, dtype=jnp.float64)
+    state = plasma.init_state(cfg)
+    path = str(tmp_path / "ck.npz")
+    ckpt.save(path, state, neutral_delta=True, storage="native")
+    assert ckpt.load_meta(path) == {"neutral_delta": True,
+                                    "storage": "native"}
+    # metadata keys must not leak into the restored state
+    back = ckpt.load(path)
+    for a, b in zip(state, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    legacy = str(tmp_path / "legacy.npz")
+    ckpt.save(legacy, state)
+    assert ckpt.load_meta(legacy) == {}
+
+
+def test_checkpoint_neutral_layout_conversion(tmp_path):
+    """classic <-> delta conversion is exact at storage precision and
+    inverts itself (the advisor's resume-corruption scenario)."""
+    cfg = dataclasses.replace(PlasmaConfig(), NX=10, NY=10,
+                              dtype=jnp.float64, neutral_delta=False)
+    state = plasma.init_state(cfg)
+    state = jax.jit(plasma.make_step(cfg))(state)
+    rho_n_ref = cfg.units().rho_n_init
+
+    delta = ckpt.convert_neutral_layout(state, to_delta=True,
+                                        rho_n_ref=rho_n_ref)
+    # classic -> delta subtracts exactly the uniform background
+    from lbm_tpu.constants import D2Q9
+    bg = np.asarray(D2Q9.W)[:, None, None] * rho_n_ref
+    np.testing.assert_allclose(np.asarray(delta.f[2]),
+                               np.asarray(state.f[2]) - bg, rtol=1e-15)
+    # e/i species and g untouched
+    np.testing.assert_array_equal(np.asarray(delta.f[:2]),
+                                  np.asarray(state.f[:2]))
+    np.testing.assert_array_equal(np.asarray(delta.g), np.asarray(state.g))
+    # round trip is exact in f64
+    back = ckpt.convert_neutral_layout(delta, to_delta=False,
+                                       rho_n_ref=rho_n_ref)
+    np.testing.assert_array_equal(np.asarray(back.f), np.asarray(state.f))
+
+    # converted state must produce the same dynamics as a native delta run
+    dcfg = dataclasses.replace(cfg, neutral_delta=True)
+    s_native = plasma.init_state(dcfg)
+    s_native = jax.jit(plasma.make_step(dcfg))(s_native)
+    s_conv = jax.jit(plasma.make_step(dcfg))(
+        ckpt.convert_neutral_layout(
+            plasma.init_state(cfg), to_delta=True, rho_n_ref=rho_n_ref))
+    for a, b in zip(s_native, s_conv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-20)
+
+
+def test_checkpoint_bf16_explicit_dtype_upcasts(tmp_path):
+    """load(path, dtype=...) honors an explicit dtype for bf16-tagged
+    arrays (keeps bf16 only when dtype=None)."""
+    cfg = dataclasses.replace(PlasmaConfig(), NX=8, NY=8,
+                              dtype=jnp.float32, storage="bf16",
+                              neutral_delta=True)
+    state = plasma.init_state(cfg)
+    path = str(tmp_path / "ck_bf16.npz")
+    ckpt.save(path, state, neutral_delta=True, storage="bf16")
+    stays = ckpt.load(path)
+    assert stays.f.dtype == jnp.bfloat16
+    up = ckpt.load(path, dtype=jnp.float64)
+    assert up.f.dtype == jnp.float64 and up.Ex.dtype == jnp.float64
+    np.testing.assert_array_equal(np.asarray(up.f, dtype=np.float32),
+                                  np.asarray(stays.f, dtype=np.float32))
+
+
 def test_timing_csv(tmp_path):
     path = str(tmp_path / "t.csv")
     timing.append_timing_csv(path, NX=200, NY=200, nsteps=100, n_devices=8,
@@ -124,17 +195,29 @@ def test_timing_csv(tmp_path):
 
 
 def test_debug_dump(tmp_path):
+    """Per-stage dump in the C++ debug build's format (all 5 stages)."""
+    from lbm_tpu.models import plasma_staged
+
     cfg = dataclasses.replace(PlasmaConfig(), NX=8, NY=8, dtype=jnp.float64)
     state = plasma.init_state(cfg)
     path = str(tmp_path / "dump.txt")
     d = debug_dump.DebugDumper(cfg, path)
     assert d.enabled
-    d.dump(0, "macro", state)
-    d.dump(0, "poisson", state)
+    staged = plasma_staged.make_staged_step(cfg)
+    feq = plasma_staged.init_feq(cfg)
+    state, feq, stages = staged(state, feq)
+    for st in plasma_staged.STAGES:
+        d.dump_stage(0, st, stages[st])
     d.close()
     text = open(path).read()
-    assert "==== step 0 stage macro ====" in text
-    assert "-- ux_e --" in text and "-- rho_q --" in text
+    assert text.startswith("# Debug dump per LBmethod\n")
+    for st in plasma_staged.STAGES:
+        assert f"stage = {st}\n" in text
+    assert "directions arrangement:\n6,2,5\n3,0,1\n7,4,8\n" in text
+    assert "f_eq_n_i dir 8 (cx=1,cy=-1)" in text
+    # 5 stages x (10 scalars + 2 E + 12 population sets x 9 dirs)
+    assert text.count("rho_q\n") == 5
+    assert text.count(" dir ") == 5 * 12 * 9
     # large grids are gated off like the reference (NX < 11)
     big = debug_dump.DebugDumper(
         dataclasses.replace(cfg, NX=64), str(tmp_path / "n.txt"))

@@ -42,7 +42,8 @@ _SCALAR_FIELDS = ["ux_e", "uy_e", "ux_i", "uy_i", "ux_n", "uy_n",
 
 def parse_dump(path, NX=8, NY=8):
     """-> {(step, stage): {field: (NY, NX) array, 'f_e': (9, NY, NX), ...}}"""
-    with gzip.open(path, "rt") as fh:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as fh:
         lines = [ln.rstrip("\n") for ln in fh]
     out = {}
     i = 0
@@ -77,7 +78,7 @@ def parse_dump(path, NX=8, NY=8):
             cur["Ey" if "Ex" in cur else "Ex"] = grid
             i = i2
             continue
-        m = re.match(r"(f(?:_eq)?_[ein]) dir (\d+)", ln)
+        m = re.match(r"(f(?:_eq)?_[ein](?:_[ein])?) dir (\d+)", ln)
         if m:
             name, d = m.group(1), int(m.group(2))
             grid, i2 = read_grid(i + 1)
@@ -195,6 +196,44 @@ def test_bounceback_trajectory_matches_cpp_reference(code):
                 err_msg=f"f_{s} after step {t} (bounce-back, solver {code})")
 
 
+def test_cli_debug_dump_matches_cpp_reference(tmp_path):
+    """The --debug-dump CLI writes all 5 pipeline stages of every step in
+    the C++ debug build's own format; every field of every (step, stage)
+    must match the reference fixture (FFT solver, 8x8, 5 steps).
+
+    This is the driver-level counterpart of the oracle tests above: a user
+    can produce a dump with one command and `diff` it against the C++
+    build's debug_dump.txt (values agree to print precision; a handful of
+    cells differ as +-0 vs ~1e-23 f64 cancellation noise).
+    """
+    import subprocess
+    import sys
+
+    out = tmp_path / "dbg"
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "scripts", "run_plasma.py"),
+         "--cpu", "--f64", "--nx", "8", "--ny", "8", "--steps", "5",
+         "--poisson", "FFT", "--debug-variant", "--debug-dump",
+         "--no-video", "--no-plots", "--watchdog-every", "0",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    mine = parse_dump(str(out / "debug_dump.txt"))
+    ref = parse_dump(os.path.join(FIXDIR, "ref_dump_solver3.txt.gz"))
+    assert set(mine) == set(ref)            # same (step, stage) coverage
+    assert len(ref) == 25                   # 5 steps x 5 stages
+    for key in sorted(ref):
+        for field in ref[key]:
+            want, got = ref[key][field], mine[key][field]
+            if isinstance(want, dict):      # population set: dir -> grid
+                want, got = _f_array(want), _f_array(got)
+            scale = np.abs(want).max()
+            np.testing.assert_allclose(
+                got, want, rtol=3e-6, atol=max(3e-6 * scale, 1e-15),
+                err_msg=f"{field} at {key}")
+
+
 def _parse_probe_fixture(path):
     """-> {field: (T, 9) array} from the release-build probe-series dump."""
     import csv
@@ -209,26 +248,32 @@ def _parse_probe_fixture(path):
 
 
 def test_probe_series_match_cpp_reference_200x200():
-    """Golden-size trajectory parity: the 19 probe time series of the
-    reference RELEASE build (src/plasma.cpp + src/visualize.cpp, compiled
-    here via scripts/make_reference_fixtures.sh) at 200x200 for 20 steps
-    with the golden parameters and the FFT solver — the configuration of
-    the committed golden artifacts (src/main_plasma.cpp:16-51).
+    """Golden-trajectory parity over the FULL golden window: the 19 probe
+    time series of the reference RELEASE build (src/plasma.cpp +
+    src/visualize.cpp, compiled here via
+    scripts/make_reference_fixtures.sh) at 200x200 for all 200 steps with
+    the golden parameters and the FFT solver — the exact configuration of
+    the committed golden artifacts (src/main_plasma.cpp:16-51,
+    build/graphs_200x200_200TS/).
 
     Alignment (src/plasma.cpp:459-525): row t carries the macros computed
     at the TOP of iteration t (the pre-step state) and the E fields from
     the END of iteration t (post-Poisson).
 
-    Measured deviations (f64 engine vs C++ f64): <=2e-13 of series scale
-    for every charged/thermal/E field; ~1.7e-8 for the neutral velocities
-    (f64 cancellation against rho_n ~ 1.8e10, the reference's own
-    fragility). The 1e-5 gate leaves margin for BLAS/libm variation.
+    Measured deviations (f64 engine vs C++ f64, max over all 200 steps,
+    relative to each series' scale): <=1.5e-9 for the charged/E fields,
+    <=2e-8 for the neutral-coupled thermal series T_n, and <=3.4e-8 for
+    the neutral velocities. The only f64-vs-f64 rounding difference is our
+    FFT vs the fixture's naive-DFT drop-in (~1e-16), amplified by the
+    trajectory's late-time chaos; the neutral channels additionally cancel
+    against rho_n ~ 1.8e10 (the reference's own fragility). The 1e-5 gate
+    leaves margin for BLAS/libm variation.
     """
     from lbm_tpu.io import probes
 
     ref = _parse_probe_fixture(
-        os.path.join(FIXDIR, "ref_probes_200x200_20steps_fft.csv.gz"))
-    nsteps = 20
+        os.path.join(FIXDIR, "ref_probes_200x200_200steps_fft.csv.gz"))
+    nsteps = 200
     cfg = dataclasses.replace(
         PlasmaConfig(), NX=200, NY=200, nsteps=nsteps, dtype=jnp.float64,
         poisson=PoissonSolver.FFT, bc=BC.PERIODIC)
