@@ -195,10 +195,11 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
         raise ValueError("3-D model backends are 'jnp' and 'fused' "
                          "(there is no separate 3-D pallas collide kernel)")
     use_fused = cfg.backend == "fused"
-    use_split = False
+    use_split = use_panel = False
     if use_fused:
         import warnings
 
+        from ..kernels.fused_panel3d import pick_panel3d
         from ..kernels.fused_split3d import check_vmem_split3d
         from ..kernels.fused_step3d import check_vmem3d
         itemsize = 2 if storage_bf16 else jnp.dtype(cfg.dtype).itemsize
@@ -206,19 +207,33 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
             check_vmem3d(cfg.NY, cfg.NX, itemsize)
         except ValueError:
             # cross-section too wide for the single kernel: try the
-            # mass/thermal split pair (fits ~2x the area), then jnp/XLA
+            # mass/thermal split pair (fits ~2x the area), then the
+            # y-paneled kernel (any width, 16/ty redundant collide), then
+            # jnp/XLA
             use_fused = False
             try:
                 check_vmem_split3d(cfg.NY, cfg.NX, itemsize)
                 use_split = True
             except ValueError:
-                warnings.warn(
-                    f"3-D cross-section {cfg.NY}x{cfg.NX} exceeds both "
-                    f"fused kernels' VMEM budgets; falling back to the jnp "
-                    f"backend (~7x slower)", stacklevel=2)
+                try:
+                    pick_panel3d(cfg.NY, cfg.NX, itemsize)
+                    use_panel = True
+                except ValueError:
+                    warnings.warn(
+                        f"3-D cross-section {cfg.NY}x{cfg.NX} exceeds every "
+                        f"fused kernel's VMEM budget; falling back to the "
+                        f"jnp backend (~7x slower)", stacklevel=2)
 
     def step(state: Plasma3DState) -> Plasma3DState:
-        if use_fused or use_split:
+        if use_fused or use_split or use_panel:
+            if use_panel:
+                from ..kernels.fused_panel3d import collide_stream_panel3d
+                f, g, rho_q = collide_stream_panel3d(
+                    state.f, state.g, state.Ex, state.Ey, state.Ez,
+                    taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e,
+                    m_i=u.m_i, cs2=u.cs2, kb=u.kb,
+                    interpret=cfg.kernel_interpret, neutral_ref=neutral_ref)
+                return _poisson_and_pack(cfg, state, f, g, rho_q)
             if use_split:
                 from ..kernels.fused_split3d import collide_stream_split3d
                 f, g, rho_q = collide_stream_split3d(

@@ -196,11 +196,17 @@ def collide_species_g_dirs_fast(
     rho_s, ux_s, uy_s, T_s = mac.rho[s], mac.ux[s], mac.uy[s], mac.T[s]
     amp_f = tuple(rho_s * inv for inv in invs)
 
-    cs, offs = [], []
-    for inv in invs:
-        r = 1.0 - inv
-        cs.append(rho_s * (r * r - r) + r)   # C_p, per-cell
-        offs.append(2.0 * r)                 # b_p / 2, scalar
+    # Pairs with tau = 1 (r = 0) contribute C_p = 0, i.e. an exact -1/2:
+    # skip their reciprocal+fma at trace time (the golden taus have
+    # tau_n = 1, so the neutral species drops a third of its tm chain).
+    # Bitwise-identical wherever populations are alive, and it removes the
+    # latent 0 * recip(0) = NaN in dead cells of an r = 0 pair.
+    active = [p for p in range(3) if (1.0 - invs[p]) != 0.0]
+    cs, offs = {}, {}
+    for p in active:
+        r = 1.0 - invs[p]
+        cs[p] = rho_s * (r * r - r) + r      # C_p, per-cell
+        offs[p] = 2.0 * r                    # b_p / 2, scalar
     u2 = ux_s * ux_s + uy_s * uy_s
     dT_amp = -(rho_s * u2) / kb
     # geqd = Sum_p (T inv_p) wp_p = (T / rho) * Sum_p (rho inv_p) wp_p:
@@ -215,10 +221,78 @@ def collide_species_g_dirs_fast(
         qf = [_Q * (amp_f[p] * wp[p][i]) for p in range(3)]  # Q feq_p/tau_p
         geqd = ratio_q * (qf[0] + qf[1] + qf[2])
         tm = -1.5
-        for p in range(3):
+        for p in active:
             tm = tm + cs[p] * recip(qf[p] + offs[p])
         g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
     return g_dirs
+
+
+def collide_species_dirs_fused_fast(
+    s, f_s, g_s, mac, Ex, Ey, *,
+    taus, q_e, q_i, m_e, m_i, cs2, kb, recip,
+    pair_polys=None, self_wpolys=None, neutral_ref=0.0,
+):
+    """One-loop f+g update sharing the amp*wp equilibrium products.
+
+    The f-side BGK sum and the g-side qf terms both need the products
+    prod_p = (rho inv_p) * wp_p,i per direction; computing the direction
+    loop once hands the g side the f side's products for free (6 fewer
+    plane-muls per species-direction — Mosaic does not CSE across the two
+    separate loops). The 9x of qf = 9 prod is refolded:
+        recip(9 prod + offs) = (1/9) recip(prod + offs/9)
+    with the 1/9 absorbed into the per-cell C_p and ratio_q amplitudes, so
+    the per-direction op count drops while the algebra stays the
+    partial-fraction form. bf16-mode only (the rounding differs from the
+    two-loop form in last bits, inside the approx-reciprocal tolerance);
+    the native path keeps the original functions.
+
+    Not used for the delta-form neutral f side (its products use the
+    DEVIATION polynomials, nothing to share) — callers route s == 2 with
+    neutral_ref != 0 through the classic pair of calls.
+    """
+    charge = (q_e, q_i, 0.0)
+    mass = (m_e, m_i, 1.0)
+    t_self, invs, wp, keep = _species_setup(s, mac, cs2, taus, pair_polys,
+                                            self_wpolys)
+    rho_s, ux_s, uy_s, T_s = mac.rho[s], mac.ux[s], mac.uy[s], mac.T[s]
+    amp_f = tuple(rho_s * inv for inv in invs)
+
+    charged = charge[s] != 0.0
+    if charged:
+        uE = ux_s * Ex + uy_s * Ey
+        force_amp = (charge[s] / mass[s] / cs2) * rho_s * (
+            1.0 - 1.0 / (2.0 * t_self))
+
+    # g-side per-cell amplitudes with the 1/9 refold
+    active = [p for p in range(3) if (1.0 - invs[p]) != 0.0]
+    cs9, offs9 = {}, {}
+    for p in active:
+        r = 1.0 - invs[p]
+        cs9[p] = rho_s * ((r * r - r) * (1.0 / _Q)) + r * (1.0 / _Q)
+        offs9[p] = 2.0 * r / _Q
+    u2 = ux_s * ux_s + uy_s * uy_s
+    dT_amp = -(rho_s * u2) / kb
+    # geqd = (T/rho) Sum_p 9 prod_p -> the 9 rides in ratio (cf. fast path)
+    ratio = T_s * recip(jnp.where(rho_s == 0.0, _c(1.0, rho_s), rho_s))
+
+    f_dirs, g_dirs = [], []
+    for i in range(_Q):
+        prod = [amp_f[p] * wp[p][i] for p in range(3)]
+        feqd = prod[0] + prod[1] + prod[2]
+        relax = f_s[i] * keep + feqd
+        if charged:
+            cE = _CX[i] * Ex + _CY[i] * Ey
+            cu = _CX[i] * ux_s + _CY[i] * uy_s
+            F = (_W[i] * force_amp) * (cE + cu * cE / cs2 - uE)
+            f_dirs.append(relax + F)
+        else:
+            f_dirs.append(relax)
+        geqd = ratio * feqd
+        tm = -1.5
+        for p in active:
+            tm = tm + cs9[p] * recip(prod[p] + offs9[p])
+        g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
+    return f_dirs, g_dirs
 
 
 def collide_species_dirs(
@@ -251,6 +325,12 @@ def collide_species_dirs(
             for p in (p1, p2)
         }
     self_wpolys = equilibrium_wpolys(mac.ux[s], mac.uy[s], cs2)
+    if g_recip is not None and not (s == 2 and neutral_ref != 0.0):
+        return collide_species_dirs_fused_fast(
+            s, f_s, g_s, mac, Ex, Ey, taus=taus, q_e=q_e, q_i=q_i,
+            m_e=m_e, m_i=m_i, cs2=cs2, kb=kb, recip=g_recip,
+            pair_polys=pair_polys, self_wpolys=self_wpolys,
+            neutral_ref=neutral_ref)
     f_dirs = collide_species_f_dirs(
         s, f_s, mac, Ex, Ey, taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
         cs2=cs2, pair_polys=pair_polys, self_wpolys=self_wpolys,

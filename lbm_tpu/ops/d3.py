@@ -255,11 +255,15 @@ def collide_species_g_dirs3(
     dT_amp = -(rho_s * u2) / kb
 
     if g_recip is not None:
-        cs_l, offs = [], []
-        for inv in invs:
-            r = 1.0 - inv
-            cs_l.append(rho_s * (r * r - r) + r)
-            offs.append(2.0 * r)
+        # pairs with tau = 1 (r = 0) contribute C_p = 0, an exact -1/2:
+        # skip their reciprocal+fma at trace time (cf. the 2-D fast path;
+        # tau_n = 1 at the golden taus). Bitwise-identical for alive cells.
+        active = [p for p in range(3) if (1.0 - invs[p]) != 0.0]
+        cs_l, offs = {}, {}
+        for p in active:
+            r = 1.0 - invs[p]
+            cs_l[p] = rho_s * (r * r - r) + r
+            offs[p] = 2.0 * r
         ratio_q = (T_s * g_recip(jnp.where(rho_s == 0.0, _c(1.0, rho_s),
                                            rho_s))) * (1.0 / _Q)
         g_dirs = []
@@ -267,7 +271,7 @@ def collide_species_g_dirs3(
             qf = [_Q * (amp_f[p] * wp[p][i]) for p in range(3)]
             geqd = ratio_q * (qf[0] + qf[1] + qf[2])
             tm = -1.5
-            for p in range(3):
+            for p in active:
                 tm = tm + cs_l[p] * g_recip(qf[p] + offs[p])
             g_dirs.append(g_s[i] * keep + geqd + dT_amp * tm)
         return g_dirs

@@ -125,6 +125,63 @@ def solve_fft(rho_q: jnp.ndarray) -> jnp.ndarray:
     return phi.astype(dtype)
 
 
+def solve_fft_efield(rho_q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spectral solve with E computed in k-space; phi never materialized.
+
+    The central-difference gradient (efield_periodic's stencil,
+    src/poisson.cpp:589-607) has the exact k-space symbol
+        Ex_hat[ky, kx] = -i sin(2 pi kx / NX) * phi_hat[ky, kx]
+    (phi(x+1) - phi(x-1) multiplies phi_hat by 2i sin(2 pi k/N)), so both
+    field components come straight from rho_hat. The two real fields are
+    recovered in ONE complex inverse FFT2: after the y-axis inverse, each
+    row of Wx/Wy is Hermitian in kx (Ex, Ey are real), so
+    D = Wx + i Wy Hermitian-extended to full width inverts to
+    z = Ex + i Ey.
+
+    Algebraically identical to solve_fft + efield_periodic; rounding
+    differs at transform roundoff (f64 <=1e-14, f32 a few ulps of the
+    field scale — see tests/test_poisson.py).
+
+    Cost accounting (v5e, 2048^2, measured in scripts/ablate_poisson.py):
+    forward = 2 half-width complex passes, inverse = 2 full-width complex
+    passes (two real outputs), vs the phi path's 2 half passes + roll
+    traffic. Whether the saved rolls/materialization beat the extra
+    half-pass is hardware-dependent — this function exists so the choice
+    is measured, not assumed.
+    """
+    NY, NX = rho_q.shape
+    dtype = rho_q.dtype
+    H = NX // 2 + 1
+    use_packed = (NY % 2 == 0 and NX % 2 == 0
+                  and NY * NX >= _PACKED_FFT_MIN_SITES)
+    rho_hat = _rfft2_packed(rho_q) if use_packed else jnp.fft.rfft2(rho_q)
+    ky = np.fft.fftfreq(NY) * NY
+    kx = np.arange(H)
+    siny2 = np.sin(np.pi * ky / NY) ** 2
+    sinx2 = np.sin(np.pi * kx / NX) ** 2
+    denom = 4.0 * (siny2[:, None] + sinx2[None, :])
+    inv = np.where(denom > 1e-15, 1.0 / np.maximum(denom, 1e-300), 0.0)
+    # gradient symbols folded into the eigenvalue multiply
+    sx = np.sin(2.0 * np.pi * kx / NX)[None, :] * inv    # (NY, H)
+    sy = np.sin(2.0 * np.pi * ky / NY)[:, None] * inv    # (NY, H)
+    rdt = rho_hat.real.dtype
+    pr, pi_ = jnp.real(rho_hat), jnp.imag(rho_hat)
+    sx = jnp.asarray(sx, rdt)
+    sy = jnp.asarray(sy, rdt)
+    # E_hat = -i s * phi_hat: re = s*im(phi), im = -s*re(phi)
+    ex_hat = jax.lax.complex(sx * pi_, -(sx * pr))
+    ey_hat = jax.lax.complex(sy * pi_, -(sy * pr))
+    w = jnp.fft.ifft(jnp.stack([ex_hat, ey_hat]), axis=1)  # y-axis inverse
+    wx, wy = w[0], w[1]
+    d_head = wx + jax.lax.complex(-jnp.imag(wy), jnp.real(wy))  # wx + i wy
+    # kx = H..NX-1: conj(wx[:, NX-kx]) + i conj(wy[:, NX-kx])
+    tx = jnp.conj(jnp.flip(wx[:, 1:NX - H + 1], 1))
+    ty = jnp.conj(jnp.flip(wy[:, 1:NX - H + 1], 1))
+    d_tail = tx + jax.lax.complex(-jnp.imag(ty), jnp.real(ty))
+    z = jnp.fft.ifft(jnp.concatenate([d_head, d_tail], axis=1), axis=1)
+    return jnp.real(z).astype(dtype), jnp.imag(z).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Iterative solvers (red-black GS / SOR, 4-color 9-point)
 # ---------------------------------------------------------------------------

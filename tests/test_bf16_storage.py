@@ -101,15 +101,21 @@ def test_pallas_backend_rejected():
 
 def test_checkpoint_roundtrip_bf16(tmp_path):
     """npz has no bfloat16; the checkpoint stores the raw bits as tagged
-    uint16 and restores them bit-exactly (resume must not re-round)."""
+    uint16 and restores them bit-exactly with dtype=None (resume must not
+    re-round). An EXPLICIT dtype upcasts the bf16 bits instead (a parity/
+    analysis load must not get mixed precision)."""
     from lbm_tpu.io import checkpoint as ckpt
 
     cfg = _cfg()
     s = jax.jit(plasma.make_step(cfg))(plasma.init_state(cfg))
     path = str(tmp_path / "ck.npz")
     ckpt.save(path, s)
-    s2 = ckpt.load(path, dtype=cfg.dtype)
+    s2 = ckpt.load(path)
     assert s2.f.dtype == jnp.bfloat16 and s2.Ex.dtype == jnp.float32
     assert np.array_equal(np.asarray(s2.f).view(np.uint16),
                           np.asarray(s.f).view(np.uint16))
     assert np.array_equal(np.asarray(s2.Ex), np.asarray(s.Ex))
+    s3 = ckpt.load(path, dtype=cfg.dtype)
+    assert s3.f.dtype == jnp.float32 and s3.Ex.dtype == jnp.float32
+    assert np.array_equal(np.asarray(s3.f),
+                          np.asarray(s2.f).astype(np.float32))

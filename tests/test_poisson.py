@@ -155,3 +155,35 @@ def test_solve_fft_packed_path_matches_plain():
         P._PACKED_FFT_MIN_SITES = old
     np.testing.assert_allclose(np.asarray(packed), np.asarray(plain),
                                atol=1e-11)
+
+
+def test_spectral_efield_matches_roll_efield():
+    """solve_fft_efield computes E via the exact k-space symbol of the
+    central-difference stencil; it must match solve_fft + efield_periodic
+    to transform roundoff (f64 <=1e-13 rel; f32 a few FFT ulps of the
+    field scale — measured 2e-5 at 2048^2, 1e-6 at 96^2), on both the
+    plain and packed transform paths."""
+    rng = np.random.default_rng(13)
+    for NY, NX in [(32, 32), (64, 48), (200, 200)]:
+        rho = jnp.asarray(rng.standard_normal((NY, NX)) * 1e-8)
+        Ex, Ey = P.efield_periodic(P.solve_fft(rho))
+        Ex2, Ey2 = P.solve_fft_efield(rho)
+        scale = float(jnp.abs(Ex).max())
+        np.testing.assert_allclose(np.asarray(Ex2), np.asarray(Ex),
+                                   atol=1e-13 * scale)
+        np.testing.assert_allclose(np.asarray(Ey2), np.asarray(Ey),
+                                   atol=1e-13 * scale)
+    # packed path (forced via the size gate)
+    old = P._PACKED_FFT_MIN_SITES
+    try:
+        P._PACKED_FFT_MIN_SITES = 0
+        rho = jnp.asarray(rng.standard_normal((64, 64)) * 1e-8)
+        Ex, Ey = P.efield_periodic(P.solve_fft(rho))
+        Ex2, Ey2 = P.solve_fft_efield(rho)
+    finally:
+        P._PACKED_FFT_MIN_SITES = old
+    scale = float(jnp.abs(Ex).max())
+    np.testing.assert_allclose(np.asarray(Ex2), np.asarray(Ex),
+                               atol=1e-13 * scale)
+    np.testing.assert_allclose(np.asarray(Ey2), np.asarray(Ey),
+                               atol=1e-13 * scale)
