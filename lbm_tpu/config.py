@@ -126,6 +126,18 @@ class PlasmaConfig:
     # classic path; recommended for f32 production runs.
     neutral_delta: bool = False
 
+    # FFT Poisson engine: "xla" (jnp.fft packed transforms + roll E),
+    # "pallas" (kernels/fft_tpu.py four-step permuted-spectrum solve with
+    # E in k-space; requires both grid axes = power-of-two * 128), or
+    # "auto". The pallas path agrees with the xla path to transform
+    # roundoff (~3e-5 rel f32 at 2048^2) and does NOT materialize phi
+    # (FFT needs no warm start; run_plasma reconstructs phi lazily for
+    # checkpoints). It currently measures SLOWER than the xla path on
+    # v5e (docs/STATUS.md round-3 ledger), so "auto" resolves to "xla";
+    # sharded step constructors always force "xla" (a shard-local FFT
+    # would be wrong).
+    fft_engine: str = "auto"  # "auto" | "xla" | "pallas"
+
     # Population STORAGE precision for f and g (fields/phi keep `dtype`).
     # "bf16" halves the dominant HBM traffic (the step is bandwidth-bound:
     # 432 B/site -> 216) for ~1.5x throughput; all arithmetic still runs
@@ -144,6 +156,9 @@ class PlasmaConfig:
         if self.backend not in ("jnp", "pallas", "fused"):
             raise ValueError(f"backend must be jnp|pallas|fused, "
                              f"got {self.backend!r}")
+        if self.fft_engine not in ("auto", "xla", "pallas"):
+            raise ValueError(f"fft_engine must be auto|xla|pallas, "
+                             f"got {self.fft_engine!r}")
 
     def units(self) -> LatticeUnits:
         return compute_lattice_units(

@@ -91,6 +91,34 @@ def init_state(cfg: PlasmaConfig) -> PlasmaState:
     return build()
 
 
+def _use_pallas_fft(cfg: PlasmaConfig, shape) -> bool:
+    """Resolve cfg.fft_engine for this grid/platform (see config.py)."""
+    if cfg.fft_engine == "xla":
+        return False
+    from ..kernels import fft_tpu
+    if cfg.fft_engine == "pallas":
+        if not fft_tpu.supports(*shape):
+            raise ValueError(
+                f"fft_engine='pallas' needs both grid axes = power-of-two "
+                f"* 128, got {shape}")
+        return True
+    # "auto" resolves to xla for now: the pallas four-step measured SLOWER
+    # than the packed-XLA solve at 2048^2 (2.69 vs 1.63 ms — the Stockham
+    # sublane restructuring and the transposed y-DFT relayouts dominate);
+    # revisit if the kernel path beats it (docs/STATUS.md round-3 ledger).
+    return False
+
+
+def reconstruct_phi(cfg: PlasmaConfig, state: "PlasmaState") -> jnp.ndarray:
+    """The electrostatic potential of the CURRENT state's charge density.
+
+    The pallas FFT path never materializes phi (state.phi goes stale);
+    this recomputes it exactly as the xla FFT path would, for
+    checkpoints/diagnostics."""
+    mac = compute_macros(cfg, state)
+    return poisson_ops.solve_fft(mac.rho_q)
+
+
 def _solve_poisson(
     cfg: PlasmaConfig,
     rho_q: jnp.ndarray,
@@ -118,6 +146,12 @@ def _solve_poisson(
             # FFT under bounce-back: the reference returns without solving
             # (src/poisson.cpp:76-77) — E keeps its previous value.
             return Ex, Ey, phi
+        if _use_pallas_fft(cfg, rho_q.shape):
+            from ..kernels import fft_tpu
+            Ex2, Ey2 = fft_tpu.solve_fft_efield_tpu(rho_q)
+            # phi is not materialized on this path (no warm start needed);
+            # reconstruct_phi() serves checkpoints/diagnostics lazily
+            return Ex2, Ey2, phi
         phi = poisson_ops.solve_fft(rho_q)
         Ex2, Ey2 = poisson_ops.efield_periodic(phi)
         return Ex2, Ey2, phi

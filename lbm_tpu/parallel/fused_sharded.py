@@ -18,6 +18,8 @@ neighbor exchange; the serial fraction (in-loop visualization) is gone.
 """
 from __future__ import annotations
 
+import dataclasses as _dc
+
 from functools import partial
 from typing import Callable
 
@@ -81,7 +83,9 @@ def make_fused_sharded_step(
 
     def step(state: PlasmaState) -> PlasmaState:
         f, g, rho_q = local_step(state.f, state.g, state.Ex, state.Ey)
-        Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi,
+        # GSPMD-partitionable XLA FFT only (pallas would run shard-local)
+        Ex, Ey, phi = _solve_poisson(_dc.replace(cfg, fft_engine="xla"),
+                                     rho_q, state.phi,
                                      state.Ex, state.Ey)
         return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi,
                            step=state.step + 1)
@@ -170,7 +174,9 @@ def make_fused_sharded_step_2d(
 
     def step(state: PlasmaState) -> PlasmaState:
         f, g, rho_q = local_step(state.f, state.g, state.Ex, state.Ey)
-        Ex, Ey, phi = _solve_poisson(cfg, rho_q, state.phi,
+        # GSPMD-partitionable XLA FFT only (pallas would run shard-local)
+        Ex, Ey, phi = _solve_poisson(_dc.replace(cfg, fft_engine="xla"),
+                                     rho_q, state.phi,
                                      state.Ex, state.Ey)
         return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi,
                            step=state.step + 1)

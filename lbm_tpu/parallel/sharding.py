@@ -17,6 +17,7 @@ module is the simpler GSPMD baseline that works with every backend/BC.
 """
 from __future__ import annotations
 
+import dataclasses as _dc
 from typing import Callable
 
 import jax
@@ -48,6 +49,9 @@ def make_sharded_step(
 ) -> Callable[[PlasmaState], PlasmaState]:
     """Jitted single step with lattice-sharded inputs/outputs."""
     sh = state_shardings(mesh)
+    # the FFT must be the partitionable XLA path under GSPMD (a pallas
+    # solve would run shard-local, which is wrong)
+    cfg = _dc.replace(cfg, fft_engine="xla")
     step = make_step(cfg)
     return jax.jit(
         step,

@@ -191,6 +191,14 @@ def main():
     from lbm_tpu.utils.watchdog import Watchdog
     wd = (Watchdog(every=args.watchdog_every)
           if args.watchdog_every else None)
+
+    def with_fresh_phi(s):
+        # the pallas FFT engine never materializes phi (no warm start
+        # needed); reconstruct it so checkpoints stay self-consistent
+        if (cfg.poisson == C.PoissonSolver.FFT and cfg.bc == C.BC.PERIODIC
+                and plasma._use_pallas_fft(cfg, (cfg.NY, cfg.NX))):
+            return s._replace(phi=plasma.reconstruct_phi(cfg, s))
+        return s
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
@@ -217,7 +225,8 @@ def main():
         if vid is not None and t % args.video_every == 0:
             vid.record(mac)
         if args.checkpoint_every and (t + 1) % args.checkpoint_every == 0:
-            ckpt.save(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"), state,
+            ckpt.save(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"),
+                      with_fresh_phi(state),
                       neutral_delta=cfg.neutral_delta, storage=cfg.storage)
     jax.block_until_ready(state)
     # real sync (see bench.py note about block_until_ready under axon)
@@ -233,7 +242,7 @@ def main():
     rec.save_csv(os.path.join(args.out, "graphs"))
     if not args.no_plots:
         rec.save_plots(os.path.join(args.out, "graphs"))
-    ckpt.save(os.path.join(args.out, "final_state.npz"), state,
+    ckpt.save(os.path.join(args.out, "final_state.npz"), with_fresh_phi(state),
               neutral_delta=cfg.neutral_delta, storage=cfg.storage)
 
     timing.append_timing_csv(
