@@ -31,12 +31,12 @@ _META_DELTA = "__meta_neutral_delta"
 _META_STORAGE = "__meta_storage"
 
 
-def save(path: str, state: PlasmaState, *,
-         neutral_delta: Optional[bool] = None,
-         storage: Optional[str] = None) -> None:
+def _save(path: str, state, fields, *,
+          neutral_delta: Optional[bool] = None,
+          storage: Optional[str] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {}
-    for k, v in zip(_FIELDS, state):
+    for k, v in zip(fields, state):
         a = np.asarray(v)
         if a.dtype == jnp.bfloat16:
             # npz has no bfloat16 (it round-trips as void V2 and breaks on
@@ -49,6 +49,12 @@ def save(path: str, state: PlasmaState, *,
     if storage is not None:
         arrays[_META_STORAGE] = np.asarray(storage, np.str_)
     np.savez_compressed(path, **arrays)
+
+
+def save(path: str, state: PlasmaState, *,
+         neutral_delta: Optional[bool] = None,
+         storage: Optional[str] = None) -> None:
+    _save(path, state, _FIELDS, neutral_delta=neutral_delta, storage=storage)
 
 
 def load_meta(path: str) -> dict:
@@ -64,10 +70,10 @@ def load_meta(path: str) -> dict:
     return meta
 
 
-def load(path: str, dtype=None, device=None) -> PlasmaState:
+def _load(path: str, state_cls, dtype=None, device=None):
     with np.load(path) as z:
         vals = []
-        for k in _FIELDS:
+        for k in state_cls._fields:
             if k + "__bf16" in z:
                 bits = z[k + "__bf16"]
                 a = bits.view(jnp.bfloat16)
@@ -81,10 +87,29 @@ def load(path: str, dtype=None, device=None) -> PlasmaState:
                 if dtype is not None and a.dtype.kind == "f":
                     a = a.astype(dtype)
             vals.append(jnp.asarray(a))
-    state = PlasmaState(*vals)
+    state = state_cls(*vals)
     if device is not None:
         state = jax.device_put(state, device)
     return state
+
+
+def load(path: str, dtype=None, device=None) -> PlasmaState:
+    return _load(path, PlasmaState, dtype, device)
+
+
+def save3d(path: str, state, *, neutral_delta: Optional[bool] = None,
+           storage: Optional[str] = None) -> None:
+    """Plasma3DState variant (f, g, Ex, Ey, Ez, phi, step)."""
+    from ..models.plasma3d import Plasma3DState
+
+    _save(path, state, Plasma3DState._fields,
+          neutral_delta=neutral_delta, storage=storage)
+
+
+def load3d(path: str, dtype=None, device=None):
+    from ..models.plasma3d import Plasma3DState
+
+    return _load(path, Plasma3DState, dtype, device)
 
 
 def convert_neutral_layout(state: PlasmaState, *, to_delta: bool,

@@ -38,6 +38,12 @@ def main():
                    help="store neutral populations as deltas from the "
                         "uniform background (default: on for f32)")
     p.add_argument("--out", default="build/output_3d")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--assume-ckpt-layout", choices=["classic", "delta"],
+                   default=None,
+                   help="declare the neutral layout of a pre-metadata "
+                        "checkpoint (newer checkpoints record it)")
     args = p.parse_args()
 
     import jax
@@ -71,7 +77,34 @@ def main():
                        else not args.f64))
     os.makedirs(args.out, exist_ok=True)
 
-    state = plasma3d.init_state(cfg)
+    from lbm_tpu.io import checkpoint as ckpt
+
+    if args.resume:
+        state = ckpt.load3d(args.resume, dtype=cfg.dtype)
+        # neutral-layout reconciliation (cf. run_plasma.py)
+        meta = ckpt.load_meta(args.resume)
+        ckpt_delta = meta.get("neutral_delta")
+        if ckpt_delta is None and args.assume_ckpt_layout:
+            ckpt_delta = args.assume_ckpt_layout == "delta"
+        if ckpt_delta is None:
+            raise SystemExit(
+                f"--resume: {args.resume} predates layout metadata; declare "
+                f"it with --assume-ckpt-layout classic|delta")
+        if ckpt_delta != cfg.neutral_delta:
+            print(f"resume: converting neutral layout "
+                  f"{'delta' if ckpt_delta else 'classic'} -> "
+                  f"{'delta' if cfg.neutral_delta else 'classic'}")
+            state = ckpt.convert_neutral_layout(
+                state, to_delta=cfg.neutral_delta,
+                rho_n_ref=cfg.units().rho_n_init)
+        want = jnp.bfloat16 if cfg.storage == "bf16" else cfg.dtype
+        if state.f.dtype != want:
+            print(f"resume: converting populations "
+                  f"{state.f.dtype} -> {jnp.dtype(want).name}")
+            state = state._replace(f=state.f.astype(want),
+                                   g=state.g.astype(want))
+    else:
+        state = plasma3d.init_state(cfg)
     step = jax.jit(plasma3d.make_step(cfg), donate_argnums=(0,))
     step(plasma3d.init_state(cfg))  # compile outside timer
 
@@ -81,9 +114,13 @@ def main():
 
     timer = timing.StepTimer(cfg.NX, cfg.NY * cfg.NZ)
     timer.start()
-    for t in range(cfg.nsteps):
+    start_step = int(state.step)
+    for t in range(start_step, cfg.nsteps):
         state = step(state)
         timer.tick()
+        if args.checkpoint_every and (t + 1) % args.checkpoint_every == 0:
+            ckpt.save3d(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"), state,
+                        neutral_delta=cfg.neutral_delta, storage=cfg.storage)
         if (t + 1) % args.slice_every == 0:
             u = cfg.units()
             # observation honors the storage/delta contracts: upcast bf16
@@ -107,6 +144,8 @@ def main():
             plt.close(fig)
     float(state.f[0, 0, 0, 0, 0])  # sync
     wall_ms = timer.wall_s * 1000
+    ckpt.save3d(os.path.join(args.out, "final_state.npz"), state,
+                neutral_delta=cfg.neutral_delta, storage=cfg.storage)
 
     timing.append_timing_csv(
         os.path.join(args.out, "simulation_time_3d.csv"),

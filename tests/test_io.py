@@ -182,6 +182,34 @@ def test_checkpoint_bf16_explicit_dtype_upcasts(tmp_path):
                                   np.asarray(stays.f, dtype=np.float32))
 
 
+def test_checkpoint3d_roundtrip(tmp_path):
+    """Plasma3DState npz round-trip incl. bf16 bit-tagging + metadata."""
+    from lbm_tpu.models import plasma3d
+
+    cfg = dataclasses.replace(PlasmaConfig(), NX=12, NY=12, NZ=4,
+                              dtype=jnp.float32, storage="bf16",
+                              neutral_delta=True)
+    s = plasma3d.init_state(cfg)
+    path = str(tmp_path / "c3.npz")
+    ckpt.save3d(path, s, neutral_delta=True, storage="bf16")
+    assert ckpt.load_meta(path) == {"neutral_delta": True, "storage": "bf16"}
+    b = ckpt.load3d(path)
+    assert b.f.dtype == jnp.bfloat16
+    for x, y in zip(s, b):
+        np.testing.assert_array_equal(np.asarray(x, np.float32),
+                                      np.asarray(y, np.float32))
+    # layout conversion works on the 3-D (D3Q19) stack too
+    c = ckpt.convert_neutral_layout(b, to_delta=False,
+                                    rho_n_ref=cfg.units().rho_n_init)
+    from lbm_tpu.constants import D3Q19
+    bg = (np.asarray(D3Q19.W)[:, None, None, None]
+          * cfg.units().rho_n_init).astype(np.float32)
+    # single f64 -> bf16 rounding, matching convert_neutral_layout
+    want = (np.asarray(b.f[2], np.float64) + bg).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(c.f[2], np.float32),
+                                  want.astype(np.float32))
+
+
 def test_timing_csv(tmp_path):
     path = str(tmp_path / "t.csv")
     timing.append_timing_csv(path, NX=200, NY=200, nsteps=100, n_devices=8,
