@@ -123,6 +123,36 @@ def measure3d(n: int, steps: int, storage: str = "native") -> float:
     return n ** 3 * eff / dt / 1e6
 
 
+def _supervised_main() -> int:
+    """Run the measurement in a child process and retry once on a crash.
+
+    The axon TPU worker occasionally dies mid-run ("TPU worker process
+    crashed or restarted") and the in-process jax runtime stays wedged —
+    only a fresh process reconnects. The child prints the JSON line; the
+    parent forwards the last one it sees."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_CHILD="1")
+    last = None
+    for attempt in range(2):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        for ln in (r.stdout or "").splitlines():
+            if ln.startswith("{"):
+                last = ln
+        if r.returncode == 0 and last:
+            print(last)
+            return 0
+        sys.stderr.write(r.stderr[-2000:] if r.stderr else "")
+        sys.stderr.write(f"\nbench child attempt {attempt + 1} failed "
+                         f"(rc={r.returncode}); retrying in a fresh "
+                         f"process\n")
+    if last:  # crashed during extras but the line was printed
+        print(last)
+        return 0
+    return 1
+
+
 def main() -> None:
     import jax
 
@@ -181,4 +211,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(_supervised_main())
