@@ -1,14 +1,19 @@
 """Headline benchmark: 3-species plasma MLUPS on one TPU chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "MLUPS", "vs_baseline": N, "extra": {...}}
+    {"metric": "plasma_mlups_2048x2048_fft_periodic_1chip_bf16",
+     "value": N, "unit": "MLUPS", "vs_baseline": N, "extra": {...}}
 
 MLUPS = NX*NY*steps / wall_seconds / 1e6, one site-update = the full
 pipeline (moments + 18 equilibria + triple-BGK collide + Guo forcing + DDF
 thermal + streaming + FFT Poisson + E-field) over all 6 D2Q9 populations —
 the same accounting as BASELINE.md. The C++ reference peaks at ~0.99 MLUPS
-(200x200, 13 cores, FFT+Periodic). "extra" carries a second grid size
-(4096^2 by default) measured the same way.
+(200x200, 13 cores, FFT+Periodic); vs_baseline is the headline metric (the
+engine's BEST mode, bf16 storage by default) over that number. "extra"
+carries the f32-native headline grid, the BASELINE target grid (4096^2 by
+default, both storage modes, with its own vs_baseline_4096_bf16 ratio) and
+the 3-D fused kernel. Env knobs: BENCH_N, BENCH_STEPS, BENCH_BACKEND,
+BENCH_STORAGE (headline mode: bf16|native), BENCH_N_EXTRA, BENCH_N_3D.
 
 Timing notes: under the axon tunnel block_until_ready returns before the
 device work drains, so we synchronize by fetching a scalar from the final
@@ -191,12 +196,13 @@ def main() -> None:
     attempt(f"plasma_mlups_{n}x{n}_{other}",
             lambda: measure(n, steps, backend, other))
     if n_extra and n_extra != n:
-        # the BASELINE target grid, both storage modes; fewer steps (the
-        # 4096^2 window blows up fast and each step is ~4x the work)
-        for st in ("bf16", "native"):
+        # the BASELINE target grid, both storage modes; short windows (the
+        # golden parameters blow up fast at 4096^2 — and bf16 storage
+        # shortens the window to ~10-12 steps, CLAUDE.md)
+        for st, st_steps in (("bf16", 10), ("native", max(steps // 2, 10))):
             attempt(f"plasma_mlups_{n_extra}x{n_extra}_{st}",
-                    lambda st=st: measure(n_extra, max(steps // 2, 10),
-                                          backend, st))
+                    lambda st=st, k=st_steps: measure(n_extra, k,
+                                                      backend, st))
         v = extra.get(f"plasma_mlups_{n_extra}x{n_extra}_bf16")
         if isinstance(v, float):
             extra["vs_baseline_4096_bf16"] = round(v / BASELINE_MLUPS, 1)

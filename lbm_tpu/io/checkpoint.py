@@ -139,6 +139,46 @@ def convert_neutral_layout(state: PlasmaState, *, to_delta: bool,
     return state._replace(f=f.at[2].set(f_n))
 
 
+def reconcile_resumed_state(state, path: str, cfg, *,
+                            assume_layout: Optional[str] = None,
+                            log=print):
+    """Make a loaded checkpoint's layout/dtype match cfg before stepping.
+
+    Shared by the 2-D and 3-D drivers' --resume paths. Reconciles
+      * the NEUTRAL LAYOUT (classic full populations vs deltas from the
+        uniform background): read from the checkpoint's metadata, or from
+        `assume_layout` ("classic"|"delta") for pre-metadata files —
+        refuses with a clear error when neither is available (silently
+        reinterpreting full populations as deltas would double rho_n);
+      * the POPULATION DTYPE with cfg.storage (a bf16 checkpoint resumed
+        at native storage is upcast bit-exactly, and vice versa).
+    """
+    meta = load_meta(path)
+    ckpt_delta = meta.get("neutral_delta")
+    if ckpt_delta is None and assume_layout:
+        ckpt_delta = assume_layout == "delta"
+    if ckpt_delta is None:
+        raise SystemExit(
+            f"--resume: {path} predates layout metadata; declare its "
+            f"neutral layout with --assume-ckpt-layout classic|delta "
+            f"(classic = full neutral populations, the pre-metadata "
+            f"default; delta = deviations from the uniform background)")
+    if ckpt_delta != cfg.neutral_delta:
+        log(f"resume: converting neutral layout "
+            f"{'delta' if ckpt_delta else 'classic'} -> "
+            f"{'delta' if cfg.neutral_delta else 'classic'}")
+        state = convert_neutral_layout(
+            state, to_delta=cfg.neutral_delta,
+            rho_n_ref=cfg.units().rho_n_init)
+    want = jnp.bfloat16 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype)
+    if state.f.dtype != want:
+        log(f"resume: converting populations "
+            f"{state.f.dtype} -> {jnp.dtype(want).name}")
+        state = state._replace(f=state.f.astype(want),
+                               g=state.g.astype(want))
+    return state
+
+
 def save_orbax(path: str, state: PlasmaState) -> None:
     """Orbax variant (sharding-aware, async-capable)."""
     import orbax.checkpoint as ocp

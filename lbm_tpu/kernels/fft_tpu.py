@@ -248,13 +248,14 @@ def fft_y_permuted(xr, xi, A: int, tb: AxisTables, conj: bool = False):
 def grad_vectors(NY: int, NX: int):
     """Permuted-order 1-D symbol vectors for the eig+gradient multiply:
     (siny2, sy) over permuted ky rows, (sinx2, sx) over permuted kx
-    columns. f64 hosts sins, cast to f32 once."""
+    columns. Returned in f64 (the sins and squares are computed at full
+    precision on the host); callers cast once when building device
+    inputs."""
     ky = perm_indices(NY).astype(np.float64)
     kx = perm_indices(NX).astype(np.float64)
-    f32 = np.float32
-    return (np.sin(np.pi * ky / NY).astype(np.float64) ** 2,
+    return (np.sin(np.pi * ky / NY) ** 2,
             np.sin(2.0 * np.pi * ky / NY),
-            np.sin(np.pi * kx / NX).astype(np.float64) ** 2,
+            np.sin(np.pi * kx / NX) ** 2,
             np.sin(2.0 * np.pi * kx / NX))
 
 
@@ -318,7 +319,8 @@ def _pick_panel(N: int, other: int):
     for t in (512, 256, 128, 64, 32, 16, 8):
         if N % t == 0 and t * other * 4 * 30 < 88 * 1024 * 1024:
             return t
-    return N
+    raise ValueError(f"no feasible FFT panel extent for {N} x {other} "
+                     f"(working set exceeds the scoped VMEM budget)")
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

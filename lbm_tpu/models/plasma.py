@@ -101,6 +101,11 @@ def _use_pallas_fft(cfg: PlasmaConfig, shape) -> bool:
             raise ValueError(
                 f"fft_engine='pallas' needs both grid axes = power-of-two "
                 f"* 128, got {shape}")
+        if jnp.dtype(cfg.dtype) != jnp.float32:
+            # the kernels compute in f32; silently downgrading an f64
+            # parity run's E field would be a trap
+            raise ValueError("fft_engine='pallas' is f32-only "
+                             "(the xla engine serves f64 parity runs)")
         return True
     # "auto" resolves to xla for now: the pallas four-step measured SLOWER
     # than the packed-XLA solve at 2048^2 (2.69 vs 1.63 ms — the Stockham
@@ -113,8 +118,13 @@ def reconstruct_phi(cfg: PlasmaConfig, state: "PlasmaState") -> jnp.ndarray:
     """The electrostatic potential of the CURRENT state's charge density.
 
     The pallas FFT path never materializes phi (state.phi goes stale);
-    this recomputes it exactly as the xla FFT path would, for
-    checkpoints/diagnostics."""
+    this recomputes one. Note the alignment: the state's Ex/Ey derive
+    from the PRE-step rho_q (UpdateMacro of the step that produced the
+    state), which is gone — this phi is the solve of the POST-step
+    rho_q, i.e. ONE STEP AHEAD of the stored E. That is exactly the phi
+    a resumed run's first solve would produce, so it is the correct warm
+    start; it is NOT -grad^-1 of the stored E (the xla path's stored phi
+    is)."""
     mac = compute_macros(cfg, state)
     return poisson_ops.solve_fft(mac.rho_q)
 

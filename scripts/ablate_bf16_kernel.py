@@ -131,9 +131,27 @@ def main():
 
     orig_cast = fused_step._cast_io
     orig_recip = fused_step._g_recip_for
+    orig_fused_fast = C.collide_species_dirs_fused_fast
+
+    def fused_fast_shim(s, f_s, g_s, mac, Ex, Ey, *, taus, q_e, q_i, m_e,
+                        m_i, cs2, kb, recip, pair_polys=None,
+                        self_wpolys=None, neutral_ref=0.0):
+        """Route charged species through the classic f+g pair so the
+        patched collide_species_g_dirs_fast governs ALL species (the
+        default path inlines the g math for s=0,1 in
+        collide_species_dirs_fused_fast, which would dodge the patch)."""
+        f_dirs = C.collide_species_f_dirs(
+            s, f_s, mac, Ex, Ey, taus=taus, q_e=q_e, q_i=q_i, m_e=m_e,
+            m_i=m_i, cs2=cs2, pair_polys=pair_polys,
+            self_wpolys=self_wpolys, neutral_ref=neutral_ref)
+        g_dirs = C.collide_species_g_dirs_fast(
+            s, g_s, mac, taus=taus, cs2=cs2, kb=kb, recip=recip,
+            pair_polys=pair_polys, self_wpolys=self_wpolys)
+        return f_dirs, g_dirs
 
     def timed(name):
         C.collide_species_g_dirs_fast = orig
+        C.collide_species_dirs_fused_fast = orig_fused_fast
         fused_step._cast_io = orig_cast
         fused_step._g_recip_for = orig_recip
         if name == "probe_allbf16":
@@ -146,6 +164,7 @@ def main():
                     x.astype(jnp.float32), approx=True).astype(x.dtype))
         elif name != "baseline":
             C.collide_species_g_dirs_fast = make_variant(name)
+            C.collide_species_dirs_fused_fast = fused_fast_shim
         jax.clear_caches()
 
         def roll(k):
@@ -191,6 +210,9 @@ def main():
                 print(f"{name:10s} error: {type(e).__name__}: {e}")
     finally:
         C.collide_species_g_dirs_fast = orig
+        C.collide_species_dirs_fused_fast = orig_fused_fast
+        fused_step._cast_io = orig_cast
+        fused_step._g_recip_for = orig_recip
 
 
 if __name__ == "__main__":

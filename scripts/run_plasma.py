@@ -136,37 +136,10 @@ def main():
     state = (ckpt.load(args.resume, dtype=cfg.dtype) if args.resume
              else plasma.init_state(cfg))
     if args.resume:
-        # Reconcile the checkpoint's NEUTRAL LAYOUT with cfg.neutral_delta:
-        # resuming a classic-layout f[2] under delta mode would silently
-        # reinterpret full populations as deviations (doubling rho_n). The
-        # layout is read from the checkpoint's metadata; pre-metadata files
-        # must be declared via --assume-ckpt-layout.
-        meta = ckpt.load_meta(args.resume)
-        ckpt_delta = meta.get("neutral_delta")
-        if ckpt_delta is None and args.assume_ckpt_layout:
-            ckpt_delta = args.assume_ckpt_layout == "delta"
-        if ckpt_delta is None:
-            raise SystemExit(
-                f"--resume: {args.resume} predates layout metadata; declare "
-                f"its neutral layout with --assume-ckpt-layout classic|delta "
-                f"(classic = full neutral populations, the pre-metadata "
-                f"default; delta = deviations from the uniform background)")
-        if ckpt_delta != cfg.neutral_delta:
-            print(f"resume: converting neutral layout "
-                  f"{'delta' if ckpt_delta else 'classic'} -> "
-                  f"{'delta' if cfg.neutral_delta else 'classic'}")
-            state = ckpt.convert_neutral_layout(
-                state, to_delta=cfg.neutral_delta,
-                rho_n_ref=cfg.units().rho_n_init)
-        # reconcile the checkpoint's population dtype with cfg.storage: the
-        # jnp step would crash on the 2nd iteration (AOT signature), the
-        # fused kernel would silently run the checkpoint's storage mode
-        want = jnp.bfloat16 if cfg.storage == "bf16" else cfg.dtype
-        if state.f.dtype != want:
-            print(f"resume: converting populations "
-                  f"{state.f.dtype} -> {jnp.dtype(want).name}")
-            state = state._replace(f=state.f.astype(want),
-                                   g=state.g.astype(want))
+        # layout + dtype reconciliation (refuses pre-metadata checkpoints
+        # without --assume-ckpt-layout; see io/checkpoint.py)
+        state = ckpt.reconcile_resumed_state(
+            state, args.resume, cfg, assume_layout=args.assume_ckpt_layout)
     rec = probes.ProbeRecorder(cfg.NX, cfg.NY)
     vid = None
     if not args.no_video:
@@ -193,8 +166,10 @@ def main():
           if args.watchdog_every else None)
 
     def with_fresh_phi(s):
-        # the pallas FFT engine never materializes phi (no warm start
-        # needed); reconstruct it so checkpoints stay self-consistent
+        # the pallas FFT engine never materializes phi; store the solve of
+        # the CURRENT rho_q instead (one step ahead of the stored E — the
+        # exact warm start a resume's first solve reproduces, see
+        # plasma.reconstruct_phi)
         if (cfg.poisson == C.PoissonSolver.FFT and cfg.bc == C.BC.PERIODIC
                 and plasma._use_pallas_fft(cfg, (cfg.NY, cfg.NX))):
             return s._replace(phi=plasma.reconstruct_phi(cfg, s))

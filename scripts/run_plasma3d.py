@@ -80,29 +80,9 @@ def main():
     from lbm_tpu.io import checkpoint as ckpt
 
     if args.resume:
-        state = ckpt.load3d(args.resume, dtype=cfg.dtype)
-        # neutral-layout reconciliation (cf. run_plasma.py)
-        meta = ckpt.load_meta(args.resume)
-        ckpt_delta = meta.get("neutral_delta")
-        if ckpt_delta is None and args.assume_ckpt_layout:
-            ckpt_delta = args.assume_ckpt_layout == "delta"
-        if ckpt_delta is None:
-            raise SystemExit(
-                f"--resume: {args.resume} predates layout metadata; declare "
-                f"it with --assume-ckpt-layout classic|delta")
-        if ckpt_delta != cfg.neutral_delta:
-            print(f"resume: converting neutral layout "
-                  f"{'delta' if ckpt_delta else 'classic'} -> "
-                  f"{'delta' if cfg.neutral_delta else 'classic'}")
-            state = ckpt.convert_neutral_layout(
-                state, to_delta=cfg.neutral_delta,
-                rho_n_ref=cfg.units().rho_n_init)
-        want = jnp.bfloat16 if cfg.storage == "bf16" else cfg.dtype
-        if state.f.dtype != want:
-            print(f"resume: converting populations "
-                  f"{state.f.dtype} -> {jnp.dtype(want).name}")
-            state = state._replace(f=state.f.astype(want),
-                                   g=state.g.astype(want))
+        state = ckpt.reconcile_resumed_state(
+            ckpt.load3d(args.resume, dtype=cfg.dtype), args.resume, cfg,
+            assume_layout=args.assume_ckpt_layout)
     else:
         state = plasma3d.init_state(cfg)
     step = jax.jit(plasma3d.make_step(cfg), donate_argnums=(0,))
