@@ -151,6 +151,13 @@ def spectral_inv3d(NZ: int, NY: int, NX: int) -> np.ndarray:
     return np.where(den > 1e-15, 1.0 / np.maximum(den, 1e-300), 0.0)
 
 
+# Volumes at or above this site count take the packed-halves transform
+# (the z-halves packed as re/im for the x pass — XLA's TPU real-FFT path
+# runs 3-5x slower per byte than its complex path, cf. ops/poisson.py's
+# 2-D pair); below it the plain rfft chain is VMEM-resident anyway.
+_PACKED_FFT3_MIN_SITES = 128 * 128 * 128
+
+
 def solve_fft3d(rho_q):
     """3-D spectral Poisson solve, written as per-axis 1-D transforms.
 
@@ -159,12 +166,24 @@ def solve_fft3d(rho_q):
     the partitioner picks for the fused multi-axis rfftn (the per-axis
     chain partitions cleanly: local transforms + collective transposes).
     For lattices sharded along z use the transpose-scheduled variant in
-    parallel/fused_sharded.py (XLA's sharded-axis FFT handler is broken)."""
+    parallel/fused_sharded.py (XLA's sharded-axis FFT handler is broken).
+
+    Big volumes route the real<->half-spectrum ends through the
+    packed-halves pair (ops/poisson._rfft3_packed) — same algebra, complex
+    passes only."""
+    from ..ops.poisson import _irfft3_packed, _rfft3_packed
+
     NZ, NY, NX = rho_q.shape
+    use_packed = (NZ % 2 == 0 and NX % 2 == 0
+                  and NZ * NY * NX >= _PACKED_FFT3_MIN_SITES)
+    inv = spectral_inv3d(NZ, NY, NX)
+    if use_packed:
+        rho_hat = _rfft3_packed(rho_q)
+        phi_hat = rho_hat * jnp.asarray(inv, rho_hat.dtype)
+        return _irfft3_packed(phi_hat, s=(NZ, NY, NX)).astype(rho_q.dtype)
     rho_hat = jnp.fft.rfft(rho_q, axis=-1)
     rho_hat = jnp.fft.fft(rho_hat, axis=-2)
     rho_hat = jnp.fft.fft(rho_hat, axis=-3)
-    inv = spectral_inv3d(NZ, NY, NX)
     phi_hat = rho_hat * jnp.asarray(inv, rho_hat.dtype)
     phi_hat = jnp.fft.ifft(phi_hat, axis=-3)
     phi_hat = jnp.fft.ifft(phi_hat, axis=-2)

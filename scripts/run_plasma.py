@@ -197,7 +197,7 @@ def main():
         if wd is not None:
             state = wd.check(t, state)
         rec.record(mac, state.Ex, state.Ey)
-        if vid is not None and t % args.video_every == 0:
+        if vid is not None and args.video_every and t % args.video_every == 0:
             vid.record(mac)
         if args.checkpoint_every and (t + 1) % args.checkpoint_every == 0:
             ckpt.save(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"),

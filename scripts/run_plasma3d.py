@@ -101,7 +101,7 @@ def main():
         if args.checkpoint_every and (t + 1) % args.checkpoint_every == 0:
             ckpt.save3d(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"), state,
                         neutral_delta=cfg.neutral_delta, storage=cfg.storage)
-        if (t + 1) % args.slice_every == 0:
+        if args.slice_every and (t + 1) % args.slice_every == 0:
             u = cfg.units()
             # observation honors the storage/delta contracts: upcast bf16
             # populations (moments/rho_q are near-cancellations) and pass

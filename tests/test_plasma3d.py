@@ -70,6 +70,28 @@ def test_fft3d_manufactured():
     np.testing.assert_allclose(got, phi0, atol=1e-10)
 
 
+def test_rfft3_packed_matches_rfftn():
+    from lbm_tpu.ops.poisson import _irfft3_packed, _rfft3_packed
+    rng = np.random.default_rng(7)
+    for shape in [(8, 6, 16), (4, 5, 8), (16, 1, 8)]:
+        x = rng.standard_normal(shape)
+        h = np.asarray(_rfft3_packed(jnp.asarray(x)))
+        ref = np.fft.rfftn(x)
+        assert abs(h - ref).max() / abs(ref).max() < 1e-13
+        back = np.asarray(_irfft3_packed(jnp.asarray(h), s=shape))
+        assert abs(back - x).max() < 1e-13
+
+
+def test_solve_fft3d_packed_gate_equivalent(monkeypatch):
+    """The packed route (taken for big volumes) solves identically."""
+    rng = np.random.default_rng(8)
+    rho = jnp.asarray(rng.standard_normal((8, 12, 16)) * 1e-8)
+    plain = np.asarray(plasma3d.solve_fft3d(rho))
+    monkeypatch.setattr(plasma3d, "_PACKED_FFT3_MIN_SITES", 0)
+    packed = np.asarray(plasma3d.solve_fft3d(rho))
+    np.testing.assert_allclose(packed, plain, rtol=0, atol=1e-19)
+
+
 def test_three_steps_finite_and_conserving():
     cfg = _cfg(poisson=PoissonSolver.FFT)
     s = plasma3d.init_state(cfg)
