@@ -12,18 +12,25 @@ Structure: grid = (P, NZ + 2) with P = NY/ty panels (z innermost, so each
 panel runs the SAME z-slice software pipeline as the single kernel:
 collide slice k, assemble streamed slice k-1 from scratch planes, two
 epilogue steps close the periodic z-wrap). The y-coupling between panels
-is handled like the sharded halo kernels handle device boundaries — by
-REDUNDANT COLLISION: each panel's slice is collided extended by the 8
-pre-collision rows above and below (strips extracted XLA-side before the
-call, so the in-place HBM update cannot clobber them), the y/x value
-rolls run on the extended (ty+16, NX) planes, and the result is cropped
-to the panel's ty rows. Overhead vs the single kernel: 16/ty redundant
-collide compute and one extra read of the strip rows (~2*8/ty of the
-population read traffic).
+is handled like the 2-D bounce-back handles walls — by EDGE FIXUPS
+OUTSIDE the kernel: each panel collides exactly its own ty rows (zero
+redundant compute, no halo inputs), the in-kernel y-roll wraps within the
+panel (wrong only at the 2 boundary rows of each panel for the 10
+cy = +-1 directions), and the kernel additionally writes each panel's
+post-collision FIRST row (cy = -1 directions) and LAST row (cy = +1) to
+tiny side outputs. The XLA-side fixup then views f as
+(S, Q, NZ, P, ty, NX) — a free reshape — and overwrites row 0 / row ty-1
+of every panel with the neighbor panel's exported row, z/x-rolled per the
+direction (jnp.roll moves no one's bits, so the bf16 f-bitwise contract
+holds). Cost: one packed export of (S, NZ, P, 20, NX) rows (~0.4% of the
+population bytes at ty = 64) plus a boundary-row scatter — vs the
+round-3-v1 design's 8-row redundant halo strips (+25% reads, +25%
+collide, 114 in-kernel concatenates), which measured 4.2x off the DMA
+floor at 512^2 x 64.
 
 In-place HBM update via input_output_aliases: panel p's outputs are
 written behind its own reads (same argument as the single kernel), and
-panels only ever read their own rows plus the pre-extracted strips.
+panels never read outside their own rows.
 """
 from __future__ import annotations
 
@@ -48,33 +55,23 @@ _S = 3
 
 _DIRS_ZPOS = [i for i in range(_Q) if _CZ[i] == 1]
 _DIRS_ZNEG = [i for i in range(_Q) if _CZ[i] == -1]
+_DIRS_YPOS = [i for i in range(_Q) if _CY[i] == 1]   # need neighbor's LAST row
+_DIRS_YNEG = [i for i in range(_Q) if _CY[i] == -1]  # need neighbor's FIRST row
 
 
 def _make_panel_kernel(params, ty, nk):
-    def collide_ext(f_ref, g_ref, fup, gup, fdn, gdn,
-                    ex_ref, ey_ref, ez_ref, exs_u, eys_u, ezs_u,
-                    exs_d, eys_d, ezs_d, rq_ref):
-        """Collide the 8+ty+8 extended slice; return panel-cropped,
-        (y, x)-rolled plane lists."""
-        up_f, up_g = fup[0], gup[0]                    # (S, Q, 1, 8, NX)
-        dn_f, dn_g = fdn[0], gdn[0]
-        Ex = jnp.concatenate((exs_u[0, 0], ex_ref[0], exs_d[0, 0]), axis=0)
-        Ey = jnp.concatenate((eys_u[0, 0], ey_ref[0], eys_d[0, 0]), axis=0)
-        Ez = jnp.concatenate((ezs_u[0, 0], ez_ref[0], ezs_d[0, 0]), axis=0)
+    def collide_panel(f_ref, g_ref, ex_ref, ey_ref, ez_ref, rq_ref, eo_ref):
+        """Collide the (ty, NX) panel slice; export its boundary rows;
+        return (y, x)-rolled plane lists (panel-local wrap in y)."""
+        Ex, Ey, Ez = ex_ref[0], ey_ref[0], ez_ref[0]
         f, g, dt_store = _cast_io(f_ref[:], g_ref[:])
-        uf, ug, _ = _cast_io(up_f, up_g)
-        df, dg, _ = _cast_io(dn_f, dn_g)
-        fsl = [[jnp.concatenate((uf[s, i, 0], f[s, i, 0], df[s, i, 0]),
-                                axis=0) for i in range(_Q)]
-               for s in range(_S)]
-        gsl = [[jnp.concatenate((ug[s, i, 0], g[s, i, 0], dg[s, i, 0]),
-                                axis=0) for i in range(_Q)]
-               for s in range(_S)]
+        fsl = [[f[s, i, 0] for i in range(_Q)] for s in range(_S)]
+        gsl = [[g[s, i, 0] for i in range(_Q)] for s in range(_S)]
         mac = update_macro3(fsl, gsl, Ex, Ey, Ez,
                             q_e=params["q_e"], q_i=params["q_i"],
                             m_e=params["m_e"], m_i=params["m_i"],
                             neutral_ref=params["neutral_ref"])
-        rq_ref[0] = mac.rho_q[8:8 + ty]
+        rq_ref[0] = mac.rho_q
         pair_polys = {
             p: equilibrium_wpolys3(mac.ux_pair[p], mac.uy_pair[p],
                                    mac.uz_pair[p], params["cs2"])
@@ -92,12 +89,16 @@ def _make_panel_kernel(params, ty, nk):
             if dt_store is not None:
                 f_dirs = [d.astype(dt_store) for d in f_dirs]
                 g_dirs = [d.astype(dt_store) for d in g_dirs]
-            # roll on the extended plane (neighbor rows supply cy = +-1),
-            # then crop to the panel's rows
-            fv.append([_roll2(f_dirs[i], _CY[i], _CX[i])[8:8 + ty]
-                       for i in range(_Q)])
-            gv.append([_roll2(g_dirs[i], _CY[i], _CX[i])[8:8 + ty]
-                       for i in range(_Q)])
+            # post-collision pre-roll boundary rows for the XLA-side fixup,
+            # packed as one aligned (20, NX) block write: rows 0-4 f last
+            # row (cy=+1 dirs), 5-9 f first row (cy=-1), 10-19 same for g
+            eo_ref[s, 0, 0] = jnp.concatenate(
+                [f_dirs[i][ty - 1:ty] for i in _DIRS_YPOS]
+                + [f_dirs[i][0:1] for i in _DIRS_YNEG]
+                + [g_dirs[i][ty - 1:ty] for i in _DIRS_YPOS]
+                + [g_dirs[i][0:1] for i in _DIRS_YNEG], axis=0)
+            fv.append([_roll2(f_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
+            gv.append([_roll2(g_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
         return fv, gv
 
     def assemble(out_ref, s, prev, zlast, below):
@@ -110,19 +111,15 @@ def _make_panel_kernel(params, ty, nk):
             else:
                 out_ref[s, i, 0] = below[_DIRS_ZNEG.index(i)]
 
-    def kernel(f_ref, g_ref, fup, gup, fdn, gdn,
-               ex_ref, ey_ref, ez_ref, exs_u, eys_u, ezs_u,
-               exs_d, eys_d, ezs_d,
-               fo_ref, go_ref, rq_ref,
+    def kernel(f_ref, g_ref, ex_ref, ey_ref, ez_ref,
+               fo_ref, go_ref, rq_ref, eo_ref,
                fprev, gprev, fzlast, gzlast, fb0, gb0, fb1, gb1):
         k = pl.program_id(1)   # z index (innermost); panel p = program_id(0)
 
         @pl.when(k < nk)
         def _():
-            fv, gv = collide_ext(f_ref, g_ref, fup, gup, fdn, gdn,
-                                 ex_ref, ey_ref, ez_ref,
-                                 exs_u, eys_u, ezs_u, exs_d, eys_d, ezs_d,
-                                 rq_ref)
+            fv, gv = collide_panel(f_ref, g_ref, ex_ref, ey_ref, ez_ref,
+                                   rq_ref, eo_ref)
             for s in range(_S):
                 @pl.when(k >= 1)
                 def _(s=s):
@@ -182,36 +179,50 @@ def _make_panel_kernel(params, ty, nk):
     return kernel
 
 
-def _y_strips(a, ty: int):
-    """(up, dn) pre-collision strip stacks along a (..., NY, NX) array's
-    y axis: up[p] = the 8 rows above panel p, dn[p] = the 8 rows below
-    (periodic). Every slice is contiguous for ty >= 8."""
-    NY = a.shape[-2]
+def _fix_panel_edges(a, edges, row0, ty):
+    """Overwrite every panel's boundary rows with the neighbor panel's
+    exported post-collision row, streamed per direction.
+
+    a: (S, Q, NZ, NY, NX) kernel output whose y-roll wrapped panel-locally;
+    edges: (S, NZ, P, 20, NX) packed exports — rows row0+j = dir
+    _DIRS_YPOS[j]'s LAST panel row, rows row0+5+j = dir _DIRS_YNEG[j]'s
+    FIRST row (row0 selects the f or g half). The streamed value at a
+    panel's first row for cy = +1 is fpost[z - cz, p*ty - 1, x - cx] = the
+    (p-1)-panel's exported last row, rolled by (cz, 1, cx) over (z, p, x).
+    """
+    S, Q, NZ, NY, NX = a.shape
     P = NY // ty
-    ups, dns = [], []
-    for p in range(P):
-        r0 = (p * ty - 8) % NY
-        ups.append(jax.lax.slice_in_dim(a, r0, r0 + 8, axis=a.ndim - 2))
-        r1 = ((p + 1) * ty) % NY
-        dns.append(jax.lax.slice_in_dim(a, r1, r1 + 8, axis=a.ndim - 2))
-    return jnp.stack(ups), jnp.stack(dns)
+    ar = a.reshape(S, Q, NZ, P, ty, NX)
+    for j, i in enumerate(_DIRS_YPOS):
+        src = edges[:, :, :, row0 + j]              # (S, NZ, P, NX)
+        src = jnp.roll(src, _CZ[i], axis=1) if _CZ[i] else src
+        src = jnp.roll(src, 1, axis=2)
+        src = jnp.roll(src, _CX[i], axis=3) if _CX[i] else src
+        ar = ar.at[:, i, :, :, 0, :].set(src)
+    for j, i in enumerate(_DIRS_YNEG):
+        src = edges[:, :, :, row0 + 5 + j]
+        src = jnp.roll(src, _CZ[i], axis=1) if _CZ[i] else src
+        src = jnp.roll(src, -1, axis=2)
+        src = jnp.roll(src, _CX[i], axis=3) if _CX[i] else src
+        ar = ar.at[:, i, :, :, ty - 1, :].set(src)
+    return ar.reshape(S, Q, NZ, NY, NX)
 
 
 def pick_panel3d(NY: int, NX: int, itemsize: int) -> int:
-    """Largest panel height whose extended working set fits VMEM."""
+    """Largest panel height whose working set fits VMEM."""
     for ty in (256, 128, 64, 32, 16, 8):
         if NY % ty:
             continue
         plane = ty * NX * itemsize
         vmem = (
             (2 + 2) * 2 * _S * _Q * plane          # in/out f+g x2 buffers
-            + 2 * 2 * 2 * _S * _Q * 8 * NX * itemsize  # strip blocks x2
             + 2 * _Q * _S * plane                  # prev f+g
             + 2 * _Q * _S * plane                  # b0 f+g
             + 4 * 5 * _S * plane                   # zlast + b1 f+g
-            # live collide temporaries are COMPUTE-dtype on the EXTENDED
-            # rows (f32 under bf16 storage)
-            + 200 * (ty + 16) * NX * max(itemsize, 4)
+            # packed boundary-row export block, double-buffered
+            + 2 * _S * 20 * NX * itemsize
+            # live collide temporaries are COMPUTE-dtype (f32 under bf16)
+            + 200 * ty * NX * max(itemsize, 4)
         )
         if vmem < 90 * 1024 * 1024:
             return ty
@@ -247,12 +258,6 @@ def collide_stream_panel3d(
     P = NY // ty
     nk = NZ
 
-    f_up, f_dn = _y_strips(f, ty)      # (P, S, Q, NZ, 8, NX)
-    g_up, g_dn = _y_strips(g, ty)
-    ex_up, ex_dn = _y_strips(Ex, ty)   # (P, NZ, 8, NX)
-    ey_up, ey_dn = _y_strips(Ey, ty)
-    ez_up, ez_dn = _y_strips(Ez, ty)
-
     def in_band(k):
         k = jnp.asarray(k, jnp.int32)
         return jnp.minimum(k, jnp.int32(nk - 1))
@@ -271,12 +276,11 @@ def collide_stream_panel3d(
                            memory_space=pltpu.VMEM)
     fld_in = pl.BlockSpec((1, ty, NX), lambda p, k: (in_band(k), p, 0),
                           memory_space=pltpu.VMEM)
-    strip_pop = pl.BlockSpec((1, S, Q, 1, 8, NX),
-                             lambda p, k: (p, 0, 0, in_band(k), 0, 0),
-                             memory_space=pltpu.VMEM)
-    strip_fld = pl.BlockSpec((1, 1, 8, NX),
-                             lambda p, k: (p, in_band(k), 0, 0),
-                             memory_space=pltpu.VMEM)
+    # the packed-rows dim is written as a FULL block (Mosaic requires the
+    # second-minor block dim to divide by 8 or span the array dim)
+    edge_out = pl.BlockSpec((S, 1, 1, 20, NX),
+                            lambda p, k: (0, in_band(k), p, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
                   cs2=cs2, kb=kb, neutral_ref=neutral_ref)
@@ -284,19 +288,16 @@ def collide_stream_panel3d(
 
     dt = f.dtype
     bytes_pop = S * Q * NZ * NY * NX * dt.itemsize
-    return pl.pallas_call(
+    f_n, g_n, rq, edges = pl.pallas_call(
         kernel,
         grid=(P, nk + 2),
-        in_specs=[pop_in, pop_in,
-                  strip_pop, strip_pop, strip_pop, strip_pop,
-                  fld_in, fld_in, fld_in,
-                  strip_fld, strip_fld, strip_fld,
-                  strip_fld, strip_fld, strip_fld],
-        out_specs=(pop_out, pop_out, fld_in),
+        in_specs=[pop_in, pop_in, fld_in, fld_in, fld_in],
+        out_specs=(pop_out, pop_out, fld_in, edge_out),
         out_shape=(
             jax.ShapeDtypeStruct(f.shape, dt),
             jax.ShapeDtypeStruct(g.shape, dt),
             jax.ShapeDtypeStruct(Ex.shape, Ex.dtype),
+            jax.ShapeDtypeStruct((S, NZ, P, 20, NX), dt),
         ),
         scratch_shapes=[
             pltpu.VMEM((_Q, _S, ty, NX), dt),   # fprev
@@ -308,15 +309,17 @@ def collide_stream_panel3d(
             pltpu.VMEM((5, _S, ty, NX), dt),    # fb1
             pltpu.VMEM((5, _S, ty, NX), dt),    # gb1
         ],
-        # in-place HBM update: the strips were materialized before the
-        # call, and each panel writes only behind its own reads
+        # in-place HBM update: panels read only their own rows and each
+        # out slice is written one grid step after its input was consumed
         input_output_aliases={0: 0, 1: 1},
         cost_estimate=pl.CostEstimate(
-            flops=int(4000 * NZ * NY * NX),
+            flops=int(6000 * NZ * NY * NX),
             bytes_accessed=4 * bytes_pop,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(f, g, f_up, g_up, f_dn, g_dn,
-      Ex, Ey, Ez, ex_up, ey_up, ez_up, ex_dn, ey_dn, ez_dn)
+    )(f, g, Ex, Ey, Ez)
+    f_n = _fix_panel_edges(f_n, edges, 0, ty)
+    g_n = _fix_panel_edges(g_n, edges, 10, ty)
+    return f_n, g_n, rq

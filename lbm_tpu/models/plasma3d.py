@@ -227,8 +227,8 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
         except ValueError:
             # cross-section too wide for the single kernel: try the
             # mass/thermal split pair (fits ~2x the area), then the
-            # y-paneled kernel (any width, 16/ty redundant collide), then
-            # jnp/XLA
+            # y-paneled kernel (any width, XLA-side panel-edge fixups),
+            # then jnp/XLA
             use_fused = False
             try:
                 check_vmem_split3d(cfg.NY, cfg.NX, itemsize)
