@@ -12,25 +12,32 @@ Structure: grid = (P, NZ + 2) with P = NY/ty panels (z innermost, so each
 panel runs the SAME z-slice software pipeline as the single kernel:
 collide slice k, assemble streamed slice k-1 from scratch planes, two
 epilogue steps close the periodic z-wrap). The y-coupling between panels
-is handled like the 2-D bounce-back handles walls — by EDGE FIXUPS
-OUTSIDE the kernel: each panel collides exactly its own ty rows (zero
-redundant compute, no halo inputs), the in-kernel y-roll wraps within the
-panel (wrong only at the 2 boundary rows of each panel for the 10
-cy = +-1 directions), and the kernel additionally writes each panel's
-post-collision FIRST row (cy = -1 directions) and LAST row (cy = +1) to
-tiny side outputs. The XLA-side fixup then views f as
-(S, Q, NZ, P, ty, NX) — a free reshape — and overwrites row 0 / row ty-1
-of every panel with the neighbor panel's exported row, z/x-rolled per the
-direction (jnp.roll moves no one's bits, so the bf16 f-bitwise contract
-holds). Cost: one packed export of (S, NZ, P, 20, NX) rows (~0.4% of the
-population bytes at ty = 64) plus a boundary-row scatter — vs the
-round-3-v1 design's 8-row redundant halo strips (+25% reads, +25%
-collide, 114 in-kernel concatenates), which measured 4.2x off the DMA
-floor at 512^2 x 64.
+is handled by 1-ROW REDUNDANT HALO COLLIDE + in-register row selects:
+each panel's block input is exactly its own ty rows, plus a tiny
+pre-extracted (2, NX) halo slab per array holding the PRE-collision row
+above (p*ty - 1) and below ((p+1)*ty) the panel. The kernel collides the
+slab redundantly (2 rows ~ 3% extra VPU at ty = 64, padded to one
+sublane group), runs the (y, x) value rolls panel-locally (wrong only at
+the 2 boundary rows for the 10 cy = +-1 directions), and overwrites
+those rows with the halo's post-collision values via
+`where(row_iota == r, halo_row, plane)` — a lane-wise select, no
+concatenates, no relayout. Collision is elementwise per cell (the
+direction reductions are fixed-order Python loops), so the 2-row
+recompute is BITWISE equal to the neighbor panel's own result and the
+bf16 f-bitwise contract holds.
 
-In-place HBM update via input_output_aliases: panel p's outputs are
-written behind its own reads (same argument as the single kernel), and
-panels never read outside their own rows.
+Design history (ablation-measured at 512^2 x 64 bf16, DMA floor
+~11.4 ms): v1 collided 8-row redundant halo strips concatenated in-kernel
+(+25% reads/compute, 114 concats) — 4.2x off the floor. v2 collided
+exact panels, exported boundary rows to a side output and fixed edges
+XLA-side — 19.3 ms, of which the XLA fixup pass cost 2.5 ms and the
+packed export concat most of a 3.3 ms in-VMEM overhead. v3 (this)
+removes both.
+
+In-place HBM update via input_output_aliases: the halo slabs are
+materialized XLA-side before the call (reads ~2/ty of the population
+bytes), so panels never read HBM rows another panel may already have
+overwritten.
 """
 from __future__ import annotations
 
@@ -60,24 +67,23 @@ _DIRS_YNEG = [i for i in range(_Q) if _CY[i] == -1]  # need neighbor's FIRST row
 
 
 def _make_panel_kernel(params, ty, nk):
-    def collide_panel(f_ref, g_ref, ex_ref, ey_ref, ez_ref, rq_ref, eo_ref):
-        """Collide the (ty, NX) panel slice; export its boundary rows;
-        return (y, x)-rolled plane lists (panel-local wrap in y)."""
-        Ex, Ey, Ez = ex_ref[0], ey_ref[0], ez_ref[0]
-        f, g, dt_store = _cast_io(f_ref[:], g_ref[:])
-        fsl = [[f[s, i, 0] for i in range(_Q)] for s in range(_S)]
-        gsl = [[g[s, i, 0] for i in range(_Q)] for s in range(_S)]
+    def collide_slab(fsl, gsl, Ex, Ey, Ez, dt_store, rq_ref=None):
+        """Shared collide pipeline on per-direction plane lists; returns
+        store-dtype post-collision plane lists. Elementwise per cell, so
+        the (2, NX) halo slab recompute is bitwise equal to the neighbor
+        panel's own (ty, NX) result."""
         mac = update_macro3(fsl, gsl, Ex, Ey, Ez,
                             q_e=params["q_e"], q_i=params["q_i"],
                             m_e=params["m_e"], m_i=params["m_i"],
                             neutral_ref=params["neutral_ref"])
-        rq_ref[0] = mac.rho_q
+        if rq_ref is not None:
+            rq_ref[0] = mac.rho_q
         pair_polys = {
             p: equilibrium_wpolys3(mac.ux_pair[p], mac.uy_pair[p],
                                    mac.uz_pair[p], params["cs2"])
             for p in range(3)
         }
-        fv, gv = [], []
+        fpost, gpost = [], []
         for s in range(_S):
             f_dirs, g_dirs = collide_species_dirs3(
                 s, fsl[s], gsl[s], mac, Ex, Ey, Ez,
@@ -89,16 +95,45 @@ def _make_panel_kernel(params, ty, nk):
             if dt_store is not None:
                 f_dirs = [d.astype(dt_store) for d in f_dirs]
                 g_dirs = [d.astype(dt_store) for d in g_dirs]
-            # post-collision pre-roll boundary rows for the XLA-side fixup,
-            # packed as one aligned (20, NX) block write: rows 0-4 f last
-            # row (cy=+1 dirs), 5-9 f first row (cy=-1), 10-19 same for g
-            eo_ref[s, 0, 0] = jnp.concatenate(
-                [f_dirs[i][ty - 1:ty] for i in _DIRS_YPOS]
-                + [f_dirs[i][0:1] for i in _DIRS_YNEG]
-                + [g_dirs[i][ty - 1:ty] for i in _DIRS_YPOS]
-                + [g_dirs[i][0:1] for i in _DIRS_YNEG], axis=0)
-            fv.append([_roll2(f_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
-            gv.append([_roll2(g_dirs[i], _CY[i], _CX[i]) for i in range(_Q)])
+            fpost.append(f_dirs)
+            gpost.append(g_dirs)
+        return fpost, gpost
+
+    def collide_panel(f_ref, g_ref, hf_ref, hg_ref,
+                      ex_ref, ey_ref, ez_ref, hex_ref, hey_ref, hez_ref,
+                      rq_ref):
+        """Collide the (ty, NX) panel slice + its (2, NX) halo slab;
+        return (y, x)-rolled plane lists with halo-corrected boundary
+        rows (slab row 0 = y-row p*ty - 1, slab row 1 = (p+1)*ty)."""
+        Ex, Ey, Ez = ex_ref[0], ey_ref[0], ez_ref[0]
+        f, g, dt_store = _cast_io(f_ref[:], g_ref[:])
+        fsl = [[f[s, i, 0] for i in range(_Q)] for s in range(_S)]
+        gsl = [[g[s, i, 0] for i in range(_Q)] for s in range(_S)]
+        fpost, gpost = collide_slab(fsl, gsl, Ex, Ey, Ez, dt_store, rq_ref)
+
+        hf, hg, _ = _cast_io(hf_ref[0], hg_ref[0])
+        hfsl = [[hf[s, i, 0] for i in range(_Q)] for s in range(_S)]
+        hgsl = [[hg[s, i, 0] for i in range(_Q)] for s in range(_S)]
+        hfpost, hgpost = collide_slab(hfsl, hgsl, hex_ref[0, 0],
+                                      hey_ref[0, 0], hez_ref[0, 0], dt_store)
+
+        def rolled(post, hpost, s, i):
+            plane = _roll2(post[s][i], _CY[i], _CX[i])
+            if _CY[i] == 0:
+                return plane
+            # boundary row r streams from outside the panel: substitute
+            # the halo's post-collision row, x-rolled like the plane
+            hrow = hpost[s][i][0:1] if _CY[i] == 1 else hpost[s][i][1:2]
+            if _CX[i]:
+                hrow = jnp.roll(hrow, _CX[i], axis=-1)
+            r = 0 if _CY[i] == 1 else ty - 1
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 0)
+            return jnp.where(row_iota == r, hrow, plane)
+
+        fv = [[rolled(fpost, hfpost, s, i) for i in range(_Q)]
+              for s in range(_S)]
+        gv = [[rolled(gpost, hgpost, s, i) for i in range(_Q)]
+              for s in range(_S)]
         return fv, gv
 
     def assemble(out_ref, s, prev, zlast, below):
@@ -111,15 +146,17 @@ def _make_panel_kernel(params, ty, nk):
             else:
                 out_ref[s, i, 0] = below[_DIRS_ZNEG.index(i)]
 
-    def kernel(f_ref, g_ref, ex_ref, ey_ref, ez_ref,
-               fo_ref, go_ref, rq_ref, eo_ref,
+    def kernel(f_ref, g_ref, hf_ref, hg_ref,
+               ex_ref, ey_ref, ez_ref, hex_ref, hey_ref, hez_ref,
+               fo_ref, go_ref, rq_ref,
                fprev, gprev, fzlast, gzlast, fb0, gb0, fb1, gb1):
         k = pl.program_id(1)   # z index (innermost); panel p = program_id(0)
 
         @pl.when(k < nk)
         def _():
-            fv, gv = collide_panel(f_ref, g_ref, ex_ref, ey_ref, ez_ref,
-                                   rq_ref, eo_ref)
+            fv, gv = collide_panel(f_ref, g_ref, hf_ref, hg_ref,
+                                   ex_ref, ey_ref, ez_ref,
+                                   hex_ref, hey_ref, hez_ref, rq_ref)
             for s in range(_S):
                 @pl.when(k >= 1)
                 def _(s=s):
@@ -179,33 +216,22 @@ def _make_panel_kernel(params, ty, nk):
     return kernel
 
 
-def _fix_panel_edges(a, edges, row0, ty):
-    """Overwrite every panel's boundary rows with the neighbor panel's
-    exported post-collision row, streamed per direction.
+def _halo_slabs(a, ty: int):
+    """Pre-collision 1-row halo slabs for every panel, panel-major.
 
-    a: (S, Q, NZ, NY, NX) kernel output whose y-roll wrapped panel-locally;
-    edges: (S, NZ, P, 20, NX) packed exports — rows row0+j = dir
-    _DIRS_YPOS[j]'s LAST panel row, rows row0+5+j = dir _DIRS_YNEG[j]'s
-    FIRST row (row0 selects the f or g half). The streamed value at a
-    panel's first row for cy = +1 is fpost[z - cz, p*ty - 1, x - cx] = the
-    (p-1)-panel's exported last row, rolled by (cz, 1, cx) over (z, p, x).
+    a: (..., NY, NX) -> (P, ..., 2, NX): slab row 0 = y-row p*ty - 1 (the
+    row ABOVE panel p, periodic), row 1 = y-row (p + 1) * ty (the row
+    below). Reads only 2/ty of the array's rows (XLA strided slices), and
+    materializing it BEFORE the kernel call keeps the in-place HBM update
+    safe — panels never read rows another panel already overwrote.
     """
-    S, Q, NZ, NY, NX = a.shape
+    NY = a.shape[-2]
     P = NY // ty
-    ar = a.reshape(S, Q, NZ, P, ty, NX)
-    for j, i in enumerate(_DIRS_YPOS):
-        src = edges[:, :, :, row0 + j]              # (S, NZ, P, NX)
-        src = jnp.roll(src, _CZ[i], axis=1) if _CZ[i] else src
-        src = jnp.roll(src, 1, axis=2)
-        src = jnp.roll(src, _CX[i], axis=3) if _CX[i] else src
-        ar = ar.at[:, i, :, :, 0, :].set(src)
-    for j, i in enumerate(_DIRS_YNEG):
-        src = edges[:, :, :, row0 + 5 + j]
-        src = jnp.roll(src, _CZ[i], axis=1) if _CZ[i] else src
-        src = jnp.roll(src, -1, axis=2)
-        src = jnp.roll(src, _CX[i], axis=3) if _CX[i] else src
-        ar = ar.at[:, i, :, :, ty - 1, :].set(src)
-    return ar.reshape(S, Q, NZ, NY, NX)
+    ar = a.reshape(a.shape[:-2] + (P, ty, a.shape[-1]))
+    up = jnp.roll(ar[..., ty - 1, :], 1, axis=-2)   # (..., P, NX)
+    dn = jnp.roll(ar[..., 0, :], -1, axis=-2)
+    slab = jnp.stack((up, dn), axis=-2)             # (..., P, 2, NX)
+    return jnp.moveaxis(slab, -3, 0)                # (P, ..., 2, NX)
 
 
 def pick_panel3d(NY: int, NX: int, itemsize: int) -> int:
@@ -219,10 +245,11 @@ def pick_panel3d(NY: int, NX: int, itemsize: int) -> int:
             + 2 * _Q * _S * plane                  # prev f+g
             + 2 * _Q * _S * plane                  # b0 f+g
             + 4 * 5 * _S * plane                   # zlast + b1 f+g
-            # packed boundary-row export block, double-buffered
-            + 2 * _S * 20 * NX * itemsize
-            # live collide temporaries are COMPUTE-dtype (f32 under bf16)
-            + 200 * ty * NX * max(itemsize, 4)
+            # halo slab blocks (f+g, 2 rows), double-buffered
+            + 2 * 2 * _S * _Q * 2 * NX * itemsize
+            # live collide temporaries are COMPUTE-dtype (f32 under bf16);
+            # the halo slab's own temporaries pad to one 8-row group
+            + 200 * (ty + 8) * NX * max(itemsize, 4)
         )
         if vmem < 90 * 1024 * 1024:
             return ty
@@ -258,6 +285,12 @@ def collide_stream_panel3d(
     P = NY // ty
     nk = NZ
 
+    hf = _halo_slabs(f, ty)        # (P, S, Q, NZ, 2, NX)
+    hg = _halo_slabs(g, ty)
+    hEx = _halo_slabs(Ex, ty)      # (P, NZ, 2, NX)
+    hEy = _halo_slabs(Ey, ty)
+    hEz = _halo_slabs(Ez, ty)
+
     def in_band(k):
         k = jnp.asarray(k, jnp.int32)
         return jnp.minimum(k, jnp.int32(nk - 1))
@@ -276,10 +309,13 @@ def collide_stream_panel3d(
                            memory_space=pltpu.VMEM)
     fld_in = pl.BlockSpec((1, ty, NX), lambda p, k: (in_band(k), p, 0),
                           memory_space=pltpu.VMEM)
-    # the packed-rows dim is written as a FULL block (Mosaic requires the
+    # halo slab blocks: the 2-row dim is a FULL block (Mosaic requires the
     # second-minor block dim to divide by 8 or span the array dim)
-    edge_out = pl.BlockSpec((S, 1, 1, 20, NX),
-                            lambda p, k: (0, in_band(k), p, 0, 0),
+    halo_pop = pl.BlockSpec((1, S, Q, 1, 2, NX),
+                            lambda p, k: (p, 0, 0, in_band(k), 0, 0),
+                            memory_space=pltpu.VMEM)
+    halo_fld = pl.BlockSpec((1, 1, 2, NX),
+                            lambda p, k: (p, in_band(k), 0, 0),
                             memory_space=pltpu.VMEM)
 
     params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
@@ -288,16 +324,17 @@ def collide_stream_panel3d(
 
     dt = f.dtype
     bytes_pop = S * Q * NZ * NY * NX * dt.itemsize
-    f_n, g_n, rq, edges = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(P, nk + 2),
-        in_specs=[pop_in, pop_in, fld_in, fld_in, fld_in],
-        out_specs=(pop_out, pop_out, fld_in, edge_out),
+        in_specs=[pop_in, pop_in, halo_pop, halo_pop,
+                  fld_in, fld_in, fld_in,
+                  halo_fld, halo_fld, halo_fld],
+        out_specs=(pop_out, pop_out, fld_in),
         out_shape=(
             jax.ShapeDtypeStruct(f.shape, dt),
             jax.ShapeDtypeStruct(g.shape, dt),
             jax.ShapeDtypeStruct(Ex.shape, Ex.dtype),
-            jax.ShapeDtypeStruct((S, NZ, P, 20, NX), dt),
         ),
         scratch_shapes=[
             pltpu.VMEM((_Q, _S, ty, NX), dt),   # fprev
@@ -309,8 +346,9 @@ def collide_stream_panel3d(
             pltpu.VMEM((5, _S, ty, NX), dt),    # fb1
             pltpu.VMEM((5, _S, ty, NX), dt),    # gb1
         ],
-        # in-place HBM update: panels read only their own rows and each
-        # out slice is written one grid step after its input was consumed
+        # in-place HBM update: panels read only their own rows (halo slabs
+        # were materialized before the call) and each out slice is written
+        # one grid step after its input was consumed
         input_output_aliases={0: 0, 1: 1},
         cost_estimate=pl.CostEstimate(
             flops=int(6000 * NZ * NY * NX),
@@ -319,7 +357,4 @@ def collide_stream_panel3d(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(f, g, Ex, Ey, Ez)
-    f_n = _fix_panel_edges(f_n, edges, 0, ty)
-    g_n = _fix_panel_edges(g_n, edges, 10, ty)
-    return f_n, g_n, rq
+    )(f, g, hf, hg, Ex, Ey, Ez, hEx, hEy, hEz)

@@ -227,7 +227,7 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
         except ValueError:
             # cross-section too wide for the single kernel: try the
             # mass/thermal split pair (fits ~2x the area), then the
-            # y-paneled kernel (any width, XLA-side panel-edge fixups),
+            # y-paneled kernel (any width, 1-row redundant halo collide),
             # then jnp/XLA
             use_fused = False
             try:

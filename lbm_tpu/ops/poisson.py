@@ -90,6 +90,46 @@ def _irfft2_packed(h: jnp.ndarray, s: Tuple[int, int]) -> jnp.ndarray:
     return jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=0)
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_mats(n: int, inverse: bool):
+    """Split re/im f32 DFT matrices (the inverse carries the 1/n)."""
+    k = np.arange(n)
+    ang = (2.0 if inverse else -2.0) * np.pi / n
+    w = np.exp(1j * ang * np.outer(k, k))
+    if inverse:
+        w = w / n
+    return (np.ascontiguousarray(w.real.astype(np.float32)),
+            np.ascontiguousarray(w.imag.astype(np.float32)))
+
+
+# Hypothesis (round 3): a short leading axis could take the O(n^2) MXU DFT
+# matmul instead of XLA's axis-0 FFT — 4 (n x n) @ (n x batch) transpose-free
+# matmuls at ~1e-6 rel (6-pass f32 emulation). MEASURED NEGATIVE on v5e at
+# 64x512x512 (scripts/ablate_fft3_zpass.py, in-process A/B): full solve
+# 7.13 ms MXU vs 6.77 XLA — XLA's z-pass is already at matmul speed. Gate
+# kept at 0 (off); the ablation script flips it for reproduction.
+_DFT_MXU_MAX_N = 0
+
+
+def _fft_axis0_mxu(h: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """DFT along axis 0 as split re/im MXU matmuls (complex64 only)."""
+    Wr_, Wi_ = _dft_mats(h.shape[0], inverse)
+    Wr, Wi = jnp.asarray(Wr_), jnp.asarray(Wi_)
+    hr, hi = jnp.real(h), jnp.imag(h)
+
+    def mm(M, x):
+        return jnp.tensordot(M, x, axes=([1], [0]),
+                             precision=jax.lax.Precision.HIGHEST)
+
+    return jax.lax.complex(mm(Wr, hr) - mm(Wi, hi), mm(Wr, hi) + mm(Wi, hr))
+
+
+def _fft_axis0(h: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    if h.dtype == jnp.complex64 and h.shape[0] <= _DFT_MXU_MAX_N:
+        return _fft_axis0_mxu(h, inverse)
+    return jnp.fft.ifft(h, axis=0) if inverse else jnp.fft.fft(h, axis=0)
+
+
 def _rfft3_packed(x: jnp.ndarray) -> jnp.ndarray:
     """rfftn of a (NZ, NY, NX) real volume via packed-halves complex FFTs
     (even NZ and NX) — the 3-D generalization of _rfft2_packed, packing the
@@ -114,14 +154,14 @@ def _rfft3_packed(x: jnp.ndarray) -> jnp.ndarray:
     hr = jnp.concatenate([ur, vr], axis=0)
     hi = jnp.concatenate([ui, vi], axis=0)
     h = jnp.fft.fft(jax.lax.complex(hr, hi), axis=-2)
-    return jnp.fft.fft(h, axis=0)
+    return _fft_axis0(h, inverse=False)
 
 
 def _irfft3_packed(h: jnp.ndarray, s: Tuple[int, int, int]) -> jnp.ndarray:
     """Inverse of _rfft3_packed (jnp.fft.irfftn equivalent, even NZ/NX)."""
     NZ, NY, NX = s
     M, H = NZ // 2, NX // 2 + 1
-    h = jnp.fft.ifft(h, axis=0)
+    h = _fft_axis0(h, inverse=True)
     h = jnp.fft.ifft(h, axis=-2)
     hr, hi = jnp.real(h), jnp.imag(h)
     ur, ui, vr, vi = hr[:M], hi[:M], hr[M:], hi[M:]

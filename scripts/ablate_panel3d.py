@@ -1,18 +1,17 @@
 #!/usr/bin/env python
 """Internal ablation of the y-paneled 3-D kernel (kernel-only timings).
 
-Round-3 v2 of the panel kernel (exact panel collide + XLA edge fixups)
-removed the v1 halo strips/redundant collide but still ran ~3.5x off the
-bf16 DMA floor at 512^2 x 64. This script splits the remaining time by
-monkeypatching the kernel's physics hooks and re-tracing:
+Round-3 ablation ledger (512^2 x 64 bf16, DMA floor ~11.4 ms): v2 (exact
+panel collide + XLA edge fixups) measured baseline 19.3 / nofix 16.8 /
+skeleton 14.7 / noroll 14.7 — i.e. the XLA fixup pass cost 2.5 ms, the
+physics 2.1 ms, rolls were free. v3 (1-row in-kernel halo collide +
+where-selects) removes the fixup and the packed-export concat. Variants:
 
-  baseline   the real kernel (collide + rolls + z-pipeline + exports)
+  baseline   the real kernel (panel + halo collide, rolls, z-pipeline)
   skeleton   macros/equilibria/collide stubbed to pass-throughs: what the
              DMA + in-VMEM plane traffic (rolls, scratch shuffles,
-             assembly, edge export) costs by itself
+             assembly) costs by itself
   noroll     skeleton with the (y, x) value rolls also removed
-  nofix      baseline but without the XLA-side edge-fixup pass (bounds the
-             fixup's cost on the full-array path)
 
 All variants run kernel-only scan rollouts on loop-carried data, sync by
 scalar read, long/short-window difference, best of N — in ONE process
@@ -42,7 +41,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--best-of", type=int, default=3)
     ap.add_argument("--variants", type=str,
-                    default="baseline,skeleton,noroll,nofix")
+                    default="baseline,skeleton,noroll")
     args = ap.parse_args()
 
     import jax
@@ -71,8 +70,7 @@ def main():
     orig = dict(update_macro3=FP.update_macro3,
                 equilibrium_wpolys3=FP.equilibrium_wpolys3,
                 collide_species_dirs3=FP.collide_species_dirs3,
-                _roll2=FP._roll2,
-                _fix_panel_edges=FP._fix_panel_edges)
+                _roll2=FP._roll2)
 
     def macro_stub(fsl, gsl, Ex, Ey, Ez, **kw):
         return SimpleNamespace(rho_q=fsl[0][0],
@@ -91,8 +89,6 @@ def main():
             FP.collide_species_dirs3 = collide_stub
         if name == "noroll":
             FP._roll2 = lambda a, cy, cx: a
-        if name == "nofix":
-            FP._fix_panel_edges = lambda a, edges, row0, ty: a
 
     def timed(name):
         apply(name)

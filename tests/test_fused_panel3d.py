@@ -1,9 +1,9 @@
 """Y-paneled 3-D kernel vs the jnp step (interpret mode).
 
 The panel kernel covers cross-sections past the split pair's VMEM budget
-by colliding (ty, NX) y-panels exactly (panel-local y-wrap) and fixing
-the panel-boundary rows XLA-side from the kernel's exported edge rows.
-Same contracts as the single kernel: bitwise in f64; f bitwise + g within
+by colliding (ty, NX) y-panels plus a redundantly-collided 1-row halo
+slab per side, substituting the panel-boundary rows in-register. Same
+contracts as the single kernel: bitwise in f64; f bitwise + g within
 the approx-reciprocal tolerance in bf16 mode.
 """
 import dataclasses
