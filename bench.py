@@ -13,7 +13,8 @@ engine's BEST mode, bf16 storage by default) over that number. "extra"
 carries the f32-native headline grid, the BASELINE target grid (4096^2 by
 default, both storage modes, with its own vs_baseline_4096_bf16 ratio) and
 the 3-D fused kernel. Env knobs: BENCH_N, BENCH_STEPS, BENCH_BACKEND,
-BENCH_STORAGE (headline mode: bf16|native), BENCH_N_EXTRA, BENCH_N_3D.
+BENCH_STORAGE (headline mode: bf16|native), BENCH_N_EXTRA, BENCH_N_3D,
+BENCH_3D_WIDE (cross-section of the 64-deep wide-3-D extra; 0 disables).
 
 Timing notes: under the axon tunnel block_until_ready returns before the
 device work drains, so we synchronize by fetching a scalar from the final
@@ -84,16 +85,20 @@ def measure(n: int, steps: int, backend: str, storage: str = "native") -> float:
     return n * n * eff / dt / 1e6
 
 
-def measure3d(n: int, steps: int, storage: str = "native") -> float:
-    """3-D (D3Q19) fused-kernel step throughput at n^3, same timing design."""
+def measure3d(n: int, steps: int, storage: str = "native",
+              nz: int = 0) -> float:
+    """3-D (D3Q19) fused-kernel step throughput at n x n x (nz or n),
+    same timing design. Wide cross-sections route through the y-paneled
+    kernel (kernels/fused_panel3d.py) automatically."""
     import jax
     import jax.numpy as jnp
 
     from lbm_tpu.config import PlasmaConfig, PoissonSolver
     from lbm_tpu.models import plasma3d
 
+    nz = nz or n
     cfg = dataclasses.replace(
-        PlasmaConfig(), NX=n, NY=n, NZ=n, nsteps=steps, dtype=jnp.float32,
+        PlasmaConfig(), NX=n, NY=n, NZ=nz, nsteps=steps, dtype=jnp.float32,
         backend="fused", poisson=PoissonSolver.FFT, storage=storage,
         neutral_delta=(storage == "bf16"),
     )
@@ -125,7 +130,7 @@ def measure3d(n: int, steps: int, storage: str = "native") -> float:
     eff = steps - k_short
     if dt <= 0:
         dt, eff = t_long, steps
-    return n ** 3 * eff / dt / 1e6
+    return n * n * nz * eff / dt / 1e6
 
 
 def _supervised_main() -> int:
@@ -211,6 +216,12 @@ def main() -> None:
         # the 3-D D3Q19 fused kernel (bf16 storage: its fast mode)
         attempt(f"plasma3d_mlups_{n3d}^3_bf16",
                 lambda: measure3d(n3d, max(steps // 2, 10), "bf16"))
+    nw = int(os.environ.get("BENCH_3D_WIDE", "512"))
+    if nw:
+        # wide cross-section (y-paneled kernel); short window — the golden
+        # instability grows with the seeded-box size
+        attempt(f"plasma3d_mlups_{nw}x{nw}x64_bf16",
+                lambda: measure3d(nw, 8, "bf16", nz=64))
     if extra:
         out["extra"] = extra
     print(json.dumps(out))

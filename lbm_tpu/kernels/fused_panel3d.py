@@ -275,9 +275,20 @@ def collide_stream_panel3d(
     interpret: bool = False,
     neutral_ref: float = 0.0,
     panel: int = 0,
+    halo_rows=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(f_streamed, g_streamed, rho_q), same contract as collide_stream3d,
-    for cross-sections wider than the split pair's budget."""
+    for cross-sections wider than the split pair's budget.
+
+    halo_rows: None for a periodic (single-device) lattice. For a
+    y-SHARDED lattice (parallel/fused_sharded.make_fused_sharded_step3d_y)
+    pass the tuple (up_f, up_g, up_Ex, up_Ey, up_Ez, dn_f, dn_g, dn_Ex,
+    dn_Ey, dn_Ez) of PRE-collision neighbor-shard rows — up_* = the y-row
+    just above this shard (the previous device's last row; pops
+    (S, Q, NZ, NX), fields (NZ, NX)), dn_* = the row just below (next
+    device's first row). They replace the periodic wrap entries of the
+    outermost panels' halo slabs; everything else is shard-local.
+    """
     S, Q, NZ, NY, NX = f.shape
     ty = panel or pick_panel3d(NY, NX, f.dtype.itemsize)
     if ty < 8 or NY % ty:
@@ -290,6 +301,19 @@ def collide_stream_panel3d(
     hEx = _halo_slabs(Ex, ty)      # (P, NZ, 2, NX)
     hEy = _halo_slabs(Ey, ty)
     hEz = _halo_slabs(Ez, ty)
+    if halo_rows is not None:
+        (up_f, up_g, up_Ex, up_Ey, up_Ez,
+         dn_f, dn_g, dn_Ex, dn_Ey, dn_Ez) = halo_rows
+        hf = hf.at[0, :, :, :, 0, :].set(up_f.astype(hf.dtype))
+        hf = hf.at[P - 1, :, :, :, 1, :].set(dn_f.astype(hf.dtype))
+        hg = hg.at[0, :, :, :, 0, :].set(up_g.astype(hg.dtype))
+        hg = hg.at[P - 1, :, :, :, 1, :].set(dn_g.astype(hg.dtype))
+        hEx = hEx.at[0, :, 0, :].set(up_Ex)
+        hEx = hEx.at[P - 1, :, 1, :].set(dn_Ex)
+        hEy = hEy.at[0, :, 0, :].set(up_Ey)
+        hEy = hEy.at[P - 1, :, 1, :].set(dn_Ey)
+        hEz = hEz.at[0, :, 0, :].set(up_Ez)
+        hEz = hEz.at[P - 1, :, 1, :].set(dn_Ez)
 
     def in_band(k):
         k = jnp.asarray(k, jnp.int32)

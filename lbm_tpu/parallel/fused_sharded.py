@@ -288,3 +288,112 @@ def make_fused_sharded_step3d(
         step=NamedSharding(mesh, P()),
     )
     return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)
+
+
+def make_fused_sharded_step3d_y(
+    cfg: PlasmaConfig,
+    mesh: Mesh,
+    interpret: bool | None = None,
+):
+    """Multi-chip 3-D fused step for WIDE cross-sections: y-sharded
+    shard_map + ICI row halos + the y-paneled kernel.
+
+    z-sharding (make_fused_sharded_step3d) divides the pipeline axis, so
+    every shard still holds full (NY, NX) z-slices in VMEM — a 512^2+
+    cross-section VMEM-rejects the single halo kernel on every chip. Here
+    the lattice is sharded along y (axis "dy"): shards ARE panels, each
+    device ppermutes its single boundary PRE-collision row of
+    f/g/Ex/Ey/Ez to its y-neighbors (the panel kernel's 1-row halo slab
+    protocol, kernels/fused_panel3d.py), and the kernel collides the
+    received rows redundantly — bitwise-identical to the neighbor's own
+    result. The spectral solve is slab-decomposed with an explicit y<->z
+    reshard so every 1-D FFT runs on a local axis; the transforms run in
+    x, z, y order (y last, so only 2 reshards are needed — keeping the
+    single-device x, y, z order would take 4 because the sharded axis
+    sits in the middle), which commutes exactly but rounds differently
+    in the last bit, so full-step trajectories match the single-device
+    step to FFT-reordering roundoff rather than bitwise.
+    """
+    from ..kernels.fused_panel3d import collide_stream_panel3d, pick_panel3d
+    from ..models.plasma3d import (Plasma3DState, _poisson_and_pack,
+                                   efield_periodic3d, spectral_inv3d)
+
+    if AXIS_Y not in mesh.axis_names:
+        raise ValueError(f"mesh must have a '{AXIS_Y}' axis")
+    n_dev = mesh.shape[AXIS_Y]
+    extra = [a for a in mesh.axis_names if a != AXIS_Y and mesh.shape[a] != 1]
+    if extra:
+        raise ValueError(f"y-sharded 3-D fused step is 1-D ({AXIS_Y}) only; "
+                         f"got nontrivial axes {extra}")
+    if cfg.NY % n_dev:
+        raise ValueError(f"NY={cfg.NY} must be divisible by {n_dev}")
+    ny_local = cfg.NY // n_dev
+    itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
+    pick_panel3d(ny_local, cfg.NX, itemsize)   # raise early if infeasible
+    if cfg.poisson not in (PoissonSolver.FFT, PoissonSolver.NONE):
+        raise ValueError("sharded fused step supports FFT/NONE Poisson")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+
+    u = cfg.units()
+    phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb,
+                neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0)
+
+    pop_spec = P(None, None, None, AXIS_Y, None)
+    fld_spec = P(None, AXIS_Y, None)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pop_spec, pop_spec, fld_spec, fld_spec, fld_spec),
+             out_specs=(pop_spec, pop_spec, fld_spec),
+             check_vma=False)  # pallas_call outputs carry no vma metadata
+    def local_step(f, g, Ex, Ey, Ez):
+        fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]  # recv from d-1
+        bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]  # recv from d+1
+
+        def xchg(a, row, perm):
+            return jax.lax.ppermute(a[..., row, :], AXIS_Y, perm)
+
+        arrays = (f, g, Ex, Ey, Ez)
+        up = [xchg(a, -1, fwd) for a in arrays]   # prev device's last row
+        dn = [xchg(a, 0, bwd) for a in arrays]    # next device's first row
+        return collide_stream_panel3d(
+            f, g, Ex, Ey, Ez, interpret=interpret,
+            halo_rows=(*up, *dn), **phys)
+
+    def solve_fft_transposed(rho_q):
+        """Slab-decomposed spectral solve on the y-sharded lattice: x and
+        z transforms are local; the lattice is resharded y->z for the y
+        transform (cf. make_fused_sharded_step3d's z->y variant)."""
+        NZ, NY, NX = rho_q.shape
+        y_sh = NamedSharding(mesh, P(None, AXIS_Y, None))
+        z_sh = NamedSharding(mesh, P(AXIS_Y, None, None))
+        pin = jax.lax.with_sharding_constraint
+        h = pin(jnp.fft.rfft(rho_q, axis=-1), y_sh)   # x: local
+        h = pin(jnp.fft.fft(h, axis=-3), y_sh)        # z: local
+        h = pin(h, z_sh)                              # all-to-all y<->z
+        h = pin(jnp.fft.fft(h, axis=-2), z_sh)        # y: now local
+        h = h * jnp.asarray(spectral_inv3d(NZ, NY, NX), h.dtype)
+        h = pin(jnp.fft.ifft(h, axis=-2), z_sh)
+        h = pin(h, y_sh)                              # back to y-sharded
+        h = pin(jnp.fft.ifft(h, axis=-3), y_sh)
+        h = pin(jnp.fft.irfft(h, n=NX, axis=-1), y_sh)
+        return h.astype(rho_q.dtype)
+
+    def step(state):
+        f, g, rho_q = local_step(state.f, state.g, state.Ex, state.Ey,
+                                 state.Ez)
+        if cfg.poisson == PoissonSolver.FFT:
+            phi = solve_fft_transposed(rho_q)
+            Ex, Ey, Ez = efield_periodic3d(phi)
+            return Plasma3DState(f=f, g=g, Ex=Ex, Ey=Ey, Ez=Ez, phi=phi,
+                                 step=state.step + 1)
+        return _poisson_and_pack(cfg, state, f, g, rho_q)
+
+    shardings = Plasma3DState(
+        f=NamedSharding(mesh, pop_spec), g=NamedSharding(mesh, pop_spec),
+        Ex=NamedSharding(mesh, fld_spec), Ey=NamedSharding(mesh, fld_spec),
+        Ez=NamedSharding(mesh, fld_spec), phi=NamedSharding(mesh, fld_spec),
+        step=NamedSharding(mesh, P()),
+    )
+    return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)

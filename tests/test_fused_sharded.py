@@ -84,3 +84,43 @@ def test_sharded_fused_3d_matches_single():
     np.testing.assert_array_equal(np.asarray(s_sh.f), np.asarray(s_ref.f))
     np.testing.assert_array_equal(np.asarray(s_sh.g), np.asarray(s_ref.g))
     np.testing.assert_array_equal(np.asarray(s_sh.Ex), np.asarray(s_ref.Ex))
+
+
+def test_sharded_fused_3d_y_matches_single():
+    """y-sharded shard_map (shards = panels, 1-row ICI halo protocol) +
+    paneled 3-D fused kernel == single-device jnp step. Not bitwise: the
+    slab-decomposed solve transforms x, z, y (2 reshards) while the
+    single-device chain runs x, y, z — exact algebra, last-bit rounding."""
+    from lbm_tpu.models import plasma3d
+    from lbm_tpu.parallel.mesh import AXIS_Y as _AY
+
+    cfg = dataclasses.replace(PlasmaConfig(), NX=16, NY=64, NZ=8, nsteps=2,
+                              dtype=jnp.float64, poisson=PoissonSolver.FFT)
+    devs = np.asarray(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, (_AY,))
+    step_sh = fused_sharded.make_fused_sharded_step3d_y(cfg, mesh)
+    step_ref = jax.jit(plasma3d.make_step(
+        dataclasses.replace(cfg, backend="jnp")))
+    s_sh = plasma3d.init_state(cfg)
+    s_ref = plasma3d.init_state(cfg)
+    for _ in range(2):
+        s_sh = step_sh(s_sh)
+        s_ref = step_ref(s_ref)
+    assert len(s_sh.f.sharding.device_set) == 4
+    for name in ("f", "g", "Ex", "Ey", "Ez", "phi"):
+        a, b = np.asarray(getattr(s_sh, name)), np.asarray(getattr(s_ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-11 * max(scale, 1.0),
+                                   err_msg=name)
+
+
+def test_sharded_fused_3d_y_rejects_infeasible():
+    """A per-shard cross-section no panel height fits must raise at build
+    time, and a non-divisible NY must raise."""
+    from lbm_tpu.parallel.mesh import AXIS_Y as _AY
+
+    devs = np.asarray(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, (_AY,))
+    cfg = dataclasses.replace(PlasmaConfig(), NX=16, NY=60, NZ=8)
+    with pytest.raises(ValueError):
+        fused_sharded.make_fused_sharded_step3d_y(cfg, mesh)
