@@ -92,6 +92,45 @@ def test_sharded_2d_bf16_matches_single(solver):
     _check(s_sh, s_ref, "2d", tight_f=solver == PoissonSolver.NONE)
 
 
+@pytest.mark.parametrize("solver", [PoissonSolver.NONE, PoissonSolver.FFT])
+def test_sharded_3d_y_bf16_matches_single(solver):
+    """bf16 through the y-sharded 3-D path (shards = panels of the
+    paneled kernel, 1-row ICI halo protocol). Same tolerance class as
+    the 2-D halo paths; under FFT the slab-decomposed solve additionally
+    transforms x, z, y instead of x, y, z (last-bit reordering)."""
+    from lbm_tpu.models import plasma3d
+
+    cfg = dataclasses.replace(
+        PlasmaConfig(), NX=16, NY=64, NZ=8, dtype=jnp.float32,
+        poisson=solver, neutral_delta=True, storage="bf16")
+    devs = np.asarray(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, (AXIS_Y,))
+    step_sh = fused_sharded.make_fused_sharded_step3d_y(cfg, mesh)
+    step_ref = jax.jit(plasma3d.make_step(
+        dataclasses.replace(cfg, backend="jnp")))
+    s_sh = plasma3d.init_state(cfg)
+    s_ref = plasma3d.init_state(cfg)
+    for _ in range(3):
+        s_sh = step_sh(s_sh)
+        s_ref = step_ref(s_ref)
+    assert s_sh.f.dtype == jnp.bfloat16
+    f_tol = 1e-3 if solver == PoissonSolver.NONE else 1e-2
+    for name, tol in (("f", f_tol), ("g", 2e-2), ("Ex", f_tol),
+                      ("Ey", f_tol), ("Ez", f_tol)):
+        a = np.asarray(getattr(s_ref, name), dtype=np.float64)
+        b = np.asarray(getattr(s_sh, name), dtype=np.float64)
+        if name in ("f", "g"):
+            for s in range(3):
+                scale = max(np.abs(a[s]).max(), 1e-300)
+                assert np.abs(a[s] - b[s]).max() <= tol * scale, (
+                    f"3d-y {name}[{s}]: "
+                    f"{np.abs(a[s]-b[s]).max()/scale:.2e}")
+        else:
+            scale = max(np.abs(a).max(), 1e-300)
+            assert np.abs(a - b).max() <= tol * scale, (
+                f"3d-y {name}: {np.abs(a-b).max()/scale:.2e} of scale")
+
+
 def test_gspmd_bf16_matches_single():
     """The GSPMD path (plain jnp step jitted with lattice shardings) in
     bf16 mode, NONE solver: exact vs single-device (same HLO,
