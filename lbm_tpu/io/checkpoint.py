@@ -35,6 +35,11 @@ def _save(path: str, state, fields, *,
           neutral_delta: Optional[bool] = None,
           storage: Optional[str] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if len(tuple(state)) != len(fields):
+        # e.g. a Plasma3DState passed to the 2-D save: a silent zip would
+        # mislabel fields and drop the tail — corrupt only at resume time
+        raise ValueError(f"state has {len(tuple(state))} fields, "
+                         f"checkpoint schema expects {len(fields)}")
     arrays = {}
     for k, v in zip(fields, state):
         a = np.asarray(v)

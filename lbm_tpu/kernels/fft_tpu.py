@@ -73,8 +73,11 @@ def make_axis_plan(N: int) -> AxisPlan:
         swi.append(w.imag)
         l //= 2
         m *= 2
-    stage_wr = (np.stack(swr) if swr else np.zeros((0, 0)))
-    stage_wi = (np.stack(swi) if swi else np.zeros((0, 0)))
+    # A == 1 (axis length exactly 128) has no Stockham stages: keep a
+    # 1-element placeholder — _stages returns before reading it, and a
+    # zero-size table would make an illegal zero-size VMEM block spec
+    stage_wr = (np.stack(swr) if swr else np.zeros((1, 1)))
+    stage_wi = (np.stack(swi) if swi else np.zeros((1, 1)))
     s = np.arange(A)[:, None]
     c0 = np.arange(_LANES)[None, :]
     tw = np.exp(-2j * np.pi * (s * c0) / N)

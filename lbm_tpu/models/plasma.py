@@ -158,7 +158,8 @@ def _solve_poisson(
             return Ex, Ey, phi
         if _use_pallas_fft(cfg, rho_q.shape):
             from ..kernels import fft_tpu
-            Ex2, Ey2 = fft_tpu.solve_fft_efield_tpu(rho_q)
+            Ex2, Ey2 = fft_tpu.solve_fft_efield_tpu(
+                rho_q, interpret=cfg.kernel_interpret)
             # phi is not materialized on this path (no warm start needed);
             # reconstruct_phi() serves checkpoints/diagnostics lazily
             return Ex2, Ey2, phi

@@ -6,7 +6,14 @@ floor; ablated split tm ~0.38 ms, geqd ~0.10, f-side ~0.04. This script
 re-measures that split in the current session (chip bandwidth varies with
 pool contention — A/B in-process only) and times the round-3 candidates:
 
-  baseline     current collide_species_g_dirs_fast
+  baseline     the PRODUCTION path (collide_species_dirs_fused_fast:
+               one-loop charged pairs with shared products + skip_r0)
+  shim_base    the classic two-loop f+g pair path the patched variants
+               run through (fused_fast_shim with the UNPATCHED g math).
+               Variant deltas must be taken against THIS, not baseline —
+               the shim's structure differs from the production one-loop
+               path, so baseline-relative deltas would mix in the shim
+               overhead itself
   no_tm        energy-loss term deleted (NOT physics — floor probe)
   no_geqd      thermal equilibria deleted (floor probe)
   skip_r0      exact: drop pair terms whose C_p is identically 0 because
@@ -103,7 +110,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--best-of", type=int, default=3)
     ap.add_argument("--variants", type=str,
-                    default="baseline,no_tm,no_geqd,skip_r0,tm_bf16,g_bf16")
+                    default="baseline,shim_base,no_tm,no_geqd,skip_r0,"
+                            "tm_bf16,g_bf16")
     args = ap.parse_args()
 
     import jax
@@ -162,6 +170,10 @@ def main():
             fused_step._g_recip_for = lambda dt: (
                 lambda x: fused_step.pl.reciprocal(
                     x.astype(jnp.float32), approx=True).astype(x.dtype))
+        elif name == "shim_base":
+            # unpatched g math through the same shim the variants use —
+            # the correct reference point for variant deltas
+            C.collide_species_dirs_fused_fast = fused_fast_shim
         elif name != "baseline":
             C.collide_species_g_dirs_fast = make_variant(name)
             C.collide_species_dirs_fused_fast = fused_fast_shim

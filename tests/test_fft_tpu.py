@@ -57,8 +57,13 @@ def test_xla_oracle_matches_packed_solve(shape):
     assert float(jnp.abs(Ey - Ey2).max()) / sc < 2e-5
 
 
-def test_pallas_kernels_match_oracle_interpret():
-    NY = NX = 256
+@pytest.mark.parametrize("shape", [(256, 256), (128, 256), (256, 128)])
+def test_pallas_kernels_match_oracle_interpret(shape):
+    """Includes the A == 1 axes (length exactly 128): no Stockham stages,
+    pure matmul DFT — the stage-table placeholder must not make a
+    zero-size VMEM block (regression: ZeroDivisionError in block
+    padding)."""
+    NY, NX = shape
     rng = np.random.default_rng(3)
     rho = jnp.asarray(rng.standard_normal((NY, NX)).astype(np.float32) * 1e-8)
     Ex, Ey = F.solve_fft_efield_xla(rho)
