@@ -210,7 +210,7 @@ def main() -> None:
                                                       backend, st))
         v = extra.get(f"plasma_mlups_{n_extra}x{n_extra}_bf16")
         if isinstance(v, float):
-            extra["vs_baseline_4096_bf16"] = round(v / BASELINE_MLUPS, 1)
+            extra[f"vs_baseline_{n_extra}_bf16"] = round(v / BASELINE_MLUPS, 1)
     n3d = int(os.environ.get("BENCH_N_3D", "128"))
     if n3d:
         # the 3-D D3Q19 fused kernel (bf16 storage: its fast mode)

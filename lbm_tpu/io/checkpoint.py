@@ -163,11 +163,12 @@ def reconcile_resumed_state(state, path: str, cfg, *,
     if ckpt_delta is None and assume_layout:
         ckpt_delta = assume_layout == "delta"
     if ckpt_delta is None:
-        raise SystemExit(
-            f"--resume: {path} predates layout metadata; declare its "
-            f"neutral layout with --assume-ckpt-layout classic|delta "
-            f"(classic = full neutral populations, the pre-metadata "
-            f"default; delta = deviations from the uniform background)")
+        raise ValueError(
+            f"{path} predates layout metadata; declare its neutral layout "
+            f"via assume_layout='classic'|'delta' (CLI: "
+            f"--assume-ckpt-layout). classic = full neutral populations, "
+            f"the pre-metadata default; delta = deviations from the "
+            f"uniform background")
     if ckpt_delta != cfg.neutral_delta:
         log(f"resume: converting neutral layout "
             f"{'delta' if ckpt_delta else 'classic'} -> "

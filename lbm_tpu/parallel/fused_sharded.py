@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import PlasmaConfig, PoissonSolver
+from ..config import BC, PlasmaConfig, PoissonSolver
 from ..kernels.fused_step import collide_stream_halo, collide_stream_halo2d
 from ..models.plasma import PlasmaState, _solve_poisson
 from .mesh import AXIS_X, AXIS_Y
@@ -54,6 +54,13 @@ def make_fused_sharded_step(
         raise ValueError(f"NY={cfg.NY} must be divisible by 8*{n_dev}")
     if cfg.poisson not in (PoissonSolver.FFT, PoissonSolver.NONE):
         raise ValueError("sharded fused step supports FFT/NONE Poisson")
+    if cfg.bc != BC.PERIODIC:
+        # the halo protocol is periodic-only; bounce-back multi-chip runs
+        # use the GSPMD path (parallel/sharding.py), which shards the
+        # jnp step's edge fixups correctly
+        raise ValueError("fused sharded step is periodic-BC only; use "
+                         "parallel.sharding.make_sharded_step for "
+                         "bounce-back")
     if interpret is None:
         interpret = mesh.devices.flat[0].platform == "cpu"
 
@@ -122,6 +129,10 @@ def make_fused_sharded_step_2d(
         raise ValueError("NY/NX must be divisible by 8*mesh dims")
     if cfg.poisson not in (PoissonSolver.FFT, PoissonSolver.NONE):
         raise ValueError("sharded fused step supports FFT/NONE Poisson")
+    if cfg.bc != BC.PERIODIC:
+        raise ValueError("fused sharded step is periodic-BC only; use "
+                         "parallel.sharding.make_sharded_step for "
+                         "bounce-back")
     if interpret is None:
         interpret = mesh.devices.flat[0].platform == "cpu"
 
@@ -385,6 +396,153 @@ def make_fused_sharded_step3d_y(
                                  state.Ez)
         if cfg.poisson == PoissonSolver.FFT:
             phi = solve_fft_transposed(rho_q)
+            Ex, Ey, Ez = efield_periodic3d(phi)
+            return Plasma3DState(f=f, g=g, Ex=Ex, Ey=Ey, Ez=Ez, phi=phi,
+                                 step=state.step + 1)
+        return _poisson_and_pack(cfg, state, f, g, rho_q)
+
+    shardings = Plasma3DState(
+        f=NamedSharding(mesh, pop_spec), g=NamedSharding(mesh, pop_spec),
+        Ex=NamedSharding(mesh, fld_spec), Ey=NamedSharding(mesh, fld_spec),
+        Ez=NamedSharding(mesh, fld_spec), phi=NamedSharding(mesh, fld_spec),
+        step=NamedSharding(mesh, P()),
+    )
+    return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)
+
+
+def make_fused_sharded_step3d_yz(
+    cfg: PlasmaConfig,
+    mesh: Mesh,
+    interpret: bool | None = None,
+):
+    """Multi-chip 3-D fused step over a 2-D ("dz", "dy") device mesh —
+    wide AND deep columns at once (e.g. 1024^2 x 1024 over 4x4 chips).
+
+    Composition of the two 1-D protocols: along dz every device
+    ppermutes its boundary PRE-collision z-SLICES (the z-sharded path's
+    slice-halo protocol, make_fused_sharded_step3d); along dy its
+    boundary PRE-collision y-ROWS (the y-sharded path's 1-row slab
+    protocol, make_fused_sharded_step3d_y); and the received z-halo
+    slices' own edge rows take one MORE dy-hop to supply the
+    (y, z)-diagonal corner rows (the classic two-hop corner exchange,
+    cf. make_fused_sharded_step_2d's corner-extended strips). Each shard
+    then runs the z-halo panel kernel
+    (kernels/fused_panel3d.collide_stream_panel3d_zhalo), which collides
+    every received row/slice redundantly — elementwise, so bitwise equal
+    to the neighbor's own result.
+
+    The spectral solve is the 2-D-sharded per-axis decomposition: x is
+    local from the start; the lattice is resharded y<->x (dy axis) for
+    the y transform and z<->y (dz axis) for the z transform — four
+    all-to-alls per solve (two out, two back), each along a single mesh
+    axis. Every 1-D FFT runs on a LOCAL axis (XLA's sharded-axis FFT
+    handler is avoided entirely, same reason as the 1-D paths).
+
+    Degenerate mesh extents compose exactly: dz=1 (or dy=1) makes the
+    corresponding ppermute a self-loop, i.e. the shard's own periodic
+    wrap.
+    """
+    from ..kernels.fused_panel3d import (collide_stream_panel3d_zhalo,
+                                         pick_panel3d)
+    from ..models.plasma3d import (Plasma3DState, _poisson_and_pack,
+                                   efield_periodic3d, spectral_inv3d)
+
+    for ax in (AXIS_Z, AXIS_Y):
+        if ax not in mesh.axis_names:
+            raise ValueError(f"mesh must have a '{ax}' axis")
+    dz = mesh.shape[AXIS_Z]
+    dy = mesh.shape[AXIS_Y]
+    extra = [a for a in mesh.axis_names
+             if a not in (AXIS_Z, AXIS_Y) and mesh.shape[a] != 1]
+    if extra:
+        raise ValueError(f"(dz, dy) 3-D fused step: unexpected nontrivial "
+                         f"mesh axes {extra}")
+    if cfg.NZ % dz:
+        raise ValueError(f"NZ={cfg.NZ} must be divisible by dz={dz}")
+    if cfg.NY % dy:
+        raise ValueError(f"NY={cfg.NY} must be divisible by dy={dy}")
+    ny_local = cfg.NY // dy
+    itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
+    pick_panel3d(ny_local, cfg.NX, itemsize, zhalo=True)  # raise early
+    if cfg.poisson not in (PoissonSolver.FFT, PoissonSolver.NONE):
+        raise ValueError("sharded fused step supports FFT/NONE Poisson")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+
+    u = cfg.units()
+    phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb,
+                neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0)
+
+    pop_spec = P(None, None, AXIS_Z, AXIS_Y, None)
+    fld_spec = P(AXIS_Z, AXIS_Y, None)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pop_spec, pop_spec, fld_spec, fld_spec, fld_spec),
+             out_specs=(pop_spec, pop_spec, fld_spec),
+             check_vma=False)  # pallas_call outputs carry no vma metadata
+    def local_step(f, g, Ex, Ey, Ez):
+        fwd_z = [(d, (d + 1) % dz) for d in range(dz)]  # recv from z-1
+        bwd_z = [(d, (d - 1) % dz) for d in range(dz)]  # recv from z+1
+        fwd_y = [(d, (d + 1) % dy) for d in range(dy)]
+        bwd_y = [(d, (d - 1) % dy) for d in range(dy)]
+
+        arrays = (f, g, Ex, Ey, Ez)
+        # z-halo slices: the slice just above (previous z-shard's last) /
+        # below this shard; a[..., -1, :, :] indexes the z axis
+        up_sl = [jax.lax.ppermute(a[..., -1, :, :], AXIS_Z, fwd_z)
+                 for a in arrays]
+        dn_sl = [jax.lax.ppermute(a[..., 0, :, :], AXIS_Z, bwd_z)
+                 for a in arrays]
+        # y-halo rows (full local z depth)
+        up_row = [jax.lax.ppermute(a[..., -1, :], AXIS_Y, fwd_y)
+                  for a in arrays]
+        dn_row = [jax.lax.ppermute(a[..., 0, :], AXIS_Y, bwd_y)
+                  for a in arrays]
+        # corners: the y-neighbor rows WITHIN the z-halo slices (every
+        # shard already holds its z-halos, so one dy-hop of their edge
+        # rows is exactly the diagonal neighbor's corner row)
+        up_above = [jax.lax.ppermute(s[..., -1, :], AXIS_Y, fwd_y)
+                    for s in up_sl]
+        up_below = [jax.lax.ppermute(s[..., 0, :], AXIS_Y, bwd_y)
+                    for s in up_sl]
+        dn_above = [jax.lax.ppermute(s[..., -1, :], AXIS_Y, fwd_y)
+                    for s in dn_sl]
+        dn_below = [jax.lax.ppermute(s[..., 0, :], AXIS_Y, bwd_y)
+                    for s in dn_sl]
+        return collide_stream_panel3d_zhalo(
+            f, g, Ex, Ey, Ez,
+            (*up_sl, *dn_sl), (*up_row, *dn_row),
+            (*up_above, *up_below), (*dn_above, *dn_below),
+            interpret=interpret, **phys)
+
+    def solve_fft_2dsharded(rho_q):
+        """2-D-sharded per-axis spectral solve: x local, then reshard
+        y<->x (dy) for the y transform and z<->y (dz) for the z
+        transform; inverse retraces the reshards."""
+        NZ, NY, NX = rho_q.shape
+        zy = NamedSharding(mesh, P(AXIS_Z, AXIS_Y, None))
+        zx = NamedSharding(mesh, P(AXIS_Z, None, AXIS_Y))   # x over dy
+        yx = NamedSharding(mesh, P(None, AXIS_Z, AXIS_Y))   # y over dz
+        pin = jax.lax.with_sharding_constraint
+        h = pin(jnp.fft.rfft(rho_q, axis=-1), zy)   # x: local
+        h = pin(h, zx)                              # all-to-all y<->x (dy)
+        h = pin(jnp.fft.fft(h, axis=-2), zx)        # y: now local
+        h = pin(h, yx)                              # all-to-all z<->y (dz)
+        h = pin(jnp.fft.fft(h, axis=-3), yx)        # z: now local
+        h = h * jnp.asarray(spectral_inv3d(NZ, NY, NX), h.dtype)
+        h = pin(jnp.fft.ifft(h, axis=-3), yx)
+        h = pin(h, zx)
+        h = pin(jnp.fft.ifft(h, axis=-2), zx)
+        h = pin(h, zy)
+        h = pin(jnp.fft.irfft(h, n=NX, axis=-1), zy)
+        return h.astype(rho_q.dtype)
+
+    def step(state):
+        f, g, rho_q = local_step(state.f, state.g, state.Ex, state.Ey,
+                                 state.Ez)
+        if cfg.poisson == PoissonSolver.FFT:
+            phi = solve_fft_2dsharded(rho_q)
             Ex, Ey, Ez = efield_periodic3d(phi)
             return Plasma3DState(f=f, g=g, Ex=Ex, Ey=Ey, Ez=Ez, phi=phi,
                                  step=state.step + 1)

@@ -138,8 +138,12 @@ def main():
     if args.resume:
         # layout + dtype reconciliation (refuses pre-metadata checkpoints
         # without --assume-ckpt-layout; see io/checkpoint.py)
-        state = ckpt.reconcile_resumed_state(
-            state, args.resume, cfg, assume_layout=args.assume_ckpt_layout)
+        try:
+            state = ckpt.reconcile_resumed_state(
+                state, args.resume, cfg,
+                assume_layout=args.assume_ckpt_layout)
+        except ValueError as e:
+            raise SystemExit(f"--resume: {e}")
     rec = probes.ProbeRecorder(cfg.NX, cfg.NY)
     vid = None
     if not args.no_video:
@@ -180,6 +184,11 @@ def main():
     timer = timing.StepTimer(cfg.NX, cfg.NY)
     timer.start()
     start_step = int(state.step)
+    if start_step >= cfg.nsteps:
+        # --steps is an ABSOLUTE target (resume continues toward it)
+        print(f"resume: checkpoint already at step {start_step} >= "
+              f"--steps {cfg.nsteps}; nothing to run (raise --steps to "
+              f"continue further)")
     for t in range(start_step, cfg.nsteps):
         # Reference alignment: the reference samples the macros computed at
         # the TOP of iteration t (pre-collide, src/main_plasma.cpp loop), so
@@ -222,7 +231,7 @@ def main():
 
     timing.append_timing_csv(
         os.path.join(args.out, "simulation_time_plasma_details.csv"),
-        NX=cfg.NX, NY=cfg.NY, nsteps=cfg.nsteps,
+        NX=cfg.NX, NY=cfg.NY, nsteps=cfg.nsteps - start_step,
         n_devices=len(jax.devices()),
         poisson=cfg.poisson.value, bc=cfg.bc.value, wall_ms=wall_ms)
 

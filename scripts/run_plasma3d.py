@@ -80,9 +80,12 @@ def main():
     from lbm_tpu.io import checkpoint as ckpt
 
     if args.resume:
-        state = ckpt.reconcile_resumed_state(
-            ckpt.load3d(args.resume, dtype=cfg.dtype), args.resume, cfg,
-            assume_layout=args.assume_ckpt_layout)
+        try:
+            state = ckpt.reconcile_resumed_state(
+                ckpt.load3d(args.resume, dtype=cfg.dtype), args.resume, cfg,
+                assume_layout=args.assume_ckpt_layout)
+        except ValueError as e:
+            raise SystemExit(f"--resume: {e}")
     else:
         state = plasma3d.init_state(cfg)
     step = jax.jit(plasma3d.make_step(cfg), donate_argnums=(0,))
@@ -95,6 +98,11 @@ def main():
     timer = timing.StepTimer(cfg.NX, cfg.NY * cfg.NZ)
     timer.start()
     start_step = int(state.step)
+    if start_step >= cfg.nsteps:
+        # --steps is an ABSOLUTE target (resume continues toward it)
+        print(f"resume: checkpoint already at step {start_step} >= "
+              f"--steps {cfg.nsteps}; nothing to run (raise --steps to "
+              f"continue further)")
     for t in range(start_step, cfg.nsteps):
         state = step(state)
         timer.tick()
@@ -129,10 +137,11 @@ def main():
 
     timing.append_timing_csv(
         os.path.join(args.out, "simulation_time_3d.csv"),
-        NX=cfg.NX, NY=cfg.NY * cfg.NZ, nsteps=cfg.nsteps,
+        NX=cfg.NX, NY=cfg.NY * cfg.NZ, nsteps=cfg.nsteps - start_step,
         n_devices=len(jax.devices()), poisson=cfg.poisson.value, bc=0,
         wall_ms=wall_ms)
-    print(f"3D column done: {cfg.NX}^2x{cfg.NZ}, {cfg.nsteps} steps, "
+    print(f"3D column done: {cfg.NX}^2x{cfg.NZ}, "
+          f"{cfg.nsteps - start_step} steps, "
           f"{wall_ms:.0f} ms ({timer.mlups:.1f} MLUPS)")
 
 

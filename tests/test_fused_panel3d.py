@@ -49,6 +49,16 @@ def test_panel3d_matches_jnp_f64(delta):
                                    rtol=1e-12, atol=0, err_msg=f"g step {t}")
 
 
+def test_panel3d_rejects_unaligned_panel():
+    """An explicit panel= override must be sublane-aligned (multiple of
+    8) — Mosaic would otherwise reject the block layout with an opaque
+    lowering error."""
+    cfg = _cfg(NY=24)
+    s = plasma3d.init_state(cfg)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        _panel_step(cfg, s, ty=12)
+
+
 def test_panel3d_single_panel_degenerates_to_whole_slice():
     """P = 1: the strips wrap onto the panel itself (periodic NY); the
     result must still match the jnp step exactly."""

@@ -63,6 +63,16 @@ def test_sharded_fused_validates_divisibility():
         fused_sharded.make_fused_sharded_step(cfg, _mesh_1d(4))
 
 
+def test_sharded_fused_rejects_bounceback():
+    """The shard_map halo protocol is periodic-only; bounce-back must be
+    refused (GSPMD handles it), not silently run as periodic."""
+    from lbm_tpu.config import BC
+    cfg = dataclasses.replace(PlasmaConfig(), NX=32, NY=64,
+                              bc=BC.BOUNCE_BACK)
+    with pytest.raises(ValueError, match="periodic"):
+        fused_sharded.make_fused_sharded_step(cfg, _mesh_1d(4))
+
+
 def test_sharded_fused_3d_matches_single():
     """z-sharded shard_map + halo-slice 3-D fused kernel + transpose-
     scheduled distributed FFT == single-device jnp step, bitwise."""
@@ -124,3 +134,73 @@ def test_sharded_fused_3d_y_rejects_infeasible():
     cfg = dataclasses.replace(PlasmaConfig(), NX=16, NY=60, NZ=8)
     with pytest.raises(ValueError):
         fused_sharded.make_fused_sharded_step3d_y(cfg, mesh)
+
+
+def test_sharded_fused_3d_yz_matches_single():
+    """(dz, dy) 2-D mesh: z-slice halos + y-row halos + two-hop corner
+    rows + the z-halo panel kernel == single-device jnp step. Same
+    last-bit FFT-reordering tolerance as the 1-D paths (the 2-D-sharded
+    solve transforms x, y, z with different reshard points)."""
+    from lbm_tpu.models import plasma3d
+    from lbm_tpu.parallel.fused_sharded import AXIS_Z as _AZ
+    from lbm_tpu.parallel.mesh import AXIS_Y as _AY
+
+    cfg = dataclasses.replace(PlasmaConfig(), NX=16, NY=32, NZ=6, nsteps=2,
+                              dtype=jnp.float64, poisson=PoissonSolver.FFT)
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, (_AZ, _AY))
+    step_sh = fused_sharded.make_fused_sharded_step3d_yz(cfg, mesh)
+    step_ref = jax.jit(plasma3d.make_step(
+        dataclasses.replace(cfg, backend="jnp")))
+    s_sh = plasma3d.init_state(cfg)
+    s_ref = plasma3d.init_state(cfg)
+    for _ in range(2):
+        s_sh = step_sh(s_sh)
+        s_ref = step_ref(s_ref)
+    assert len(s_sh.f.sharding.device_set) == 4
+    for name in ("f", "g", "Ex", "Ey", "Ez", "phi"):
+        a, b = np.asarray(getattr(s_sh, name)), np.asarray(getattr(s_ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-11 * max(scale, 1.0),
+                                   err_msg=name)
+
+
+def test_sharded_fused_3d_yz_degenerate_axes():
+    """dz=1 (and dy=1) mesh extents reduce to the shard's own periodic
+    wrap — the composed path must still match the jnp step."""
+    from lbm_tpu.models import plasma3d
+    from lbm_tpu.parallel.fused_sharded import AXIS_Z as _AZ
+    from lbm_tpu.parallel.mesh import AXIS_Y as _AY
+
+    cfg = dataclasses.replace(PlasmaConfig(), NX=16, NY=32, NZ=4, nsteps=1,
+                              dtype=jnp.float64, poisson=PoissonSolver.NONE)
+    devs = np.asarray(jax.devices()[:2]).reshape(1, 2)
+    mesh = Mesh(devs, (_AZ, _AY))
+    step_sh = fused_sharded.make_fused_sharded_step3d_yz(cfg, mesh)
+    step_ref = jax.jit(plasma3d.make_step(
+        dataclasses.replace(cfg, backend="jnp")))
+    s_sh = step_sh(plasma3d.init_state(cfg))
+    s_ref = step_ref(plasma3d.init_state(cfg))
+    for name in ("f", "g"):
+        a, b = np.asarray(getattr(s_sh, name)), np.asarray(getattr(s_ref, name))
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12 * max(scale, 1.0),
+                                   err_msg=name)
+
+
+def test_sharded_fused_3d_yz_validates():
+    from lbm_tpu.parallel.fused_sharded import AXIS_Z as _AZ
+    from lbm_tpu.parallel.mesh import AXIS_Y as _AY
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, (_AZ, _AY))
+    with pytest.raises(ValueError, match="divisible"):
+        fused_sharded.make_fused_sharded_step3d_yz(
+            dataclasses.replace(PlasmaConfig(), NX=16, NY=32, NZ=5), mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        fused_sharded.make_fused_sharded_step3d_yz(
+            dataclasses.replace(PlasmaConfig(), NX=16, NY=33, NZ=4), mesh)
+    with pytest.raises(ValueError, match="feasible"):
+        # divisible, but the per-shard cross-section fits no panel height
+        fused_sharded.make_fused_sharded_step3d_yz(
+            dataclasses.replace(PlasmaConfig(), NX=16, NY=30, NZ=4), mesh)

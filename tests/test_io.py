@@ -128,6 +128,24 @@ def test_checkpoint_layout_metadata(tmp_path):
     assert ckpt.load_meta(legacy) == {}
 
 
+def test_reconcile_pre_metadata_raises_catchable(tmp_path):
+    """A pre-metadata checkpoint must raise a catchable ValueError (not
+    SystemExit — library callers can't handle that), and assume_layout
+    must unblock it."""
+    import pytest
+
+    cfg = dataclasses.replace(PlasmaConfig(), NX=8, NY=8,
+                              dtype=jnp.float64, neutral_delta=False)
+    state = plasma.init_state(cfg)
+    legacy = str(tmp_path / "legacy.npz")
+    ckpt.save(legacy, state)  # no metadata
+    with pytest.raises(ValueError, match="assume_layout"):
+        ckpt.reconcile_resumed_state(ckpt.load(legacy), legacy, cfg)
+    back = ckpt.reconcile_resumed_state(ckpt.load(legacy), legacy, cfg,
+                                        assume_layout="classic")
+    np.testing.assert_array_equal(np.asarray(back.f), np.asarray(state.f))
+
+
 def test_checkpoint_neutral_layout_conversion(tmp_path):
     """classic <-> delta conversion is exact at storage precision and
     inverts itself (the advisor's resume-corruption scenario)."""
