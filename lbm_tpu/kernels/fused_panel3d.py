@@ -66,7 +66,11 @@ _DIRS_YPOS = [i for i in range(_Q) if _CY[i] == 1]   # need neighbor's LAST row
 _DIRS_YNEG = [i for i in range(_Q) if _CY[i] == -1]  # need neighbor's FIRST row
 
 
-def _make_panel_kernel(params, ty, nk):
+def _panel_helpers(params, ty):
+    """Shared collide/assemble machinery for the periodic and z-halo
+    panel kernels. All functions operate on VALUES already read from the
+    refs (both kernels read blocks of identical shapes, so the physics
+    and the y-halo substitution are written once)."""
     def collide_slab(fsl, gsl, Ex, Ey, Ez, dt_store, rq_ref=None):
         """Shared collide pipeline on per-direction plane lists; returns
         store-dtype post-collision plane lists. Elementwise per cell, so
@@ -99,23 +103,23 @@ def _make_panel_kernel(params, ty, nk):
             gpost.append(g_dirs)
         return fpost, gpost
 
-    def collide_panel(f_ref, g_ref, hf_ref, hg_ref,
-                      ex_ref, ey_ref, ez_ref, hex_ref, hey_ref, hez_ref,
-                      rq_ref):
-        """Collide the (ty, NX) panel slice + its (2, NX) halo slab;
-        return (y, x)-rolled plane lists with halo-corrected boundary
-        rows (slab row 0 = y-row p*ty - 1, slab row 1 = (p+1)*ty)."""
-        Ex, Ey, Ez = ex_ref[0], ey_ref[0], ez_ref[0]
-        f, g, dt_store = _cast_io(f_ref[:], g_ref[:])
+    def collide_panel(fb, gb, hfb, hgb, Ex, Ey, Ez, hEx, hEy, hEz,
+                      rq_ref=None):
+        """Collide a (ty, NX) panel block + its (2, NX) halo slab; every
+        input is a VALUE already read from its ref (fb/gb: (S, Q, 1, ty,
+        NX) storage dtype; hfb/hgb: (S, Q, 1, 2, NX); fields (ty, NX) /
+        (2, NX)). Returns (y, x)-rolled plane lists with halo-corrected
+        boundary rows (slab row 0 = y-row p*ty - 1, slab row 1 =
+        (p+1)*ty)."""
+        f, g, dt_store = _cast_io(fb, gb)
         fsl = [[f[s, i, 0] for i in range(_Q)] for s in range(_S)]
         gsl = [[g[s, i, 0] for i in range(_Q)] for s in range(_S)]
         fpost, gpost = collide_slab(fsl, gsl, Ex, Ey, Ez, dt_store, rq_ref)
 
-        hf, hg, _ = _cast_io(hf_ref[0], hg_ref[0])
+        hf, hg, _ = _cast_io(hfb, hgb)
         hfsl = [[hf[s, i, 0] for i in range(_Q)] for s in range(_S)]
         hgsl = [[hg[s, i, 0] for i in range(_Q)] for s in range(_S)]
-        hfpost, hgpost = collide_slab(hfsl, hgsl, hex_ref[0, 0],
-                                      hey_ref[0, 0], hez_ref[0, 0], dt_store)
+        hfpost, hgpost = collide_slab(hfsl, hgsl, hEx, hEy, hEz, dt_store)
 
         def rolled(post, hpost, s, i):
             plane = _roll2(post[s][i], _CY[i], _CX[i])
@@ -146,6 +150,12 @@ def _make_panel_kernel(params, ty, nk):
             else:
                 out_ref[s, i, 0] = below[_DIRS_ZNEG.index(i)]
 
+    return collide_panel, assemble
+
+
+def _make_panel_kernel(params, ty, nk):
+    collide_panel, assemble = _panel_helpers(params, ty)
+
     def kernel(f_ref, g_ref, hf_ref, hg_ref,
                ex_ref, ey_ref, ez_ref, hex_ref, hey_ref, hez_ref,
                fo_ref, go_ref, rq_ref,
@@ -154,9 +164,10 @@ def _make_panel_kernel(params, ty, nk):
 
         @pl.when(k < nk)
         def _():
-            fv, gv = collide_panel(f_ref, g_ref, hf_ref, hg_ref,
-                                   ex_ref, ey_ref, ez_ref,
-                                   hex_ref, hey_ref, hez_ref, rq_ref)
+            fv, gv = collide_panel(f_ref[:], g_ref[:], hf_ref[0], hg_ref[0],
+                                   ex_ref[0], ey_ref[0], ez_ref[0],
+                                   hex_ref[0, 0], hey_ref[0, 0],
+                                   hez_ref[0, 0], rq_ref)
             for s in range(_S):
                 @pl.when(k >= 1)
                 def _(s=s):
@@ -216,6 +227,86 @@ def _make_panel_kernel(params, ty, nk):
     return kernel
 
 
+def _make_panel_zhalo_kernel(params, ty, nk):
+    """Panel kernel variant for z-SHARDED (non-wrapping) domains.
+
+    The z-neighbors' boundary slices arrive as explicit halo inputs
+    (pre-collision, exchanged over ICI by the shard_map wrapper, packed
+    up/dn along a leading axis selected by a k-dependent index map) and
+    are collided redundantly in-kernel — same 1-row y-halo-slab protocol
+    as the periodic kernel, with the slabs' outer rows carrying the
+    (y, z)-diagonal corner rows. No periodic-wrap epilogues, so the b0/b1
+    scratch pair disappears (cf. fused_step3d._make_halo_kernel3d):
+
+      k == 0:           collide the UPPER halo slice panel -> zlast.
+      k in [1, nk]:     collide real slice k-1; k >= 2 assembles
+                        output slice k-2.
+      k == nk + 1:      collide the LOWER halo slice panel; its planes
+                        are the "below" input assembling slice nk-1.
+    """
+    collide_panel, assemble = _panel_helpers(params, ty)
+
+    def collide_ud(fud_ref, gud_ref, hfud_ref, hgud_ref, eud_ref, heud_ref):
+        return collide_panel(
+            fud_ref[0], gud_ref[0], hfud_ref[0, 0], hgud_ref[0, 0],
+            eud_ref[0, 0, 0], eud_ref[0, 1, 0], eud_ref[0, 2, 0],
+            heud_ref[0, 0, 0, 0], heud_ref[0, 1, 0, 0],
+            heud_ref[0, 2, 0, 0])
+
+    def kernel(f_ref, g_ref, hf_ref, hg_ref,
+               ex_ref, ey_ref, ez_ref, hex_ref, hey_ref, hez_ref,
+               fud_ref, gud_ref, hfud_ref, hgud_ref, eud_ref, heud_ref,
+               fo_ref, go_ref, rq_ref,
+               fprev, gprev, fzlast, gzlast):
+        k = pl.program_id(1)   # pipeline index; panel p = program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            # the ud refs hold the UP slice here (index map: 0 iff k==0)
+            fvu, gvu = collide_ud(fud_ref, gud_ref, hfud_ref, hgud_ref,
+                                  eud_ref, heud_ref)
+            for s in range(_S):
+                for gi, i in enumerate(_DIRS_ZPOS):
+                    fzlast[gi, s] = fvu[s][i]
+                    gzlast[gi, s] = gvu[s][i]
+
+        @pl.when((k >= 1) & (k <= nk))
+        def _():
+            fv, gv = collide_panel(f_ref[:], g_ref[:], hf_ref[0], hg_ref[0],
+                                   ex_ref[0], ey_ref[0], ez_ref[0],
+                                   hex_ref[0, 0], hey_ref[0, 0],
+                                   hez_ref[0, 0], rq_ref)
+            for s in range(_S):
+                @pl.when(k >= 2)
+                def _(s=s):
+                    below_f = [fv[s][i] for i in _DIRS_ZNEG]
+                    below_g = [gv[s][i] for i in _DIRS_ZNEG]
+                    assemble(fo_ref, s, fprev, fzlast, below_f)
+                    assemble(go_ref, s, gprev, gzlast, below_g)
+                    # AFTER assembling: rotate the old prev's z+ planes
+                    # into zlast (at k == 1 zlast must keep the up-halo
+                    # and prev holds garbage)
+                    for gi, i in enumerate(_DIRS_ZPOS):
+                        fzlast[gi, s] = fprev[i, s]
+                        gzlast[gi, s] = gprev[i, s]
+                for i in range(_Q):
+                    fprev[i, s] = fv[s][i]
+                    gprev[i, s] = gv[s][i]
+
+        @pl.when(k == nk + 1)
+        def _():
+            # ud refs hold the DOWN slice (index map: 1 for all k >= 1)
+            fvd, gvd = collide_ud(fud_ref, gud_ref, hfud_ref, hgud_ref,
+                                  eud_ref, heud_ref)
+            for s in range(_S):
+                below_f = [fvd[s][i] for i in _DIRS_ZNEG]
+                below_g = [gvd[s][i] for i in _DIRS_ZNEG]
+                assemble(fo_ref, s, fprev, fzlast, below_f)
+                assemble(go_ref, s, gprev, gzlast, below_g)
+
+    return kernel
+
+
 def _halo_slabs(a, ty: int):
     """Pre-collision 1-row halo slabs for every panel, panel-major.
 
@@ -234,23 +325,38 @@ def _halo_slabs(a, ty: int):
     return jnp.moveaxis(slab, -3, 0)                # (P, ..., 2, NX)
 
 
-def pick_panel3d(NY: int, NX: int, itemsize: int) -> int:
+def pick_panel3d(NY: int, NX: int, itemsize: int,
+                 zhalo: bool = False) -> int:
     """Largest panel height whose working set fits VMEM."""
     for ty in (256, 128, 64, 32, 16, 8):
         if NY % ty:
             continue
         plane = ty * NX * itemsize
-        vmem = (
-            (2 + 2) * 2 * _S * _Q * plane          # in/out f+g x2 buffers
-            + 2 * _Q * _S * plane                  # prev f+g
-            + 2 * _Q * _S * plane                  # b0 f+g
-            + 4 * 5 * _S * plane                   # zlast + b1 f+g
-            # halo slab blocks (f+g, 2 rows), double-buffered
-            + 2 * 2 * _S * _Q * 2 * NX * itemsize
-            # live collide temporaries are COMPUTE-dtype (f32 under bf16);
-            # the halo slab's own temporaries pad to one 8-row group
-            + 200 * (ty + 8) * NX * max(itemsize, 4)
-        )
+        if zhalo:
+            # z-halo variant: no b0/b1 wrap scratch, but the packed up/dn
+            # halo-slice blocks (f+g) ride along double-buffered
+            vmem = (
+                (2 + 2) * 2 * _S * _Q * plane      # in/out f+g x2 buffers
+                + 2 * 2 * _S * _Q * plane          # ud f+g blocks x2
+                + 2 * _Q * _S * plane              # prev f+g
+                + 2 * 5 * _S * plane               # zlast f+g
+                + 4 * 2 * _S * _Q * 2 * NX * itemsize  # y + ud slabs
+                + 2 * 2 * 3 * plane                # ud field blocks (f32)
+                + 200 * (ty + 8) * NX * max(itemsize, 4)
+            )
+        else:
+            vmem = (
+                (2 + 2) * 2 * _S * _Q * plane      # in/out f+g x2 buffers
+                + 2 * _Q * _S * plane              # prev f+g
+                + 2 * _Q * _S * plane              # b0 f+g
+                + 4 * 5 * _S * plane               # zlast + b1 f+g
+                # halo slab blocks (f+g, 2 rows), double-buffered
+                + 2 * 2 * _S * _Q * 2 * NX * itemsize
+                # live collide temporaries are COMPUTE-dtype (f32 under
+                # bf16); the halo slab's own temporaries pad to one
+                # 8-row group
+                + 200 * (ty + 8) * NX * max(itemsize, 4)
+            )
         if vmem < 90 * 1024 * 1024:
             return ty
     raise ValueError(
@@ -291,8 +397,12 @@ def collide_stream_panel3d(
     """
     S, Q, NZ, NY, NX = f.shape
     ty = panel or pick_panel3d(NY, NX, f.dtype.itemsize)
-    if ty < 8 or NY % ty:
-        raise ValueError(f"panel height {ty} invalid for NY={NY}")
+    if ty < 8 or ty % 8 or NY % ty:
+        # ty must divide NY AND be sublane-aligned: the (.., ty, NX) pop
+        # blocks' second-minor dim must be a multiple of 8 or Mosaic
+        # rejects the layout with an opaque lowering error
+        raise ValueError(f"panel height {ty} invalid for NY={NY} "
+                         f"(must divide NY and be a multiple of 8)")
     P = NY // ty
     nk = NZ
 
@@ -382,3 +492,195 @@ def collide_stream_panel3d(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(f, g, hf, hg, Ex, Ey, Ez, hEx, hEy, hEz)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
+                     "interpret", "neutral_ref", "panel"),
+)
+def collide_stream_panel3d_zhalo(
+    f: jnp.ndarray,   # (3, Q, NZ_local, NY_local, NX)
+    g: jnp.ndarray,
+    Ex: jnp.ndarray,  # (NZ_local, NY_local, NX)
+    Ey: jnp.ndarray,
+    Ez: jnp.ndarray,
+    zhalo,
+    yrows,
+    corners_up,
+    corners_dn,
+    *,
+    taus: Tuple[float, ...],
+    q_e: float, q_i: float, m_e: float, m_i: float,
+    cs2: float, kb: float,
+    interpret: bool = False,
+    neutral_ref: float = 0.0,
+    panel: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Panel step for one shard of a (dz, dy) 2-D device mesh: explicit
+    z-halo SLICES and y-halo ROWS, no periodic wraps. Used by
+    parallel/fused_sharded.make_fused_sharded_step3d_yz.
+
+    All halo inputs are PRE-collision (the kernel collides them
+    redundantly — elementwise, so bitwise equal to the neighbor shard's
+    own result):
+      zhalo      = (up_f, up_g, up_Ex, up_Ey, up_Ez,
+                    dn_f, dn_g, dn_Ex, dn_Ey, dn_Ez): the z-slice just
+                   above (previous z-shard's last slice; pops
+                   (S, Q, NY, NX), fields (NY, NX)) / just below.
+      yrows      = same tuple layout with the y-row just above/below the
+                   shard (pops (S, Q, NZ, NX), fields (NZ, NX)) — the
+                   1-D y-sharded protocol of collide_stream_panel3d.
+      corners_up = (above_f, above_g, above_Ex, above_Ey, above_Ez,
+                    below_f, below_g, below_Ex, below_Ey, below_Ez):
+                   the y-rows just above/below the shard WITHIN the up
+                   z-halo slice (pops (S, Q, NX), fields (NX,)) — the
+                   (y, z)-diagonal neighbors' corner rows.
+      corners_dn = same for the down z-halo slice.
+    """
+    S, Q, NZ, NY, NX = f.shape
+    ty = panel or pick_panel3d(NY, NX, f.dtype.itemsize, zhalo=True)
+    if ty < 8 or ty % 8 or NY % ty:
+        raise ValueError(f"panel height {ty} invalid for NY={NY} "
+                         f"(must divide NY and be a multiple of 8)")
+    P = NY // ty
+    nk = NZ
+
+    (up_f, up_g, up_Ex, up_Ey, up_Ez,
+     dn_f, dn_g, dn_Ex, dn_Ey, dn_Ez) = yrows
+    hf = _halo_slabs(f, ty)        # (P, S, Q, NZ, 2, NX)
+    hg = _halo_slabs(g, ty)
+    hEx = _halo_slabs(Ex, ty)      # (P, NZ, 2, NX)
+    hEy = _halo_slabs(Ey, ty)
+    hEz = _halo_slabs(Ez, ty)
+    hf = hf.at[0, :, :, :, 0, :].set(up_f.astype(hf.dtype))
+    hf = hf.at[P - 1, :, :, :, 1, :].set(dn_f.astype(hf.dtype))
+    hg = hg.at[0, :, :, :, 0, :].set(up_g.astype(hg.dtype))
+    hg = hg.at[P - 1, :, :, :, 1, :].set(dn_g.astype(hg.dtype))
+    hEx = hEx.at[0, :, 0, :].set(up_Ex)
+    hEx = hEx.at[P - 1, :, 1, :].set(dn_Ex)
+    hEy = hEy.at[0, :, 0, :].set(up_Ey)
+    hEy = hEy.at[P - 1, :, 1, :].set(dn_Ey)
+    hEz = hEz.at[0, :, 0, :].set(up_Ez)
+    hEz = hEz.at[P - 1, :, 1, :].set(dn_Ez)
+
+    (fu, gu, Exu, Eyu, Ezu, fd, gd, Exd, Eyd, Ezd) = zhalo
+    fu = fu.astype(f.dtype)
+    fd = fd.astype(f.dtype)
+    gu = gu.astype(g.dtype)
+    gd = gd.astype(g.dtype)
+    fud = jnp.stack((fu[:, :, None], fd[:, :, None]))   # (2,S,Q,1,NY,NX)
+    gud = jnp.stack((gu[:, :, None], gd[:, :, None]))
+    Eud = jnp.stack((
+        jnp.stack((Exu, Eyu, Ezu))[:, None],
+        jnp.stack((Exd, Eyd, Ezd))[:, None]))           # (2,3,1,NY,NX)
+
+    def pop_ud_slab(a, above, below):
+        # a: (S, Q, NY, NX) z-halo slice; above/below: (S, Q, NX)
+        sl = _halo_slabs(a[:, :, None], ty)             # (P,S,Q,1,2,NX)
+        sl = sl.at[0, :, :, :, 0, :].set(above[:, :, None].astype(sl.dtype))
+        sl = sl.at[P - 1, :, :, :, 1, :].set(
+            below[:, :, None].astype(sl.dtype))
+        return sl
+
+    def fld_ud_slab(a, above, below):
+        # a: (NY, NX); above/below: (NX,)
+        sl = _halo_slabs(a[None], ty)                   # (P,1,2,NX)
+        sl = sl.at[0, :, 0, :].set(above[None])
+        sl = sl.at[P - 1, :, 1, :].set(below[None])
+        return sl
+
+    (ufa, uga, uExa, uEya, uEza,
+     ufb, ugb, uExb, uEyb, uEzb) = corners_up
+    (dfa, dga, dExa, dEya, dEza,
+     dfb, dgb, dExb, dEyb, dEzb) = corners_dn
+    hfud = jnp.stack((pop_ud_slab(fu, ufa, ufb),
+                      pop_ud_slab(fd, dfa, dfb)))       # (2,P,S,Q,1,2,NX)
+    hgud = jnp.stack((pop_ud_slab(gu, uga, ugb),
+                      pop_ud_slab(gd, dga, dgb)))
+    hEud = jnp.stack((
+        jnp.stack((fld_ud_slab(Exu, uExa, uExb),
+                   fld_ud_slab(Eyu, uEya, uEyb),
+                   fld_ud_slab(Ezu, uEza, uEzb))),
+        jnp.stack((fld_ud_slab(Exd, dExa, dExb),
+                   fld_ud_slab(Eyd, dEya, dEyb),
+                   fld_ud_slab(Ezd, dEza, dEzb)))))     # (2,3,P,1,2,NX)
+
+    def in_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.maximum(jnp.minimum(k - jnp.int32(1), jnp.int32(nk - 1)),
+                           jnp.int32(0))
+
+    def out_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.maximum(jnp.minimum(k - jnp.int32(2), jnp.int32(nk - 1)),
+                           jnp.int32(0))
+
+    def ud(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == 0, jnp.int32(0), jnp.int32(1))
+
+    pop_in = pl.BlockSpec((S, Q, 1, ty, NX),
+                          lambda p, k: (0, 0, in_band(k), p, 0),
+                          memory_space=pltpu.VMEM)
+    pop_out = pl.BlockSpec((S, Q, 1, ty, NX),
+                           lambda p, k: (0, 0, out_band(k), p, 0),
+                           memory_space=pltpu.VMEM)
+    fld_in = pl.BlockSpec((1, ty, NX), lambda p, k: (in_band(k), p, 0),
+                          memory_space=pltpu.VMEM)
+    halo_pop = pl.BlockSpec((1, S, Q, 1, 2, NX),
+                            lambda p, k: (p, 0, 0, in_band(k), 0, 0),
+                            memory_space=pltpu.VMEM)
+    halo_fld = pl.BlockSpec((1, 1, 2, NX),
+                            lambda p, k: (p, in_band(k), 0, 0),
+                            memory_space=pltpu.VMEM)
+    ud_pop = pl.BlockSpec((1, S, Q, 1, ty, NX),
+                          lambda p, k: (ud(k), 0, 0, 0, p, 0),
+                          memory_space=pltpu.VMEM)
+    ud_slab = pl.BlockSpec((1, 1, S, Q, 1, 2, NX),
+                           lambda p, k: (ud(k), p, 0, 0, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ud_fld = pl.BlockSpec((1, 3, 1, ty, NX),
+                          lambda p, k: (ud(k), 0, 0, p, 0),
+                          memory_space=pltpu.VMEM)
+    ud_fld_slab = pl.BlockSpec((1, 3, 1, 1, 2, NX),
+                               lambda p, k: (ud(k), 0, p, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+
+    params = dict(taus=taus, q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
+                  cs2=cs2, kb=kb, neutral_ref=neutral_ref)
+    kernel = _make_panel_zhalo_kernel(params, ty, nk)
+
+    dt = f.dtype
+    bytes_pop = S * Q * NZ * NY * NX * dt.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid=(P, nk + 2),
+        in_specs=[pop_in, pop_in, halo_pop, halo_pop,
+                  fld_in, fld_in, fld_in,
+                  halo_fld, halo_fld, halo_fld,
+                  ud_pop, ud_pop, ud_slab, ud_slab, ud_fld, ud_fld_slab],
+        out_specs=(pop_out, pop_out, fld_in),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, dt),
+            jax.ShapeDtypeStruct(g.shape, dt),
+            jax.ShapeDtypeStruct(Ex.shape, Ex.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_Q, _S, ty, NX), dt),   # fprev
+            pltpu.VMEM((_Q, _S, ty, NX), dt),   # gprev
+            pltpu.VMEM((5, _S, ty, NX), dt),    # fzlast
+            pltpu.VMEM((5, _S, ty, NX), dt),    # gzlast
+        ],
+        # in-place HBM update: out slice j is written at grid step j+2,
+        # one step after its input block was consumed (fetched at j+1)
+        input_output_aliases={0: 0, 1: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=int(6000 * NZ * NY * NX),
+            bytes_accessed=4 * bytes_pop,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f, g, hf, hg, Ex, Ey, Ez, hEx, hEy, hEz,
+      fud, gud, hfud, hgud, Eud, hEud)

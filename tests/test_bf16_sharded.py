@@ -131,6 +131,43 @@ def test_sharded_3d_y_bf16_matches_single(solver):
                 f"3d-y {name}: {np.abs(a-b).max()/scale:.2e} of scale")
 
 
+def test_sharded_3d_yz_bf16_matches_single():
+    """bf16 through the (dz, dy) 2-D-mesh 3-D path (z-slice + y-row +
+    corner-row halos, z-halo panel kernel). Same tolerance class as the
+    1-D sharded paths."""
+    from lbm_tpu.models import plasma3d
+    from lbm_tpu.parallel.fused_sharded import AXIS_Z
+
+    cfg = dataclasses.replace(
+        PlasmaConfig(), NX=16, NY=32, NZ=6, dtype=jnp.float32,
+        poisson=PoissonSolver.FFT, neutral_delta=True, storage="bf16")
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, (AXIS_Z, AXIS_Y))
+    step_sh = fused_sharded.make_fused_sharded_step3d_yz(cfg, mesh)
+    step_ref = jax.jit(plasma3d.make_step(
+        dataclasses.replace(cfg, backend="jnp")))
+    s_sh = plasma3d.init_state(cfg)
+    s_ref = plasma3d.init_state(cfg)
+    for _ in range(3):
+        s_sh = step_sh(s_sh)
+        s_ref = step_ref(s_ref)
+    assert s_sh.f.dtype == jnp.bfloat16
+    for name, tol in (("f", 1e-2), ("g", 2e-2), ("Ex", 1e-2),
+                      ("Ey", 1e-2), ("Ez", 1e-2)):
+        a = np.asarray(getattr(s_ref, name), dtype=np.float64)
+        b = np.asarray(getattr(s_sh, name), dtype=np.float64)
+        if name in ("f", "g"):
+            for s in range(3):
+                scale = max(np.abs(a[s]).max(), 1e-300)
+                assert np.abs(a[s] - b[s]).max() <= tol * scale, (
+                    f"3d-yz {name}[{s}]: "
+                    f"{np.abs(a[s]-b[s]).max()/scale:.2e}")
+        else:
+            scale = max(np.abs(a).max(), 1e-300)
+            assert np.abs(a - b).max() <= tol * scale, (
+                f"3d-yz {name}: {np.abs(a-b).max()/scale:.2e} of scale")
+
+
 def test_gspmd_bf16_matches_single():
     """The GSPMD path (plain jnp step jitted with lattice shardings) in
     bf16 mode, NONE solver: exact vs single-device (same HLO,
