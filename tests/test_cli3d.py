@@ -1,0 +1,37 @@
+"""CLI smoke test for scripts/run_plasma3d.py: checkpoint + resume with
+the absolute --steps target semantics (resume continues TOWARD --steps;
+the run reports the steps actually executed)."""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_plasma3d.py"),
+         "--cpu", "--backend", "jnp", "--n", "12", "--nz", "4",
+         "--slice-every", "0", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def test_cli3d_checkpoint_resume_step_accounting(tmp_path):
+    out = str(tmp_path / "run")
+    s = _run("--steps", "3", "--checkpoint-every", "2", "--out", out)
+    assert "3 steps" in s
+    ck = os.path.join(out, "ckpt_000002.npz")
+    assert os.path.exists(ck)
+    assert os.path.exists(os.path.join(out, "final_state.npz"))
+
+    # resume from step 2 toward the same absolute target: 1 more step
+    s = _run("--steps", "3", "--resume", ck, "--out", out)
+    assert "1 steps" in s
+
+    # resume from a checkpoint already AT the target: zero steps, said so
+    s = _run("--steps", "3",
+             "--resume", os.path.join(out, "final_state.npz"), "--out", out)
+    assert "nothing to run" in s
+    assert "0 steps" in s
