@@ -101,3 +101,29 @@ def make_sharded_step3d(cfg: PlasmaConfig, mesh: Mesh, donate: bool = True):
     step = make_step(_dc.replace(cfg, backend="jnp"))
     return jax.jit(step, in_shardings=(sh,), out_shardings=sh,
                    donate_argnums=(0,) if donate else ())
+
+
+# ---------------------------------------------------------------------------
+# Cavity: the reference's OpenMP-parallel validation workload
+# (old codes/LBM_classic/LBM.cpp runs every loop under omp parallel for) —
+# here the same (dy, dx) lattice decomposition under GSPMD. Bounce-back
+# walls + the moving lid are slice updates, which the partitioner turns
+# into shard-local edits + boundary collective-permutes.
+# ---------------------------------------------------------------------------
+
+def cavity_state_shardings(mesh: Mesh):
+    from ..models.cavity import CavityState
+
+    pop = NamedSharding(mesh, P(None, AXIS_Y, AXIS_X))
+    field = NamedSharding(mesh, P(AXIS_Y, AXIS_X))
+    scalar = NamedSharding(mesh, P())
+    return CavityState(f=pop, rho=field, ux=field, uy=field, step=scalar)
+
+
+def make_sharded_cavity_step(cfg, mesh: Mesh, donate: bool = True):
+    """Jitted cavity step with lattice-sharded inputs/outputs."""
+    from ..models.cavity import make_step as make_cavity_step
+
+    sh = cavity_state_shardings(mesh)
+    return jax.jit(make_cavity_step(cfg), in_shardings=(sh,),
+                   out_shardings=sh, donate_argnums=(0,) if donate else ())

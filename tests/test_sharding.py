@@ -98,3 +98,33 @@ def test_sharded_3d_matches_single_device():
     np.testing.assert_allclose(np.asarray(s_multi.Ex),
                                np.asarray(s_single.Ex), rtol=1e-11,
                                atol=1e-16)
+
+
+def test_sharded_cavity_matches_single_device():
+    """GSPMD cavity step (the reference's OpenMP-parallel validation
+    workload) == single-device step. Not bitwise: the partitioner changes
+    the fusion context of the macro sums, flipping last bits (~1e-16
+    rel) — same noise class the sharded halo-kernel tests tolerate."""
+    import dataclasses
+
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.models import cavity
+    from lbm_tpu.parallel import sharding as sh
+
+    cfg = dataclasses.replace(CavityConfig(), NX=32, NY=32, nsteps=20,
+                              dtype=jnp.float64)
+    mesh = mesh_mod.make_mesh()   # 2x4 over 8 cpu devices
+
+    step_ref = jax.jit(cavity.make_step(cfg))
+    step_sh = sh.make_sharded_cavity_step(cfg, mesh, donate=False)
+    s_ref = cavity.init_state(cfg)
+    s_sh = jax.tree.map(jax.device_put, cavity.init_state(cfg),
+                        sh.cavity_state_shardings(mesh))
+    for _ in range(20):   # through the lid ramp (sigma=10) and past it
+        s_ref = step_ref(s_ref)
+        s_sh = step_sh(s_sh)
+    assert len(s_sh.f.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(s_sh.f), np.asarray(s_ref.f),
+                               rtol=1e-14, atol=0)
+    np.testing.assert_allclose(np.asarray(s_sh.ux), np.asarray(s_ref.ux),
+                               rtol=0, atol=1e-14 * cfg.u_lid)
