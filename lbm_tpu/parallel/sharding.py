@@ -23,7 +23,7 @@ from typing import Callable
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import PlasmaConfig
+from ..config import CavityConfig, PlasmaConfig
 from ..models.plasma import PlasmaState, make_step
 from .mesh import AXIS_X, AXIS_Y
 
@@ -120,10 +120,23 @@ def cavity_state_shardings(mesh: Mesh):
     return CavityState(f=pop, rho=field, ux=field, uy=field, step=scalar)
 
 
-def make_sharded_cavity_step(cfg, mesh: Mesh, donate: bool = True):
-    """Jitted cavity step with lattice-sharded inputs/outputs."""
+def shard_cavity_state(state, mesh: Mesh):
+    """Place an existing cavity state onto the mesh."""
+    return jax.tree.map(jax.device_put, state, cavity_state_shardings(mesh))
+
+
+def make_sharded_cavity_step(cfg: CavityConfig, mesh: Mesh,
+                             donate: bool = True):
+    """Jitted cavity step with lattice-sharded inputs/outputs.
+
+    NOTE: the grid must divide the mesh — the CANONICAL Ghia validation
+    grid (the CavityConfig default, NX = NY = 129) is odd and therefore
+    indivisible by any multi-device mesh; shard a 128/130-class grid, or
+    run the 129^2 Ghia check single-device (it takes seconds).
+    """
     from ..models.cavity import make_step as make_cavity_step
 
+    validate_grid(cfg, mesh)   # duck-types: reads cfg.NY / cfg.NX
     sh = cavity_state_shardings(mesh)
     return jax.jit(make_cavity_step(cfg), in_shardings=(sh,),
                    out_shardings=sh, donate_argnums=(0,) if donate else ())

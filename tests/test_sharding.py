@@ -104,12 +104,11 @@ def test_sharded_cavity_matches_single_device():
     """GSPMD cavity step (the reference's OpenMP-parallel validation
     workload) == single-device step. Not bitwise: the partitioner changes
     the fusion context of the macro sums, flipping last bits (~1e-16
-    rel) — same noise class the sharded halo-kernel tests tolerate."""
-    import dataclasses
-
+    rel) — same noise class the sharded halo-kernel tests tolerate.
+    (The canonical 129^2 Ghia grid itself is odd/indivisible — the
+    constructor refuses it with a clear error; see below.)"""
     from lbm_tpu.config import CavityConfig
     from lbm_tpu.models import cavity
-    from lbm_tpu.parallel import sharding as sh
 
     cfg = dataclasses.replace(CavityConfig(), NX=32, NY=32, nsteps=20,
                               dtype=jnp.float64)
@@ -118,8 +117,7 @@ def test_sharded_cavity_matches_single_device():
     step_ref = jax.jit(cavity.make_step(cfg))
     step_sh = sh.make_sharded_cavity_step(cfg, mesh, donate=False)
     s_ref = cavity.init_state(cfg)
-    s_sh = jax.tree.map(jax.device_put, cavity.init_state(cfg),
-                        sh.cavity_state_shardings(mesh))
+    s_sh = sh.shard_cavity_state(cavity.init_state(cfg), mesh)
     for _ in range(20):   # through the lid ramp (sigma=10) and past it
         s_ref = step_ref(s_ref)
         s_sh = step_sh(s_sh)
@@ -128,3 +126,15 @@ def test_sharded_cavity_matches_single_device():
                                rtol=1e-14, atol=0)
     np.testing.assert_allclose(np.asarray(s_sh.ux), np.asarray(s_ref.ux),
                                rtol=0, atol=1e-14 * cfg.u_lid)
+
+
+def test_sharded_cavity_rejects_indivisible_ghia_grid():
+    """The canonical Ghia grid (129^2, the CavityConfig default) is odd:
+    no multi-device mesh divides it. The constructor must say so clearly
+    instead of failing deep inside device_put."""
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.parallel import sharding as _sh
+
+    mesh = mesh_mod.make_mesh()
+    with pytest.raises(ValueError, match="not divisible"):
+        _sh.make_sharded_cavity_step(CavityConfig(), mesh)
