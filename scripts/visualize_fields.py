@@ -3,7 +3,11 @@
 
 The TPU-native analog of the reference's offline Python visualizers
 (old codes/LBM_classic/Python visualize/): reads a final_state.npz (or any
-checkpoint from scripts/run_plasma.py) and renders macroscopic-field plots.
+checkpoint from scripts/run_plasma.py / run_plasma3d.py) and renders
+macroscopic-field plots. 3-D checkpoints are plotted at a z-slice
+(--z-slice, default the midplane). The checkpoint's layout metadata
+(neutral_delta / storage) is honored, so delta-stored neutrals plot as
+full densities and bf16 populations are upcast before the moment sums.
 
     python scripts/visualize_fields.py build/output/final_state.npz --out plots/
 """
@@ -16,11 +20,72 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _load_macros(path: str, z_slice: int | None):
+    """(rho[s], ux[s], uy[s], rho_q, step) as 2-D numpy arrays."""
+    import dataclasses
+
+    import numpy as np
+
+    from lbm_tpu.config import PlasmaConfig
+    from lbm_tpu.io import checkpoint as ckpt
+
+    meta = ckpt.load_meta(path)
+    delta = bool(meta.get("neutral_delta", False))
+    storage = meta.get("storage", "native")
+    if not meta:
+        print("note: pre-metadata checkpoint — assuming classic neutral "
+              "layout, native storage")
+    with np.load(path) as z:
+        keys = set(z.keys())
+    is3d = "Ez" in keys or "Ez__bf16" in keys
+
+    if is3d:
+        from lbm_tpu.models import plasma3d
+
+        state = ckpt.load3d(path)
+        NZ, NY, NX = state.Ex.shape
+        cfg = dataclasses.replace(PlasmaConfig(), NX=NX, NY=NY, NZ=NZ,
+                                  neutral_delta=delta, storage=storage)
+        u = cfg.units()
+        f, g = state.f, state.g
+        if storage == "bf16":
+            f = f.astype(cfg.dtype)
+            g = g.astype(cfg.dtype)
+        mac = plasma3d.update_macro(
+            f, g, state.Ex, state.Ey, state.Ez,
+            q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+            neutral_ref=u.rho_n_init if delta else 0.0)
+        k = NZ // 2 if z_slice is None else z_slice
+        if not 0 <= k < NZ:
+            raise SystemExit(f"--z-slice {k} out of range [0, {NZ})")
+        print(f"3-D checkpoint {NZ}x{NY}x{NX}: plotting z-slice {k}")
+        rho = [np.asarray(r[k]) for r in mac.rho]
+        ux = [np.asarray(a[k]) for a in mac.ux]
+        uy = [np.asarray(a[k]) for a in mac.uy]
+        rho_q = np.asarray(mac.rho_q[k])
+        return rho, ux, uy, rho_q, int(state.step)
+
+    from lbm_tpu.models import plasma
+
+    state = ckpt.load(path)
+    NY, NX = state.Ex.shape
+    cfg = dataclasses.replace(PlasmaConfig(), NX=NX, NY=NY,
+                              neutral_delta=delta, storage=storage)
+    mac = plasma.compute_macros(cfg, state)
+    rho = [np.asarray(mac.rho[s]) for s in range(3)]
+    ux = [np.asarray(mac.ux[s]) for s in range(3)]
+    uy = [np.asarray(mac.uy[s]) for s in range(3)]
+    return rho, ux, uy, np.asarray(mac.rho_q), int(state.step)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint")
     p.add_argument("--out", default="field_plots")
     p.add_argument("--species", default="e,i,n")
+    p.add_argument("--z-slice", type=int, default=None,
+                   help="z-slice to plot for 3-D checkpoints "
+                        "(default: midplane)")
     args = p.parse_args()
 
     import jax
@@ -30,27 +95,20 @@ def main():
     import matplotlib.pyplot as plt
     import numpy as np
 
-    from lbm_tpu.config import PlasmaConfig
-    from lbm_tpu.io import checkpoint as ckpt
-    from lbm_tpu.models import plasma
-
-    state = ckpt.load(args.checkpoint)
-    NY, NX = state.Ex.shape
-    cfg = PlasmaConfig(NX=NX, NY=NY)
-    mac = plasma.compute_macros(cfg, state)
+    rho_s, ux_s, uy_s, rho_q, step = _load_macros(args.checkpoint,
+                                                  args.z_slice)
+    NY, NX = rho_q.shape
     os.makedirs(args.out, exist_ok=True)
 
     names = {"e": 0, "i": 1, "n": 2}
     for s in args.species.split(","):
         k = names[s]
-        rho = np.asarray(mac.rho[k])
-        ux = np.asarray(mac.ux[k])
-        uy = np.asarray(mac.uy[k])
+        rho, ux, uy = rho_s[k], ux_s[k], uy_s[k]
 
         fig, ax = plt.subplots(figsize=(6, 5), dpi=110)
         im = ax.imshow(rho, origin="lower", cmap="viridis")
         fig.colorbar(im, ax=ax, label=f"rho_{s}")
-        ax.set_title(f"density {s} (step {int(state.step)})")
+        ax.set_title(f"density {s} (step {step})")
         fig.tight_layout()
         fig.savefig(os.path.join(args.out, f"density_{s}.png"))
         plt.close(fig)
@@ -79,7 +137,7 @@ def main():
 
     # charge density and field
     fig, ax = plt.subplots(figsize=(6, 5), dpi=110)
-    im = ax.imshow(np.asarray(mac.rho_q), origin="lower", cmap="RdBu_r")
+    im = ax.imshow(rho_q, origin="lower", cmap="RdBu_r")
     fig.colorbar(im, ax=ax, label="rho_q")
     ax.set_title("charge density")
     fig.tight_layout()
