@@ -10,9 +10,14 @@ tunnel latency, best-of-N. Prints a JSON dict:
   * Poisson(FFT)+E alone                             [ms/step]
   * full plasma step                                 [ms/step, MLUPS]
 
-Roofline: the fused kernel moves 2x S*Q*NY*NX*4 B per step (read f+g,
-write f+g in place). Its speed-of-light is the best measured copy rate;
-MLUPS ceiling = rate / (2 * 54 * 4 B).
+Roofline: the fused kernel moves 2x S*Q*NY*NX*itemsize B per step (read
+f+g, write f+g in place; itemsize 4, or 2 under BENCH_STORAGE=bf16). Its
+speed-of-light is the best measured copy rate; MLUPS ceiling =
+rate / (2 * 54 * itemsize B).
+
+Env knobs: BENCH_N (grid, default 2048), BENCH_STEPS (window, default 50
+— use ~10 at 4096^2 bf16, the golden instability blows up fast there),
+BENCH_STORAGE (native|bf16).
 """
 from __future__ import annotations
 
@@ -46,7 +51,14 @@ def main():
 
     N = int(os.environ.get("BENCH_N", "2048"))
     K = int(os.environ.get("BENCH_STEPS", "50"))
-    results = {"N": N, "K": K, "device": str(jax.devices()[0])}
+    # BENCH_STORAGE=bf16 profiles the fast mode: populations cross HBM in
+    # bfloat16 (216 B/site instead of 432) with delta-stored neutrals —
+    # the same config bench.py's headline runs. The copy-rate probes stay
+    # f32 (they characterize the chip, not the mode).
+    storage = os.environ.get("BENCH_STORAGE", "native")
+    itemsize = 2 if storage == "bf16" else 4
+    results = {"N": N, "K": K, "storage": storage,
+               "device": str(jax.devices()[0])}
 
     def sync(x):
         return float(jnp.ravel(x)[0])
@@ -119,10 +131,12 @@ def main():
 
     # ---- fused kernel alone ------------------------------------------------
     cfg = dataclasses.replace(PlasmaConfig(), NX=N, NY=N, dtype=jnp.float32,
-                              backend="fused")
+                              backend="fused", storage=storage,
+                              neutral_delta=(storage == "bf16"))
     u = cfg.units()
     phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
-                cs2=u.cs2, kb=u.kb)
+                cs2=u.cs2, kb=u.kb,
+                neutral_ref=(u.rho_n_init if cfg.neutral_delta else 0.0))
 
     def scan_kernel(state, iters):
         def body(c, _):
@@ -138,7 +152,8 @@ def main():
     kl = jax.jit(functools.partial(scan_kernel, iters=K), donate_argnums=0)
     ks = jax.jit(functools.partial(scan_kernel, iters=kshort), donate_argnums=0)
     t = timeit(mk_state, kl, ks, K - kshort)
-    kernel_bytes = 2 * 2 * nbytes  # read f+g, write f+g
+    # read f+g, write f+g, at the STORAGE itemsize (bf16 halves the bytes)
+    kernel_bytes = 2 * 2 * 27 * N * N * itemsize
     results["fused_kernel_ms"] = round(t * 1e3, 3)
     results["fused_kernel_GBps_total_traffic"] = round(kernel_bytes / t / 1e9, 1)
     results["fused_kernel_mlups"] = round(N * N / t / 1e6, 1)
@@ -193,7 +208,7 @@ def main():
     # total-traffic speed-of-light = 2*best_copy; the kernel moves 432 B/site
     # (read f+g + write f+g in place: 2 * 54 planes * 4 B).
     best_copy = max(results["xla_copy_GBps"], results["pallas_aliased_copy_GBps"])
-    bytes_per_site = 2 * 2 * 27 * 4
+    bytes_per_site = 2 * 2 * 27 * itemsize
     results["roofline_mlups_kernel_only"] = round(
         best_copy * 2e9 / bytes_per_site / 1e6, 1)
     sol_step_ms = (N * N * bytes_per_site / (2 * best_copy * 1e9)
