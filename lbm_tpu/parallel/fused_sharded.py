@@ -555,3 +555,97 @@ def make_fused_sharded_step3d_yz(
         step=NamedSharding(mesh, P()),
     )
     return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)
+
+
+def make_fused_sharded_step3d_auto(
+    cfg: PlasmaConfig,
+    devices,
+    interpret: bool | None = None,
+):
+    """Pick the 3-D lattice decomposition for a flat device list.
+
+    Encodes the mesh-selection table (docs/MIGRATION.md section 6) as
+    code, in preference order:
+
+      1. z-sharded slice halos (make_fused_sharded_step3d) when one
+         chip's slice kernels admit the FULL (NY, NX) cross-section
+         (kernels/fused_step3d.check_vmem3d) and NZ divides with >= 2
+         slices per shard — the cheapest halo protocol and the fastest
+         kernel;
+      2. y-sharded panels (make_fused_sharded_step3d_y) when the
+         cross-section is too wide for (1) but the per-shard
+         (NY/n, NX) panel is feasible (kernels/fused_panel3d
+         .pick_panel3d) — wide cross-sections;
+      3. a (dz, dy) 2-D mesh (make_fused_sharded_step3d_yz), trying dy
+         ascending from 1 (dy=1 = z-sharding with the wide-capable
+         z-halo panel kernel; larger dy = narrower panels) and taking
+         the first factorization whose per-shard panel is feasible —
+         grids that are wide AND deep.
+
+    Returns ``(step, mesh, shardings)``: the jitted step, the
+    constructed jax.sharding.Mesh, and a Plasma3DState of NamedShardings
+    for placing a host/single-device state onto the mesh
+    (``jax.tree.map(jax.device_put, state, shardings)``).
+
+    Raises ValueError when no decomposition fits (indivisible grid axes
+    or a cross-section past every kernel's VMEM budget).
+    """
+    import numpy as np
+
+    from ..kernels.fused_panel3d import pick_panel3d
+    from ..kernels.fused_step3d import check_vmem3d
+    from ..models.plasma3d import Plasma3DState
+
+    devs = list(devices)
+    n = len(devs)
+    if n < 2:
+        raise ValueError("auto 3-D sharding needs >= 2 devices")
+    itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
+
+    def feasible(fn, *a, **k):
+        try:
+            fn(*a, **k)
+            return True
+        except ValueError:
+            return False
+
+    def result(make, mesh, pop_spec, fld_spec):
+        step = make(cfg, mesh, interpret=interpret)
+        sh_pop = NamedSharding(mesh, pop_spec)
+        sh_fld = NamedSharding(mesh, fld_spec)
+        shardings = Plasma3DState(
+            f=sh_pop, g=sh_pop, Ex=sh_fld, Ey=sh_fld, Ez=sh_fld,
+            phi=sh_fld, step=NamedSharding(mesh, P()))
+        return step, mesh, shardings
+
+    if (cfg.NZ % n == 0 and cfg.NZ // n >= 2
+            and feasible(check_vmem3d, cfg.NY, cfg.NX, itemsize)):
+        mesh = Mesh(np.asarray(devs).reshape(n), (AXIS_Z,))
+        return result(make_fused_sharded_step3d, mesh,
+                      P(None, None, AXIS_Z, None, None),
+                      P(AXIS_Z, None, None))
+
+    if (cfg.NY % n == 0
+            and feasible(pick_panel3d, cfg.NY // n, cfg.NX, itemsize)):
+        mesh = Mesh(np.asarray(devs).reshape(n), (AXIS_Y,))
+        return result(make_fused_sharded_step3d_y, mesh,
+                      P(None, None, None, AXIS_Y, None),
+                      P(None, AXIS_Y, None))
+
+    for dy in (d for d in range(1, n) if n % d == 0):
+        dz = n // dy
+        if cfg.NY % dy or cfg.NZ % dz or cfg.NZ // dz < 2:
+            continue
+        if feasible(pick_panel3d, cfg.NY // dy, cfg.NX, itemsize,
+                    zhalo=True):
+            mesh = Mesh(np.asarray(devs).reshape(dz, dy),
+                        (AXIS_Z, AXIS_Y))
+            return result(make_fused_sharded_step3d_yz, mesh,
+                          P(None, None, AXIS_Z, AXIS_Y, None),
+                          P(AXIS_Z, AXIS_Y, None))
+
+    raise ValueError(
+        f"no feasible 3-D decomposition of NZxNYxNX = "
+        f"{cfg.NZ}x{cfg.NY}x{cfg.NX} over {n} devices: either an axis is "
+        f"indivisible or the per-shard cross-section exceeds every "
+        f"kernel's VMEM budget (docs/MIGRATION.md section 6)")

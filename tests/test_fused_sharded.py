@@ -204,3 +204,59 @@ def test_sharded_fused_3d_yz_validates():
         # divisible, but the per-shard cross-section fits no panel height
         fused_sharded.make_fused_sharded_step3d_yz(
             dataclasses.replace(PlasmaConfig(), NX=16, NY=30, NZ=4), mesh)
+
+
+# ---------------------------------------------------------------------------
+# make_fused_sharded_step3d_auto: the mesh-selection table as code
+# ---------------------------------------------------------------------------
+
+def test_auto3d_picks_z_and_runs():
+    """Deep narrow column -> z-sharded slice halos; the returned
+    (step, mesh, shardings) triple runs and matches the jnp oracle."""
+    from lbm_tpu.models import plasma3d
+
+    cfg = dataclasses.replace(PlasmaConfig(), NX=16, NY=8, NZ=16,
+                              dtype=jnp.float64)
+    step, mesh, sh = fused_sharded.make_fused_sharded_step3d_auto(
+        cfg, jax.devices()[:8])
+    assert mesh.axis_names == (fused_sharded.AXIS_Z,)
+    assert mesh.shape[fused_sharded.AXIS_Z] == 8
+
+    s = jax.tree.map(jax.device_put, plasma3d.init_state(cfg), sh)
+    out = step(s)
+    ref = jax.jit(plasma3d.make_step(cfg))(plasma3d.init_state(cfg))
+    np.testing.assert_allclose(np.asarray(out.f), np.asarray(ref.f),
+                               rtol=1e-11, atol=0)
+
+
+def test_auto3d_picks_y_for_wide_cross_section():
+    """A cross-section past the slice kernels' VMEM gate (128x256 f64
+    fails fused_step3d.check_vmem3d) -> y-sharded panels."""
+    cfg = dataclasses.replace(PlasmaConfig(), NX=256, NY=128, NZ=16,
+                              dtype=jnp.float64)
+    _, mesh, sh = fused_sharded.make_fused_sharded_step3d_auto(
+        cfg, jax.devices()[:8])
+    assert mesh.axis_names == (AXIS_Y,)
+    assert mesh.shape[AXIS_Y] == 8
+    assert sh.f.spec == jax.sharding.PartitionSpec(
+        None, None, None, AXIS_Y, None)
+
+
+def test_auto3d_picks_yz_mesh():
+    """NZ indivisible by 8 and panels too thin at dy=8 -> the first
+    feasible (dz, dy) factorization (dy ascending: dy=1 fails NZ%8,
+    dy=2 -> (4, 2))."""
+    cfg = dataclasses.replace(PlasmaConfig(), NX=16, NY=32, NZ=12,
+                              dtype=jnp.float64)
+    _, mesh, _ = fused_sharded.make_fused_sharded_step3d_auto(
+        cfg, jax.devices()[:8])
+    assert mesh.axis_names == (fused_sharded.AXIS_Z, AXIS_Y)
+    assert mesh.shape[fused_sharded.AXIS_Z] == 4
+    assert mesh.shape[AXIS_Y] == 2
+
+
+def test_auto3d_raises_when_nothing_fits():
+    cfg = dataclasses.replace(PlasmaConfig(), NX=16, NY=7, NZ=7,
+                              dtype=jnp.float64)
+    with pytest.raises(ValueError, match="no feasible 3-D decomposition"):
+        fused_sharded.make_fused_sharded_step3d_auto(cfg, jax.devices()[:8])
