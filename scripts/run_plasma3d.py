@@ -37,6 +37,13 @@ def main():
                    action=argparse.BooleanOptionalAction, default=None,
                    help="store neutral populations as deltas from the "
                         "uniform background (default: on for f32)")
+    p.add_argument("--shard", type=int, default=0, metavar="N",
+                   help="shard the lattice over the first N devices via "
+                        "parallel.fused_sharded.make_fused_sharded_step3d_"
+                        "auto (z / y / (dz, dy) decomposition picked from "
+                        "grid shape + per-shard VMEM feasibility; ignores "
+                        "--backend — the sharded path always runs the "
+                        "fused kernels)")
     p.add_argument("--out", default="build/output_3d")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
@@ -63,7 +70,7 @@ def main():
     from lbm_tpu.io import timing
     from lbm_tpu.models import plasma3d
 
-    if args.cpu and args.backend != "jnp":
+    if args.cpu and args.backend != "jnp" and not args.shard:
         print("--cpu: backend 'fused' needs a TPU, using 'jnp'")
         args.backend = "jnp"
     if args.storage == "bf16" and args.f64:
@@ -88,8 +95,26 @@ def main():
             raise SystemExit(f"--resume: {e}")
     else:
         state = plasma3d.init_state(cfg)
-    step = jax.jit(plasma3d.make_step(cfg), donate_argnums=(0,))
-    step(plasma3d.init_state(cfg))  # compile outside timer
+    if args.shard:
+        from lbm_tpu.parallel.fused_sharded import \
+            make_fused_sharded_step3d_auto
+
+        devs = jax.devices()
+        if len(devs) < args.shard:
+            raise SystemExit(f"--shard {args.shard}: only {len(devs)} "
+                             f"devices available")
+        try:
+            step, mesh, shardings = make_fused_sharded_step3d_auto(
+                cfg, devs[:args.shard])
+        except ValueError as e:
+            raise SystemExit(f"--shard: {e}")
+        print(f"sharded over mesh {dict(mesh.shape)}")
+        state = jax.tree.map(jax.device_put, state, shardings)
+        step(jax.tree.map(jax.device_put, plasma3d.init_state(cfg),
+                          shardings))  # compile outside timer
+    else:
+        step = jax.jit(plasma3d.make_step(cfg), donate_argnums=(0,))
+        step(plasma3d.init_state(cfg))  # compile outside timer
 
     import matplotlib
     matplotlib.use("Agg")

@@ -35,3 +35,21 @@ def test_cli3d_checkpoint_resume_step_accounting(tmp_path):
              "--resume", os.path.join(out, "final_state.npz"), "--out", out)
     assert "nothing to run" in s
     assert "0 steps" in s
+
+
+def test_cli3d_shard_flag(tmp_path):
+    """--shard N runs the auto-decomposed multi-device step end-to-end
+    (2 virtual CPU devices, z-sharded pick at this shape)."""
+    out = str(tmp_path / "shrun")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_plasma3d.py"),
+         "--cpu", "--n", "16", "--nz", "4", "--steps", "2", "--shard", "2",
+         "--slice-every", "0", "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded over mesh {'dz': 2}" in r.stdout
+    assert "2 steps" in r.stdout
+    assert os.path.exists(os.path.join(out, "final_state.npz"))
