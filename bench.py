@@ -133,6 +133,45 @@ def measure3d(n: int, steps: int, storage: str = "native",
     return n * n * nz * eff / dt / 1e6
 
 
+def measure_cavity(n: int, steps: int) -> float:
+    """Single-population D2Q9 lid-driven cavity at n x n — the reference's
+    SECOND benchmarked workload (BASELINE.md cavity grid-scaling rows:
+    1000^2 x 10k steps = 8,841 ms ~ 1,131 MLUPS on the authors' machine).
+    Same long/short scan-timing design as measure()."""
+    import jax
+
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.models import cavity
+    from lbm_tpu.utils.watchdog import finite_reduction
+
+    cfg = dataclasses.replace(CavityConfig(), NX=n, NY=n, nsteps=steps)
+    k_short = max(steps // 5, 1)
+    roll_long = jax.jit(cavity.make_rollout(cfg, steps), donate_argnums=(0,))
+    roll_short = jax.jit(cavity.make_rollout(cfg, k_short),
+                         donate_argnums=(0,))
+    finite = jax.jit(finite_reduction)
+
+    def trial(roll):
+        s = cavity.init_state(cfg)
+        bool(finite(s))
+        t0 = time.perf_counter()
+        s = roll(s)
+        ok = bool(finite(s))
+        dt = time.perf_counter() - t0
+        assert ok, f"non-finite cavity state in benchmark window ({n}x{n})"
+        return dt
+
+    trial(roll_long)
+    trial(roll_short)
+    t_long = min(trial(roll_long) for _ in range(3))
+    t_short = min(trial(roll_short) for _ in range(3))
+    dt = t_long - t_short
+    eff = steps - k_short
+    if dt <= 0:
+        dt, eff = t_long, steps
+    return n * n * eff / dt / 1e6
+
+
 def _supervised_main() -> int:
     """Run the measurement in a child process and retry once on a crash.
 
@@ -222,6 +261,13 @@ def main() -> None:
         # instability grows with the seeded-box size
         attempt(f"plasma3d_mlups_{nw}x{nw}x64_bf16",
                 lambda: measure3d(nw, 8, "bf16", nz=64))
+    ncav = int(os.environ.get("BENCH_CAVITY", "1000"))
+    if ncav:
+        # the reference's second benchmarked workload; its own 1000^2 row
+        # works out to ~1,131 MLUPS (BASELINE.md) — the one reference
+        # number the plasma ratios don't cover
+        attempt(f"cavity_mlups_{ncav}x{ncav}",
+                lambda: measure_cavity(ncav, 2000))
     if extra:
         out["extra"] = extra
     print(json.dumps(out))
