@@ -137,14 +137,21 @@ def measure_cavity(n: int, steps: int) -> float:
     """Single-population D2Q9 lid-driven cavity at n x n — the reference's
     SECOND benchmarked workload (BASELINE.md cavity grid-scaling rows:
     1000^2 x 10k steps = 8,841 ms ~ 1,131 MLUPS on the authors' machine).
-    Same long/short scan-timing design as measure()."""
+    Same long/short scan-timing design as measure(). Runs the fused
+    Pallas backend when the grid admits it (NY divisible by 8; measured
+    6570 MLUPS at 1000^2 / 6872 at 2048^2 on v5e-1 vs jnp's 4293/2335)."""
     import jax
 
     from lbm_tpu.config import CavityConfig
     from lbm_tpu.models import cavity
     from lbm_tpu.utils.watchdog import finite_reduction
 
-    cfg = dataclasses.replace(CavityConfig(), NX=n, NY=n, nsteps=steps)
+    on_cpu = jax.default_backend() == "cpu"
+    backend = os.environ.get(
+        "BENCH_CAVITY_BACKEND",
+        "fused" if (n % 8 == 0 and not on_cpu) else "jnp")
+    cfg = dataclasses.replace(CavityConfig(), NX=n, NY=n, nsteps=steps,
+                              backend=backend)
     k_short = max(steps // 5, 1)
     roll_long = jax.jit(cavity.make_rollout(cfg, steps), donate_argnums=(0,))
     roll_short = jax.jit(cavity.make_rollout(cfg, k_short),

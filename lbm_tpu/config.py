@@ -192,10 +192,22 @@ class CavityConfig:
     sigma: float = 10.0
     dtype: jnp.dtype = jnp.float32
 
+    # Compute backend: "jnp" (XLA elementwise pipeline) or "fused" (single
+    # HBM-pass Pallas collide+stream+macros kernel, bitwise-identical;
+    # requires NY to be a multiple of 8 — the Ghia 129^2 grid is not).
+    backend: str = "jnp"
+    # Run the Pallas kernel in interpret mode (CPU testing).
+    kernel_interpret: bool = False
+
     # Stability-guard mode replicating old codes/LBM_classic/Stability:
     # if tau falls outside [0.5, 2.0], resize NY (and NX to match) to bring
     # tau back in range (LBM_f.cpp:31-53).
     stability_autoresize: bool = False
+
+    def __post_init__(self):
+        if self.backend not in ("jnp", "fused"):
+            raise ValueError(
+                f"cavity backend must be jnp|fused, got {self.backend!r}")
 
     @property
     def tau(self) -> float:

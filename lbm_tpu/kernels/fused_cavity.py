@@ -1,0 +1,268 @@
+"""Fully-fused cavity step Pallas kernel: collide + pull-stream + BCs +
+guarded macros in ONE pass over HBM.
+
+The classic solver (reference: old codes/LBM_classic/LBM.cpp:43-159) runs
+three sweeps per step (collide, stream+BC, macro update) over separate
+buffers. Here the whole step is one HBM round trip: read f and the stored
+macros, write the streamed f and the new macros, all in-place
+(input/output aliased). 2*(9+3) planes = 96 B/site in f32 — against the
+plasma kernel's 432 — so the cavity step runs far above the plasma
+roofline on the same chip.
+
+Structure (same band software-pipeline as fused_step.py, but simpler —
+the cavity never wraps):
+
+  * pull streaming with displacement -c equals PUSH streaming with +c, so
+    the in-register x-roll + cross-band y-shift machinery of the plasma
+    kernel applies unchanged (reference pull loop: LBM.cpp:105-118);
+  * every row/column the periodic roll gets wrong at the walls is exactly
+    the set the cavity BCs overwrite: left wall fixes the three cx=+1
+    populations at x=0, right wall the cx=-1 ones, bottom wall the cy=+1
+    ones at y=0, and the moving lid the cy=-1 ones at y=NY-1 — so a
+    periodic band pipeline plus static edge fixups reproduces the
+    reference's wall handling bit-for-bit (write order sides -> bottom ->
+    top encodes the corner winners, LBM.cpp:120-159);
+  * the wall sources are all PRE-streaming post-collision values on the
+    wall itself, which the x-rolled planes already hold at their wrap
+    columns (e.g. f'[3][y,0] = rolled3[y,NX-1]) — no extra state;
+  * the guarded macro update (LBM.cpp:74-88) runs on the assembled band
+    before it is written, so rho/ux/uy cost one extra output plane each
+    instead of a second pass.
+
+Physics formulas are imported from lbm_tpu.ops.cavity and shared verbatim
+with the jnp path (models/cavity.py) — the two backends are bitwise
+identical by construction.
+
+Grid: nk+1 steps over ty-row bands (k collides band k, assembles band
+k-1; the final step assembles band nk-1, whose missing "below" rows are
+placeholders that the lid fixup overwrites).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.cavity import (CX, CY, Q, collide_dirs, lid_deltas,
+                          macros_guarded, sum_dirs)
+
+_DIRS_POS = [i for i in range(Q) if CY[i] == 1]    # 2, 5, 6
+_DIRS_NEG = [i for i in range(Q) if CY[i] == -1]   # 4, 7, 8
+
+
+def _roll_x(a: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Periodic column shift: out[x] = a[x - shift] (jnp.roll semantics)."""
+    if shift == 0:
+        return a
+    return jnp.concatenate((a[..., -shift:], a[..., :-shift]), axis=-1)
+
+
+def _make_kernel(tau: float, ty: int, nk: int):
+    def emit(k, below_rows, ulid_row,
+             fo_ref, rho_o, ux_o, uy_o, prev, last8):
+        """Assemble the band streamed at grid step k (= band k-1), apply
+        the wall/lid fixups, compute its macros, write everything."""
+        pv = [prev[i] for i in range(Q)]
+
+        # interior y-assembly (periodic x already applied in pv)
+        out = []
+        for i in range(Q):
+            cy = CY[i]
+            if cy == 0:
+                out.append(pv[i])
+            elif cy == 1:
+                gi = _DIRS_POS.index(i)
+                out.append(jnp.concatenate(
+                    (last8[gi, 7:8, :], pv[i][: ty - 1]), axis=0))
+            else:
+                gi = _DIRS_NEG.index(i)
+                out.append(jnp.concatenate(
+                    (pv[i][1:], below_rows[gi]), axis=0))
+
+        # side walls (all bands). The pre-streaming wall values live at the
+        # x-rolled planes' wrap columns: f'[i][y, 0] = pv[i][y, -1] for
+        # cx=-1 populations, f'[i][y, -1] = pv[i][y, 0] for cx=+1.
+        def set_col0(a, col):
+            return jnp.concatenate((col, a[:, 1:]), axis=1)
+
+        def set_colN(a, col):
+            return jnp.concatenate((a[:, :-1], col), axis=1)
+
+        out[1] = set_col0(out[1], pv[3][:, -1:])   # LBM.cpp left wall
+        out[8] = set_col0(out[8], pv[6][:, -1:])
+        out[5] = set_col0(out[5], pv[7][:, -1:])
+        out[3] = set_colN(out[3], pv[1][:, :1])    # right wall
+        out[7] = set_colN(out[7], pv[5][:, :1])
+        out[6] = set_colN(out[6], pv[8][:, :1])
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (ty, 1), 0)
+
+        # bottom wall: band 0 only (assembled at k == 1); overwrites the
+        # three cy=+1 populations' row 0 — exactly the rows whose interior
+        # assembly above used undefined "above" values.
+        def unroll_row(i, row):
+            """Pre-streaming row of population i recovered from its
+            x-rolled plane row: f'[i][r, x] = rolled[i][r, x + cx_i]."""
+            return _roll_x(row, -CX[i])
+
+        is_b = jnp.logical_and(k == 1, iota == 0)
+        out[2] = jnp.where(is_b, pv[4][0:1], out[2])
+        out[5] = jnp.where(is_b, unroll_row(7, pv[7][0:1]), out[5])
+        out[6] = jnp.where(is_b, unroll_row(8, pv[8][0:1]), out[6])
+
+        # moving lid: band nk-1 only (assembled at k == nk); written after
+        # the walls so the lid wins the two top corners (LBM.cpp:146-159).
+        top = [unroll_row(i, pv[i][ty - 1: ty]) for i in range(Q)]
+        rho_top = sum_dirs(top)
+        d5, d6 = lid_deltas(rho_top, ulid_row)
+        is_t = jnp.logical_and(k == nk, iota == ty - 1)
+        out[4] = jnp.where(is_t, top[2], out[4])
+        out[7] = jnp.where(is_t, top[5] + d5, out[7])
+        out[8] = jnp.where(is_t, top[6] + d6, out[8])
+
+        rho, ux, uy = macros_guarded(out)
+        for i in range(Q):
+            fo_ref[i] = out[i]
+        rho_o[:] = rho
+        ux_o[:] = ux
+        uy_o[:] = uy
+
+    def kernel(f_ref, rho_ref, ux_ref, uy_ref, ulid_ref,
+               fo_ref, rho_o, ux_o, uy_o,
+               prev, last8):
+        k = pl.program_id(0)
+        ulid_row = ulid_ref[0:1, :]
+
+        @pl.when(k < nk)
+        def _():
+            fd = collide_dirs([f_ref[i] for i in range(Q)],
+                              rho_ref[:], ux_ref[:], uy_ref[:], tau)
+            fv = [_roll_x(fd[i], CX[i]) for i in range(Q)]
+
+            @pl.when(k >= 1)
+            def _():
+                below = [fv[i][0:1] for i in _DIRS_NEG]
+                emit(k, below, ulid_row,
+                     fo_ref, rho_o, ux_o, uy_o, prev, last8)
+                for gi, i in enumerate(_DIRS_POS):
+                    last8[gi] = prev[i, ty - 8:, :]
+
+            for i in range(Q):
+                prev[i] = fv[i]
+
+        @pl.when(k == nk)
+        def _():
+            # placeholder below rows: the lid fixup overwrites every cy=-1
+            # population's last row, so any defined value works
+            below = [prev[i, ty - 1:, :] for i in _DIRS_NEG]
+            emit(k, below, ulid_row,
+                 fo_ref, rho_o, ux_o, uy_o, prev, last8)
+
+    return kernel
+
+
+def _pick_band(NY: int, NX: int, itemsize: int) -> int:
+    """Largest feasible band height (multiple of 8 dividing NY).
+
+    VMEM model: in/out blocks double-buffered (2*(Q+3) planes each way),
+    prev scratch (Q planes), last8 chunks, ~32 live compute temporaries.
+    The cavity moves only 24 planes per grid step (vs the plasma kernel's
+    108), so per-grid-step overhead matters more: prefer TALL bands.
+    """
+    budget = 90 * 1024 * 1024
+    for ty in range(min(NY, 256) - min(NY, 256) % 8, 7, -8):
+        if NY % ty:
+            continue
+        vmem = (
+            (2 + 2) * 2 * (Q + 3) * ty * NX * itemsize  # in+out, dbl-buffered
+            + Q * ty * NX * itemsize                     # prev
+            + 3 * 8 * NX * itemsize                      # last8
+            + 32 * ty * NX * max(itemsize, 4)            # live temporaries
+        )
+        if vmem < budget:
+            return ty
+    raise ValueError(f"no feasible cavity band height for {NY}x{NX} "
+                     f"(NY must be divisible by a multiple of 8)")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "interpret", "band"))
+def collide_stream_cavity(
+    f: jnp.ndarray,      # (Q, NY, NX)
+    rho: jnp.ndarray,    # (NY, NX) stored macros (consumed by the collide)
+    ux: jnp.ndarray,
+    uy: jnp.ndarray,
+    u_lid_dyn,           # traced scalar: lid speed at this step
+    *,
+    tau: float,
+    interpret: bool = False,
+    band: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused cavity step. Returns (f_new, rho, ux, uy) — the streamed
+    populations and their guarded macros, exactly as models/cavity.py's
+    jnp step computes them."""
+    Qd, NY, NX = f.shape
+    assert Qd == Q
+    ty = band or _pick_band(NY, NX, f.dtype.itemsize)
+    if ty < 8 or NY % ty or ty % 8:
+        raise ValueError(f"band height {ty} invalid for NY={NY}")
+    nk = NY // ty
+    grid = (nk + 1,)
+
+    def in_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
+
+    def out_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk, jnp.int32(nk - 1),
+                         jnp.maximum(k - jnp.int32(1), jnp.int32(0)))
+
+    pop_in = pl.BlockSpec((Q, ty, NX), lambda k: (0, in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    fld_in = pl.BlockSpec((ty, NX), lambda k: (in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    pop_out = pl.BlockSpec((Q, ty, NX), lambda k: (0, out_band(k), 0),
+                           memory_space=pltpu.VMEM)
+    fld_out = pl.BlockSpec((ty, NX), lambda k: (out_band(k), 0),
+                           memory_space=pltpu.VMEM)
+    lid_in = pl.BlockSpec((1, NX), lambda k: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    dt = f.dtype
+    ulid_row = jnp.broadcast_to(
+        jnp.asarray(u_lid_dyn, dt), (1, NX))
+
+    kernel = _make_kernel(float(tau), ty, nk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pop_in, fld_in, fld_in, fld_in, lid_in],
+        out_specs=(pop_out, fld_out, fld_out, fld_out),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, dt),
+            jax.ShapeDtypeStruct(rho.shape, dt),
+            jax.ShapeDtypeStruct(ux.shape, dt),
+            jax.ShapeDtypeStruct(uy.shape, dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Q, ty, NX), dt),    # prev (x-rolled planes)
+            pltpu.VMEM((3, 8, NX), dt),     # last 8 rows of band k-2
+        ],
+        # in-place HBM update: band b's region is fetched (step <= b) before
+        # its output is written (step b+1) — same schedule as the plasma
+        # halo kernels
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        cost_estimate=pl.CostEstimate(
+            flops=int(150 * NY * NX),
+            bytes_accessed=2 * (Q + 3) * NY * NX * dt.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f, rho, ux, uy, ulid_row)

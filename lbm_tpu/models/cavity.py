@@ -19,6 +19,7 @@ import numpy as np
 
 from ..config import CavityConfig
 from ..constants import D2Q9
+from ..ops.cavity import collide_dirs, macros_guarded
 from ..ops.stream import stream_cavity
 
 CS2 = 1.0 / 3.0
@@ -30,16 +31,6 @@ class CavityState(NamedTuple):
     ux: jnp.ndarray   # (NY, NX)
     uy: jnp.ndarray   # (NY, NX)
     step: jnp.ndarray  # () int32
-
-
-def _equilibrium(rho, ux, uy, dtype):
-    w = jnp.asarray(D2Q9.W, dtype)[:, None, None]
-    cx = jnp.asarray(D2Q9.CX.astype(np.float64), dtype)[:, None, None]
-    cy = jnp.asarray(D2Q9.CY.astype(np.float64), dtype)[:, None, None]
-    u2 = ux * ux + uy * uy
-    cu = cx * ux[None] + cy * uy[None]
-    # the cavity reference hard-codes 3, 4.5, 1.5 (LBM.cpp:55)
-    return w * rho[None] * (1.0 + 3.0 * cu + 4.5 * cu * cu - 1.5 * u2[None])
 
 
 def init_state(cfg: CavityConfig) -> CavityState:
@@ -58,34 +49,52 @@ def init_state(cfg: CavityConfig) -> CavityState:
     )
 
 
+def _lid_speed(cfg: CavityConfig, step_count) -> jnp.ndarray:
+    """u_lid * t / sigma ramp for t < sigma (LBM.cpp:180)."""
+    t = step_count.astype(cfg.dtype)
+    return jnp.where(t < cfg.sigma, cfg.u_lid / cfg.sigma * t, cfg.u_lid)
+
+
 def make_step(cfg: CavityConfig) -> Callable[[CavityState], CavityState]:
+    """One cavity step: collide -> pull-stream+BCs -> guarded macros.
+
+    backend "jnp" runs the XLA elementwise pipeline; "fused" runs the
+    single-HBM-pass Pallas kernel (kernels/fused_cavity.py) — bitwise
+    identical by construction (both call the ops/cavity.py physics).
+    """
     tau = cfg.tau
-    dtype = cfg.dtype
+    backend = getattr(cfg, "backend", "jnp")
+
+    if backend == "fused":
+        from ..kernels.fused_cavity import collide_stream_cavity
+
+        interpret = bool(getattr(cfg, "kernel_interpret", False))
+
+        def step_fused(state: CavityState) -> CavityState:
+            u_lid_dyn = _lid_speed(cfg, state.step)
+            f, rho, ux, uy = collide_stream_cavity(
+                state.f, state.rho, state.ux, state.uy, u_lid_dyn,
+                tau=tau, interpret=interpret)
+            return CavityState(f=f, rho=rho, ux=ux, uy=uy,
+                               step=state.step + 1)
+
+        return step_fused
+
+    if backend != "jnp":
+        raise ValueError(f"cavity backend must be jnp|fused, got {backend!r}")
 
     def step(state: CavityState) -> CavityState:
-        t = state.step.astype(dtype)
-        u_lid_dyn = jnp.where(
-            t < cfg.sigma, cfg.u_lid / cfg.sigma * t, cfg.u_lid
-        )
+        u_lid_dyn = _lid_speed(cfg, state.step)
 
         # collide against the equilibrium of the *current* macros
-        feq = _equilibrium(state.rho, state.ux, state.uy, dtype)
-        f = state.f - (state.f - feq) / tau
+        f_dirs = collide_dirs([state.f[i] for i in range(D2Q9.Q)],
+                              state.rho, state.ux, state.uy, tau)
 
         # pull streaming + walls + moving lid
-        f = stream_cavity(f, u_lid_dyn)
+        f = stream_cavity(jnp.stack(f_dirs), u_lid_dyn)
 
         # macros with the rho<1e-10 guard (LBM.cpp:74-88)
-        cx = jnp.asarray(D2Q9.CX.astype(np.float64), dtype)[:, None, None]
-        cy = jnp.asarray(D2Q9.CY.astype(np.float64), dtype)[:, None, None]
-        rho_raw = jnp.sum(f, axis=0)
-        px = jnp.sum(f * cx, axis=0)
-        py = jnp.sum(f * cy, axis=0)
-        alive = rho_raw >= 1e-10
-        safe = jnp.where(alive, rho_raw, 1.0)
-        rho = jnp.where(alive, rho_raw, 0.0)
-        ux = jnp.where(alive, px / safe, 0.0)
-        uy = jnp.where(alive, py / safe, 0.0)
+        rho, ux, uy = macros_guarded([f[i] for i in range(D2Q9.Q)])
 
         return CavityState(f=f, rho=rho, ux=ux, uy=uy, step=state.step + 1)
 

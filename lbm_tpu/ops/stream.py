@@ -257,7 +257,6 @@ def stream_cavity(f: jnp.ndarray, u_lid_dyn: jnp.ndarray | float) -> jnp.ndarray
     f: (Q, NY, NX); index y is the second axis (y=0 bottom, y=NY-1 top/lid).
     """
     dtype = f.dtype
-    w = D2Q9.W
 
     # interior pull: inverse shift of push => roll by +c (f[y-cy, x-cx])
     fn = jnp.stack(
@@ -281,10 +280,10 @@ def stream_cavity(f: jnp.ndarray, u_lid_dyn: jnp.ndarray | float) -> jnp.ndarray
     fn = fn.at[6, 0, :].set(f[8, 0, :])
 
     # top moving lid y=NY-1 (written last: wins the two top corners)
-    rho_top = jnp.sum(f[:, -1, :], axis=0)
+    from .cavity import lid_deltas, sum_dirs
+    rho_top = sum_dirs([f[i, -1, :] for i in range(Q)])
     u = jnp.asarray(u_lid_dyn, dtype)
-    d5 = -6.0 * w[5] * rho_top * (float(CX[5]) * u)
-    d6 = -6.0 * w[6] * rho_top * (float(CX[6]) * u)
+    d5, d6 = lid_deltas(rho_top, u)
     fn = fn.at[4, -1, :].set(f[2, -1, :])          # d2 = 0 since cx[2] = 0
     fn = fn.at[7, -1, :].set(f[5, -1, :] + d5)
     fn = fn.at[8, -1, :].set(f[6, -1, :] + d6)

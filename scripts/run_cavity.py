@@ -30,6 +30,9 @@ def main():
     p.add_argument("--no-video", action="store_true")
     p.add_argument("--stability-guard", action="store_true",
                    help="auto-resize grid if tau leaves [0.5, 2]")
+    p.add_argument("--backend", choices=("jnp", "fused"), default="jnp",
+                   help="fused = single-HBM-pass Pallas kernel "
+                        "(needs NX divisible by 8; ~3x the jnp step on TPU)")
     args = p.parse_args()
 
     import jax
@@ -49,7 +52,10 @@ def main():
 
     cfg = CavityConfig(NX=args.nx, NY=args.nx, nsteps=args.steps,
                        u_lid=args.u_lid, Re=args.re,
-                       dtype=jnp.float64 if args.f64 else jnp.float32)
+                       dtype=jnp.float64 if args.f64 else jnp.float32,
+                       backend=args.backend,
+                       kernel_interpret=(args.backend == "fused"
+                                         and args.cpu))
     if args.stability_guard:
         cfg = cfg.with_stability_guard()
     print(f"cavity: {cfg.NX}^2, tau={cfg.tau:.4f}, {cfg.nsteps} steps")
