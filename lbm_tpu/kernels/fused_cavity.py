@@ -61,11 +61,17 @@ def _roll_x(a: jnp.ndarray, shift: int) -> jnp.ndarray:
     return jnp.concatenate((a[..., -shift:], a[..., :-shift]), axis=-1)
 
 
-def _make_kernel(tau: float, ty: int, nk: int):
+def _make_emit(ty: int, nk: int):
     def emit(k, below_rows, ulid_row,
-             fo_ref, rho_o, ux_o, uy_o, prev, last8):
+             fo_ref, rho_o, ux_o, uy_o, prev, last8,
+             bflag_row=None, tflag_row=None):
         """Assemble the band streamed at grid step k (= band k-1), apply
-        the wall/lid fixups, compute its macros, write everything."""
+        the wall/lid fixups, compute its macros, write everything.
+
+        bflag_row/tflag_row: None when this kernel owns the global
+        bottom/top wall (single device); in the sharded halo variant they
+        are (1, NX) 0/1 rows gating the bottom-wall and lid fixups to the
+        shards that actually hold those walls."""
         pv = [prev[i] for i in range(Q)]
 
         # interior y-assembly (periodic x already applied in pv)
@@ -110,6 +116,8 @@ def _make_kernel(tau: float, ty: int, nk: int):
             return _roll_x(row, -CX[i])
 
         is_b = jnp.logical_and(k == 1, iota == 0)
+        if bflag_row is not None:
+            is_b = jnp.logical_and(is_b, bflag_row > 0)
         out[2] = jnp.where(is_b, pv[4][0:1], out[2])
         out[5] = jnp.where(is_b, unroll_row(7, pv[7][0:1]), out[5])
         out[6] = jnp.where(is_b, unroll_row(8, pv[8][0:1]), out[6])
@@ -120,6 +128,8 @@ def _make_kernel(tau: float, ty: int, nk: int):
         rho_top = sum_dirs(top)
         d5, d6 = lid_deltas(rho_top, ulid_row)
         is_t = jnp.logical_and(k == nk, iota == ty - 1)
+        if tflag_row is not None:
+            is_t = jnp.logical_and(is_t, tflag_row > 0)
         out[4] = jnp.where(is_t, top[2], out[4])
         out[7] = jnp.where(is_t, top[5] + d5, out[7])
         out[8] = jnp.where(is_t, top[6] + d6, out[8])
@@ -130,6 +140,12 @@ def _make_kernel(tau: float, ty: int, nk: int):
         rho_o[:] = rho
         ux_o[:] = ux
         uy_o[:] = uy
+
+    return emit
+
+
+def _make_kernel(tau: float, ty: int, nk: int):
+    emit = _make_emit(ty, nk)
 
     def kernel(f_ref, rho_ref, ux_ref, uy_ref, ulid_ref,
                fo_ref, rho_o, ux_o, uy_o,
@@ -163,6 +179,161 @@ def _make_kernel(tau: float, ty: int, nk: int):
                  fo_ref, rho_o, ux_o, uy_o, prev, last8)
 
     return kernel
+
+
+def _make_halo_kernel(tau: float, ty: int, nk: int):
+    """Sharded (y-row-sharded) variant: the rows above/below the shard
+    arrive as pre-collision 8-row strips (+ their stored macros) exchanged
+    over ICI, and are collided redundantly in-kernel — elementwise math,
+    so bitwise-identical to the neighbor's own result. The bottom-wall and
+    lid fixups are gated by 0/1 flag rows so only the shards holding the
+    global walls apply them (interior shards stream across the boundary).
+    """
+    emit = _make_emit(ty, nk)
+
+    def collide_strip(f_ref, mac_ref):
+        fd = collide_dirs([f_ref[i] for i in range(Q)],
+                          mac_ref[0], mac_ref[1], mac_ref[2], tau)
+        return [_roll_x(fd[i], CX[i]) for i in range(Q)]
+
+    def kernel(f_ref, rho_ref, ux_ref, uy_ref,
+               fup_ref, mup_ref, fdn_ref, mdn_ref, aux_ref,
+               fo_ref, rho_o, ux_o, uy_o,
+               prev, last8):
+        k = pl.program_id(0)
+        ulid_row = aux_ref[0:1, :]
+        bflag = aux_ref[1:2, :]
+        tflag = aux_ref[2:3, :]
+
+        @pl.when(k < nk)
+        def _():
+            # seed last8 with the collided upper strip (only row 7 — the
+            # row immediately above the shard — is ever consumed)
+            @pl.when(k == 0)
+            def _():
+                fvu = collide_strip(fup_ref, mup_ref)
+                for gi, i in enumerate(_DIRS_POS):
+                    last8[gi] = fvu[i]
+
+            fd = collide_dirs([f_ref[i] for i in range(Q)],
+                              rho_ref[:], ux_ref[:], uy_ref[:], tau)
+            fv = [_roll_x(fd[i], CX[i]) for i in range(Q)]
+
+            @pl.when(k >= 1)
+            def _():
+                below = [fv[i][0:1] for i in _DIRS_NEG]
+                emit(k, below, ulid_row,
+                     fo_ref, rho_o, ux_o, uy_o, prev, last8,
+                     bflag_row=bflag, tflag_row=tflag)
+                for gi, i in enumerate(_DIRS_POS):
+                    last8[gi] = prev[i, ty - 8:, :]
+
+            for i in range(Q):
+                prev[i] = fv[i]
+
+        @pl.when(k == nk)
+        def _():
+            fvd = collide_strip(fdn_ref, mdn_ref)
+            below = [fvd[i][0:1] for i in _DIRS_NEG]
+            emit(k, below, ulid_row,
+                 fo_ref, rho_o, ux_o, uy_o, prev, last8,
+                 bflag_row=bflag, tflag_row=tflag)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "interpret", "band"))
+def collide_stream_cavity_halo(
+    f: jnp.ndarray,      # (Q, NYl, NX) local y-shard
+    rho: jnp.ndarray,    # (NYl, NX)
+    ux: jnp.ndarray,
+    uy: jnp.ndarray,
+    f_up: jnp.ndarray,   # (Q, 8, NX) pre-collision rows above the shard
+    mac_up: jnp.ndarray,  # (3, 8, NX) their stored rho/ux/uy
+    f_dn: jnp.ndarray,   # (Q, 8, NX) rows below
+    mac_dn: jnp.ndarray,
+    u_lid_dyn,           # traced scalar
+    bottom,              # traced 0/1 scalar: this shard holds y=0
+    top,                 # traced 0/1 scalar: this shard holds y=NY-1
+    *,
+    tau: float,
+    interpret: bool = False,
+    band: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused cavity step for one y-shard with explicit halo strips.
+
+    Only the upper strip's LAST row and the lower strip's FIRST row are
+    consumed; 8-row strips keep the VMEM refs sublane-aligned. On wall
+    shards the corresponding strip is ignored (the wall fixups win), so
+    ring-wrapped ppermute exchanges are fine.
+    """
+    Qd, NY, NX = f.shape
+    assert Qd == Q
+    ty = band or _pick_band(NY, NX, f.dtype.itemsize)
+    if ty < 8 or NY % ty or ty % 8:
+        raise ValueError(f"band height {ty} invalid for NY={NY}")
+    nk = NY // ty
+    grid = (nk + 1,)
+
+    def in_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
+
+    def out_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk, jnp.int32(nk - 1),
+                         jnp.maximum(k - jnp.int32(1), jnp.int32(0)))
+
+    pop_in = pl.BlockSpec((Q, ty, NX), lambda k: (0, in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    fld_in = pl.BlockSpec((ty, NX), lambda k: (in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    pop_out = pl.BlockSpec((Q, ty, NX), lambda k: (0, out_band(k), 0),
+                           memory_space=pltpu.VMEM)
+    fld_out = pl.BlockSpec((ty, NX), lambda k: (out_band(k), 0),
+                           memory_space=pltpu.VMEM)
+    halo_pop = pl.BlockSpec((Q, 8, NX), lambda k: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    halo_mac = pl.BlockSpec((3, 8, NX), lambda k: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    aux_in = pl.BlockSpec((3, NX), lambda k: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    dt = f.dtype
+    aux = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(u_lid_dyn, dt), (1, NX)),
+        jnp.broadcast_to(jnp.asarray(bottom, dt), (1, NX)),
+        jnp.broadcast_to(jnp.asarray(top, dt), (1, NX)),
+    ], axis=0)
+
+    kernel = _make_halo_kernel(float(tau), ty, nk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pop_in, fld_in, fld_in, fld_in,
+                  halo_pop, halo_mac, halo_pop, halo_mac, aux_in],
+        out_specs=(pop_out, fld_out, fld_out, fld_out),
+        out_shape=(
+            jax.ShapeDtypeStruct(f.shape, dt),
+            jax.ShapeDtypeStruct(rho.shape, dt),
+            jax.ShapeDtypeStruct(ux.shape, dt),
+            jax.ShapeDtypeStruct(uy.shape, dt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Q, ty, NX), dt),
+            pltpu.VMEM((3, 8, NX), dt),
+        ],
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        cost_estimate=pl.CostEstimate(
+            flops=int(150 * NY * NX),
+            bytes_accessed=2 * (Q + 3) * NY * NX * dt.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f, rho, ux, uy, f_up, mac_up, f_dn, mac_dn, aux)
 
 
 def _pick_band(NY: int, NX: int, itemsize: int) -> int:

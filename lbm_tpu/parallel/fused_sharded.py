@@ -649,3 +649,84 @@ def make_fused_sharded_step3d_auto(
         f"{cfg.NZ}x{cfg.NY}x{cfg.NX} over {n} devices: either an axis is "
         f"indivisible or the per-shard cross-section exceeds every "
         f"kernel's VMEM budget (docs/MIGRATION.md section 6)")
+
+
+def make_fused_sharded_cavity_step(
+    cfg,
+    mesh: Mesh,
+    interpret: bool | None = None,
+):
+    """Jitted multi-chip cavity step: fused halo kernel over a 1-D (dy)
+    row-sharded mesh.
+
+    The TPU-native replacement for the reference cavity's OpenMP loops
+    (old codes/LBM_classic/LBM.cpp `#pragma omp parallel for`; its strong
+    scaling flat-lined at ~2x on 4 cores, BASELINE.md). Each step every
+    device ppermutes its edge 8-row strips of f AND the stored macros to
+    its y-neighbors (the halo collide needs both), then runs the fused
+    collide+stream+BC+macros kernel on its shard; the bottom-wall / lid
+    fixups are gated to the shards holding the global walls. No global
+    stage exists (the cavity has no Poisson solve), so the step is pure
+    neighbor traffic: O(NX) bytes per device per step over ICI.
+
+    Requires NY divisible by 8 * n_devices. Returns a jitted step with
+    in/out shardings set (jit re-places any input state).
+    """
+    from ..kernels.fused_cavity import collide_stream_cavity_halo
+    from ..models.cavity import CavityState, _lid_speed
+
+    if AXIS_Y not in mesh.axis_names:
+        raise ValueError(f"mesh must have a '{AXIS_Y}' axis")
+    n_dev = mesh.shape[AXIS_Y]
+    extra = [a for a in mesh.axis_names if a != AXIS_Y and mesh.shape[a] != 1]
+    if extra:
+        raise ValueError("fused sharded cavity step is 1-D (dy) only; got "
+                         f"nontrivial axes {extra}")
+    if cfg.NY % (8 * n_dev):
+        raise ValueError(f"NY={cfg.NY} must be divisible by 8*{n_dev} "
+                         "(the Ghia 129^2 default is indivisible — use the "
+                         "GSPMD path or a multiple-of-8 grid)")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+    tau = cfg.tau
+
+    pop_spec = P(None, AXIS_Y, None)
+    fld_spec = P(AXIS_Y, None)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(pop_spec, fld_spec, fld_spec, fld_spec, P()),
+             out_specs=(pop_spec, fld_spec, fld_spec, fld_spec),
+             check_vma=False)  # pallas_call outputs carry no vma metadata
+    def local_step(f, rho, ux, uy, u_lid_dyn):
+        idx = jax.lax.axis_index(AXIS_Y)
+        fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]  # recv from d-1
+        bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]  # recv from d+1
+
+        def xchg(a, rows, perm):
+            return jax.lax.ppermute(a[..., rows, :], AXIS_Y, perm)
+
+        mac = jnp.stack([rho, ux, uy])
+        f_up = xchg(f, slice(-8, None), fwd)
+        m_up = xchg(mac, slice(-8, None), fwd)
+        f_dn = xchg(f, slice(0, 8), bwd)
+        m_dn = xchg(mac, slice(0, 8), bwd)
+        return collide_stream_cavity_halo(
+            f, rho, ux, uy, f_up, m_up, f_dn, m_dn,
+            u_lid_dyn, (idx == 0), (idx == n_dev - 1),
+            tau=tau, interpret=interpret)
+
+    def step(state):
+        u = _lid_speed(cfg, state.step)
+        f, rho, ux, uy = local_step(state.f, state.rho, state.ux,
+                                    state.uy, u)
+        return CavityState(f=f, rho=rho, ux=ux, uy=uy,
+                           step=state.step + 1)
+
+    shardings = CavityState(
+        f=NamedSharding(mesh, pop_spec),
+        rho=NamedSharding(mesh, fld_spec),
+        ux=NamedSharding(mesh, fld_spec),
+        uy=NamedSharding(mesh, fld_spec),
+        step=NamedSharding(mesh, P()),
+    )
+    return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)

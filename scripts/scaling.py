@@ -99,6 +99,32 @@ def _run_one(cfg, mesh, steps: int):
     return _timed_trials(make_fn, init_fn, steps)
 
 
+def _run_one_cavity(cfg, mesh, steps: int):
+    """Wall-ms + effective steps for the cavity workload (the reference's
+    second benchmark family: grid scaling in grafici.ipynb cell 1, strong
+    scaling in cells 2-3). Sharded runs use the fused halo-kernel path."""
+    import jax
+
+    from lbm_tpu.models import cavity
+
+    if mesh is None:
+        def make_fn(k):
+            return jax.jit(cavity.make_rollout(cfg, k), donate_argnums=(0,))
+        return _timed_trials(make_fn, lambda: cavity.init_state(cfg), steps)
+
+    from lbm_tpu.parallel.fused_sharded import make_fused_sharded_cavity_step
+    step1 = make_fused_sharded_cavity_step(cfg, mesh)
+
+    def make_fn(k):
+        def roll(state):
+            out, _ = jax.lax.scan(lambda s, _: (step1(s), None), state,
+                                  None, length=k)
+            return out
+        return jax.jit(roll, donate_argnums=(0,))
+
+    return _timed_trials(make_fn, lambda: cavity.init_state(cfg), steps)
+
+
 def cmd_run(args):
     device_counts = ([int(d) for d in args.devices.split(",")]
                      if args.devices else [])
@@ -136,6 +162,29 @@ def cmd_run(args):
     bc = C.BC[args.bc]
 
     def measure(nx, ny, sol, n_dev):
+        if args.workload == "cavity":
+            # single-population cavity (reference: grafici.ipynb tables);
+            # solver/bc columns are fixed (NONE, BounceBack walls)
+            mesh = None
+            if n_dev:
+                devs = jax.devices("cpu")[:n_dev]
+                mesh = Mesh(np.asarray(devs), (AXIS_Y,))
+            backend = args.backend if args.backend in ("jnp", "fused") \
+                else "fused"
+            cfg = C.CavityConfig(NX=nx, NY=ny, nsteps=args.steps,
+                                 dtype=jnp.float32,
+                                 backend=backend if n_dev == 0 else "jnp")
+            wall_ms, eff = _run_one_cavity(cfg, mesh, args.steps)
+            wall_ms *= args.steps / eff
+            mlups = nx * ny * args.steps / wall_ms / 1000
+            timing.append_timing_csv(
+                args.csv, NX=nx, NY=ny, nsteps=args.steps,
+                n_devices=(n_dev or len(jax.devices())),
+                poisson=C.PoissonSolver.NONE.value, bc=C.BC.BOUNCE_BACK.value,
+                wall_ms=wall_ms)
+            print(f"cavity {nx}x{ny} dev={n_dev or 'native'}: "
+                  f"{wall_ms:8.1f} ms ({mlups:8.1f} MLUPS)", flush=True)
+            return
         backend = args.backend if n_dev == 0 else "jnp"
         mesh = None
         if n_dev:
@@ -341,6 +390,11 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     r = sub.add_parser("run")
     r.add_argument("--grids", default="128,256,512,1024")
+    r.add_argument("--workload", choices=["plasma", "cavity"],
+                   default="plasma",
+                   help="cavity = the reference's second benchmark family "
+                        "(grafici.ipynb grid/strong scaling); solver/bc "
+                        "columns are fixed for it")
     r.add_argument("--solvers", default="FFT")
     r.add_argument("--bc", default="PERIODIC")
     r.add_argument("--steps", type=int, default=30)

@@ -93,3 +93,48 @@ def test_fused_rejects_indivisible_ny():
 def test_backend_validation():
     with pytest.raises(ValueError):
         CavityConfig(backend="cuda")
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) fused cavity: shard_map + ICI halo strips
+# ---------------------------------------------------------------------------
+
+def _mesh_1d(n):
+    from jax.sharding import Mesh
+    from lbm_tpu.parallel.mesh import AXIS_Y
+    return Mesh(np.asarray(jax.devices()[:n]), (AXIS_Y,))
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_sharded_fused_cavity_matches_single(ndev):
+    """4-device CPU mesh vs the single-device jnp path across the lid
+    ramp (f64, interpret kernels): every wall/lid fixup must land on the
+    right shard."""
+    from lbm_tpu.parallel import fused_sharded
+
+    cfg = CavityConfig(NX=48, NY=64, nsteps=0, dtype=jnp.float64)
+    ref = _run(cfg, 30)
+
+    step_sh = fused_sharded.make_fused_sharded_cavity_step(
+        cfg, _mesh_1d(ndev))
+    s = cavity.init_state(cfg)
+    for _ in range(30):
+        s = step_sh(s)
+
+    # abs gates: measured deltas are f64-ulp (<= 7e-16, the fusion-context
+    # effect); the atol covers relative blow-up on ~1e-13 velocities
+    np.testing.assert_allclose(np.asarray(s.f), np.asarray(ref.f),
+                               rtol=1e-11, atol=1e-16)
+    np.testing.assert_allclose(np.asarray(s.ux), np.asarray(ref.ux),
+                               rtol=1e-11, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s.uy), np.asarray(ref.uy),
+                               rtol=1e-11, atol=1e-14)
+    assert float(jnp.abs(s.ux).max()) > 1e-5  # developed flow
+
+
+def test_sharded_fused_cavity_rejects_indivisible():
+    from lbm_tpu.parallel import fused_sharded
+
+    cfg = CavityConfig()  # the Ghia 129^2 default
+    with pytest.raises(ValueError, match="divisible"):
+        fused_sharded.make_fused_sharded_cavity_step(cfg, _mesh_1d(2))
