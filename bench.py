@@ -133,7 +133,7 @@ def measure3d(n: int, steps: int, storage: str = "native",
     return n * n * nz * eff / dt / 1e6
 
 
-def measure_cavity(n: int, steps: int) -> float:
+def measure_cavity(n: int, steps: int, storage: str = "native") -> float:
     """Single-population D2Q9 lid-driven cavity at n x n — the reference's
     SECOND benchmarked workload (BASELINE.md cavity grid-scaling rows:
     1000^2 x 10k steps = 8,841 ms ~ 1,131 MLUPS on the authors' machine).
@@ -151,7 +151,7 @@ def measure_cavity(n: int, steps: int) -> float:
         "BENCH_CAVITY_BACKEND",
         "fused" if (n % 8 == 0 and not on_cpu) else "jnp")
     cfg = dataclasses.replace(CavityConfig(), NX=n, NY=n, nsteps=steps,
-                              backend=backend)
+                              backend=backend, storage=storage)
     k_short = max(steps // 5, 1)
     roll_long = jax.jit(cavity.make_rollout(cfg, steps), donate_argnums=(0,))
     roll_short = jax.jit(cavity.make_rollout(cfg, k_short),
@@ -275,6 +275,10 @@ def main() -> None:
         # number the plasma ratios don't cover
         attempt(f"cavity_mlups_{ncav}x{ncav}",
                 lambda: measure_cavity(ncav, 2000))
+        # bf16 delta storage (60 B/site; Ghia-identical accuracy) — the
+        # cavity's own fast mode, fused backend only
+        attempt(f"cavity_mlups_{ncav}x{ncav}_bf16",
+                lambda: measure_cavity(ncav, 2000, "bf16"))
     if extra:
         out["extra"] = extra
     print(json.dumps(out))

@@ -198,6 +198,14 @@ class CavityConfig:
     backend: str = "jnp"
     # Run the Pallas kernel in interpret mode (CPU testing).
     kernel_interpret: bool = False
+    # Population storage: "native" keeps f in cfg.dtype; "bf16" stores f as
+    # bfloat16 DEVIATIONS from the uniform background w_i (the lattice
+    # background is exactly invariant under cavity streaming + bounce-back
+    # since w5=w7 and w6=w8), with all arithmetic and the stored macros in
+    # f32. Measured: Ghia errors identical to f32 (u 2.6% / v 1.2% at
+    # 128^2/10k), mass drift ~1e-4; storing macros in bf16 or f plainly
+    # (non-delta) degrades Ghia to 4-19% — rejected (docs/STATUS.md).
+    storage: str = "native"
 
     # Stability-guard mode replicating old codes/LBM_classic/Stability:
     # if tau falls outside [0.5, 2.0], resize NY (and NX to match) to bring
@@ -208,6 +216,12 @@ class CavityConfig:
         if self.backend not in ("jnp", "fused"):
             raise ValueError(
                 f"cavity backend must be jnp|fused, got {self.backend!r}")
+        if self.storage not in ("native", "bf16"):
+            raise ValueError(
+                f"cavity storage must be native|bf16, got {self.storage!r}")
+        if self.storage == "bf16" and self.dtype != jnp.float32:
+            raise ValueError("cavity bf16 storage computes in f32; set "
+                             "dtype=float32 (f64 runs use native storage)")
 
     @property
     def tau(self) -> float:

@@ -47,11 +47,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.cavity import (CX, CY, Q, collide_dirs, lid_deltas,
+from ..ops.cavity import (CX, CY, Q, W, collide_dirs, lid_deltas,
                           macros_guarded, sum_dirs)
 
 _DIRS_POS = [i for i in range(Q) if CY[i] == 1]    # 2, 5, 6
 _DIRS_NEG = [i for i in range(Q) if CY[i] == -1]   # 4, 7, 8
+
+
+def _decode_dir(plane, i):
+    """Full population from its storage form. bf16 storage holds f as
+    bfloat16 deviations from the uniform background w_i (exactly invariant
+    under cavity streaming + bounce-back: w5=w7, w6=w8); all arithmetic
+    runs in f32 (CavityConfig.storage, models/cavity.decode_f)."""
+    if plane.dtype == jnp.bfloat16:
+        return plane.astype(jnp.float32) + W[i]
+    return plane
+
+
+def _encode_dir(plane, i, dt_store):
+    """Storage form of a full population — the step's single lossy
+    rounding in bf16 mode (models/cavity.encode_f)."""
+    if dt_store == jnp.bfloat16:
+        return (plane - W[i]).astype(jnp.bfloat16)
+    return plane
 
 
 def _roll_x(a: jnp.ndarray, shift: int) -> jnp.ndarray:
@@ -61,7 +79,7 @@ def _roll_x(a: jnp.ndarray, shift: int) -> jnp.ndarray:
     return jnp.concatenate((a[..., -shift:], a[..., :-shift]), axis=-1)
 
 
-def _make_emit(ty: int, nk: int):
+def _make_emit(ty: int, nk: int, dt_store=None):
     def emit(k, below_rows, ulid_row,
              fo_ref, rho_o, ux_o, uy_o, prev, last8,
              bflag_row=None, tflag_row=None):
@@ -136,7 +154,7 @@ def _make_emit(ty: int, nk: int):
 
         rho, ux, uy = macros_guarded(out)
         for i in range(Q):
-            fo_ref[i] = out[i]
+            fo_ref[i] = _encode_dir(out[i], i, dt_store)
         rho_o[:] = rho
         ux_o[:] = ux
         uy_o[:] = uy
@@ -144,8 +162,8 @@ def _make_emit(ty: int, nk: int):
     return emit
 
 
-def _make_kernel(tau: float, ty: int, nk: int):
-    emit = _make_emit(ty, nk)
+def _make_kernel(tau: float, ty: int, nk: int, dt_store=None):
+    emit = _make_emit(ty, nk, dt_store)
 
     def kernel(f_ref, rho_ref, ux_ref, uy_ref, ulid_ref,
                fo_ref, rho_o, ux_o, uy_o,
@@ -155,7 +173,7 @@ def _make_kernel(tau: float, ty: int, nk: int):
 
         @pl.when(k < nk)
         def _():
-            fd = collide_dirs([f_ref[i] for i in range(Q)],
+            fd = collide_dirs([_decode_dir(f_ref[i], i) for i in range(Q)],
                               rho_ref[:], ux_ref[:], uy_ref[:], tau)
             fv = [_roll_x(fd[i], CX[i]) for i in range(Q)]
 
@@ -181,7 +199,7 @@ def _make_kernel(tau: float, ty: int, nk: int):
     return kernel
 
 
-def _make_halo_kernel(tau: float, ty: int, nk: int):
+def _make_halo_kernel(tau: float, ty: int, nk: int, dt_store=None):
     """Sharded (y-row-sharded) variant: the rows above/below the shard
     arrive as pre-collision 8-row strips (+ their stored macros) exchanged
     over ICI, and are collided redundantly in-kernel — elementwise math,
@@ -189,10 +207,10 @@ def _make_halo_kernel(tau: float, ty: int, nk: int):
     lid fixups are gated by 0/1 flag rows so only the shards holding the
     global walls apply them (interior shards stream across the boundary).
     """
-    emit = _make_emit(ty, nk)
+    emit = _make_emit(ty, nk, dt_store)
 
     def collide_strip(f_ref, mac_ref):
-        fd = collide_dirs([f_ref[i] for i in range(Q)],
+        fd = collide_dirs([_decode_dir(f_ref[i], i) for i in range(Q)],
                           mac_ref[0], mac_ref[1], mac_ref[2], tau)
         return [_roll_x(fd[i], CX[i]) for i in range(Q)]
 
@@ -215,7 +233,7 @@ def _make_halo_kernel(tau: float, ty: int, nk: int):
                 for gi, i in enumerate(_DIRS_POS):
                     last8[gi] = fvu[i]
 
-            fd = collide_dirs([f_ref[i] for i in range(Q)],
+            fd = collide_dirs([_decode_dir(f_ref[i], i) for i in range(Q)],
                               rho_ref[:], ux_ref[:], uy_ref[:], tau)
             fv = [_roll_x(fd[i], CX[i]) for i in range(Q)]
 
@@ -270,7 +288,11 @@ def collide_stream_cavity_halo(
     """
     Qd, NY, NX = f.shape
     assert Qd == Q
-    ty = band or _pick_band(NY, NX, f.dtype.itemsize)
+    dt = f.dtype
+    cdt = rho.dtype
+    if dt == jnp.bfloat16 and cdt != jnp.float32:
+        raise ValueError("bf16 f storage requires f32 macros")
+    ty = band or _pick_band(NY, NX, jnp.dtype(cdt).itemsize)
     if ty < 8 or NY % ty or ty % 8:
         raise ValueError(f"band height {ty} invalid for NY={NY}")
     nk = NY // ty
@@ -300,14 +322,14 @@ def collide_stream_cavity_halo(
     aux_in = pl.BlockSpec((3, NX), lambda k: (0, 0),
                           memory_space=pltpu.VMEM)
 
-    dt = f.dtype
     aux = jnp.concatenate([
-        jnp.broadcast_to(jnp.asarray(u_lid_dyn, dt), (1, NX)),
-        jnp.broadcast_to(jnp.asarray(bottom, dt), (1, NX)),
-        jnp.broadcast_to(jnp.asarray(top, dt), (1, NX)),
+        jnp.broadcast_to(jnp.asarray(u_lid_dyn, cdt), (1, NX)),
+        jnp.broadcast_to(jnp.asarray(bottom, cdt), (1, NX)),
+        jnp.broadcast_to(jnp.asarray(top, cdt), (1, NX)),
     ], axis=0)
 
-    kernel = _make_halo_kernel(float(tau), ty, nk)
+    kernel = _make_halo_kernel(float(tau), ty, nk,
+                               dt_store=(dt if dt == jnp.bfloat16 else None))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -316,18 +338,19 @@ def collide_stream_cavity_halo(
         out_specs=(pop_out, fld_out, fld_out, fld_out),
         out_shape=(
             jax.ShapeDtypeStruct(f.shape, dt),
-            jax.ShapeDtypeStruct(rho.shape, dt),
-            jax.ShapeDtypeStruct(ux.shape, dt),
-            jax.ShapeDtypeStruct(uy.shape, dt),
+            jax.ShapeDtypeStruct(rho.shape, cdt),
+            jax.ShapeDtypeStruct(ux.shape, cdt),
+            jax.ShapeDtypeStruct(uy.shape, cdt),
         ),
         scratch_shapes=[
-            pltpu.VMEM((Q, ty, NX), dt),
-            pltpu.VMEM((3, 8, NX), dt),
+            pltpu.VMEM((Q, ty, NX), cdt),
+            pltpu.VMEM((3, 8, NX), cdt),
         ],
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         cost_estimate=pl.CostEstimate(
             flops=int(150 * NY * NX),
-            bytes_accessed=2 * (Q + 3) * NY * NX * dt.itemsize,
+            bytes_accessed=2 * NY * NX * (Q * dt.itemsize
+                                          + 3 * jnp.dtype(cdt).itemsize),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -375,10 +398,15 @@ def collide_stream_cavity(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused cavity step. Returns (f_new, rho, ux, uy) — the streamed
     populations and their guarded macros, exactly as models/cavity.py's
-    jnp step computes them."""
+    jnp step computes them. f may be bf16 (delta storage, see _decode_dir);
+    the macros always carry the compute dtype."""
     Qd, NY, NX = f.shape
     assert Qd == Q
-    ty = band or _pick_band(NY, NX, f.dtype.itemsize)
+    dt = f.dtype
+    cdt = rho.dtype
+    if dt == jnp.bfloat16 and cdt != jnp.float32:
+        raise ValueError("bf16 f storage requires f32 macros")
+    ty = band or _pick_band(NY, NX, jnp.dtype(cdt).itemsize)
     if ty < 8 or NY % ty or ty % 8:
         raise ValueError(f"band height {ty} invalid for NY={NY}")
     nk = NY // ty
@@ -404,11 +432,11 @@ def collide_stream_cavity(
     lid_in = pl.BlockSpec((1, NX), lambda k: (0, 0),
                           memory_space=pltpu.VMEM)
 
-    dt = f.dtype
     ulid_row = jnp.broadcast_to(
-        jnp.asarray(u_lid_dyn, dt), (1, NX))
+        jnp.asarray(u_lid_dyn, cdt), (1, NX))
 
-    kernel = _make_kernel(float(tau), ty, nk)
+    kernel = _make_kernel(float(tau), ty, nk,
+                          dt_store=(dt if dt == jnp.bfloat16 else None))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -416,13 +444,13 @@ def collide_stream_cavity(
         out_specs=(pop_out, fld_out, fld_out, fld_out),
         out_shape=(
             jax.ShapeDtypeStruct(f.shape, dt),
-            jax.ShapeDtypeStruct(rho.shape, dt),
-            jax.ShapeDtypeStruct(ux.shape, dt),
-            jax.ShapeDtypeStruct(uy.shape, dt),
+            jax.ShapeDtypeStruct(rho.shape, cdt),
+            jax.ShapeDtypeStruct(ux.shape, cdt),
+            jax.ShapeDtypeStruct(uy.shape, cdt),
         ),
         scratch_shapes=[
-            pltpu.VMEM((Q, ty, NX), dt),    # prev (x-rolled planes)
-            pltpu.VMEM((3, 8, NX), dt),     # last 8 rows of band k-2
+            pltpu.VMEM((Q, ty, NX), cdt),   # prev (x-rolled f32 planes)
+            pltpu.VMEM((3, 8, NX), cdt),    # last 8 rows of band k-2
         ],
         # in-place HBM update: band b's region is fetched (step <= b) before
         # its output is written (step b+1) — same schedule as the plasma
@@ -430,7 +458,8 @@ def collide_stream_cavity(
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         cost_estimate=pl.CostEstimate(
             flops=int(150 * NY * NX),
-            bytes_accessed=2 * (Q + 3) * NY * NX * dt.itemsize,
+            bytes_accessed=2 * NY * NX * (Q * dt.itemsize
+                                          + 3 * jnp.dtype(cdt).itemsize),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(

@@ -33,13 +33,39 @@ class CavityState(NamedTuple):
     step: jnp.ndarray  # () int32
 
 
+def _w_bg(dtype):
+    return jnp.asarray(D2Q9.W, dtype)[:, None, None]
+
+
+def decode_f(cfg: CavityConfig, f: jnp.ndarray) -> jnp.ndarray:
+    """Full populations in compute dtype. bf16 storage holds f as bfloat16
+    deviations from the uniform background w_i (see CavityConfig.storage)."""
+    if cfg.storage == "bf16":
+        return f.astype(jnp.float32) + _w_bg(jnp.float32)
+    return f
+
+
+def encode_f(cfg: CavityConfig, f_full: jnp.ndarray) -> jnp.ndarray:
+    """Storage representation of full populations (the step's single lossy
+    rounding in bf16 mode)."""
+    if cfg.storage == "bf16":
+        return (f_full - _w_bg(jnp.float32)).astype(jnp.bfloat16)
+    return f_full
+
+
 def init_state(cfg: CavityConfig) -> CavityState:
-    """rho=1, u=0, f = f_eq = w (old codes/LBM_classic/LBM.cpp:26-41)."""
+    """rho=1, u=0, f = f_eq = w (old codes/LBM_classic/LBM.cpp:26-41).
+
+    In bf16 storage mode the f deviation from the background is exactly
+    zero at init, so the representation is lossless there."""
     dtype = cfg.dtype
     NY, NX = cfg.NY, cfg.NX
-    f = jnp.broadcast_to(
-        jnp.asarray(D2Q9.W, dtype)[:, None, None], (D2Q9.Q, NY, NX)
-    ).copy()
+    if cfg.storage == "bf16":
+        f = jnp.zeros((D2Q9.Q, NY, NX), jnp.bfloat16)
+    else:
+        f = jnp.broadcast_to(
+            jnp.asarray(D2Q9.W, dtype)[:, None, None], (D2Q9.Q, NY, NX)
+        ).copy()
     return CavityState(
         f=f,
         rho=jnp.ones((NY, NX), dtype),
@@ -87,7 +113,8 @@ def make_step(cfg: CavityConfig) -> Callable[[CavityState], CavityState]:
         u_lid_dyn = _lid_speed(cfg, state.step)
 
         # collide against the equilibrium of the *current* macros
-        f_dirs = collide_dirs([state.f[i] for i in range(D2Q9.Q)],
+        ff = decode_f(cfg, state.f)
+        f_dirs = collide_dirs([ff[i] for i in range(D2Q9.Q)],
                               state.rho, state.ux, state.uy, tau)
 
         # pull streaming + walls + moving lid
@@ -96,7 +123,8 @@ def make_step(cfg: CavityConfig) -> Callable[[CavityState], CavityState]:
         # macros with the rho<1e-10 guard (LBM.cpp:74-88)
         rho, ux, uy = macros_guarded([f[i] for i in range(D2Q9.Q)])
 
-        return CavityState(f=f, rho=rho, ux=ux, uy=uy, step=state.step + 1)
+        return CavityState(f=encode_f(cfg, f), rho=rho, ux=ux, uy=uy,
+                           step=state.step + 1)
 
     return step
 

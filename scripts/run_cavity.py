@@ -33,6 +33,10 @@ def main():
     p.add_argument("--backend", choices=("jnp", "fused"), default="jnp",
                    help="fused = single-HBM-pass Pallas kernel "
                         "(needs NX divisible by 8; ~3x the jnp step on TPU)")
+    p.add_argument("--storage", choices=("native", "bf16"), default="native",
+                   help="bf16 = f stored as bfloat16 deviations from the "
+                        "uniform background (60 B/site; Ghia errors "
+                        "identical to f32, mass drift ~1e-4/10k steps)")
     args = p.parse_args()
 
     import jax
@@ -53,7 +57,7 @@ def main():
     cfg = CavityConfig(NX=args.nx, NY=args.nx, nsteps=args.steps,
                        u_lid=args.u_lid, Re=args.re,
                        dtype=jnp.float64 if args.f64 else jnp.float32,
-                       backend=args.backend,
+                       backend=args.backend, storage=args.storage,
                        kernel_interpret=(args.backend == "fused"
                                          and args.cpu))
     if args.stability_guard:

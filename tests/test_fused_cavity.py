@@ -138,3 +138,65 @@ def test_sharded_fused_cavity_rejects_indivisible():
     cfg = CavityConfig()  # the Ghia 129^2 default
     with pytest.raises(ValueError, match="divisible"):
         fused_sharded.make_fused_sharded_cavity_step(cfg, _mesh_1d(2))
+
+
+# ---------------------------------------------------------------------------
+# bf16 delta storage (f as bf16 deviations from w_i; macros f32)
+# ---------------------------------------------------------------------------
+
+def test_bf16_fused_matches_jnp():
+    """Both paths do identical f32 math on identically-decoded state with
+    ONE bf16 rounding at the store, so differences are fusion-context FMA
+    noise optionally amplified to a single bf16 quantum of the delta."""
+    cfg = CavityConfig(NX=48, NY=32, nsteps=0, storage="bf16")
+    ref = _run(cfg, 25)
+
+    cfgf = dataclasses.replace(cfg, backend="fused", kernel_interpret=True)
+    s = jax.jit(cavity.make_rollout(cfgf, 25))(cavity.init_state(cfgf))
+
+    assert s.f.dtype == jnp.bfloat16 and s.rho.dtype == jnp.float32
+    ff = np.asarray(cavity.decode_f(cfg, s.f))
+    fr = np.asarray(cavity.decode_f(cfg, ref.f))
+    # one bf16 quantum (spacing <= 2^-7 |v|) of the max stored delta
+    # bounds any rounding-decision flip
+    q = float(np.abs(np.asarray(ref.f, np.float32)).max()) * 2 ** -7
+    np.testing.assert_allclose(ff, fr, rtol=0, atol=max(q, 1e-6))
+    # macros are f32 but derive from the quantized f: a one-quantum flip in
+    # a few populations moves the momentum sum by a couple of quanta
+    np.testing.assert_allclose(np.asarray(s.ux), np.asarray(ref.ux),
+                               rtol=0, atol=3 * q)
+    assert np.isfinite(ff).all()
+
+
+def test_bf16_mass_conservation_bound():
+    """bf16 delta storage keeps the mass drift at the 1e-4 level over
+    hundreds of steps (plain bf16 f drifts ~1e-2 over 10k — STATUS)."""
+    cfg = CavityConfig(NX=32, NY=32, nsteps=400, storage="bf16")
+    s = cavity.init_state(cfg)
+    s = jax.jit(cavity.make_rollout(cfg))(s)
+    m = float(jnp.sum(cavity.decode_f(cfg, s.f).astype(jnp.float32)))
+    assert abs(m / (32 * 32) - 1.0) < 5e-4
+
+
+def test_bf16_sharded_fused_cavity():
+    """bf16 delta storage through the halo-strip sharded path (halved ICI
+    halo bytes; the redundant halo collide decodes the same way)."""
+    from lbm_tpu.parallel import fused_sharded
+
+    cfg = CavityConfig(NX=48, NY=64, nsteps=0, storage="bf16")
+    ref = _run(cfg, 20)
+    step_sh = fused_sharded.make_fused_sharded_cavity_step(cfg, _mesh_1d(4))
+    s = cavity.init_state(cfg)
+    for _ in range(20):
+        s = step_sh(s)
+    ff = np.asarray(cavity.decode_f(cfg, s.f))
+    fr = np.asarray(cavity.decode_f(cfg, ref.f))
+    q = float(np.abs(np.asarray(fr, np.float32)).max()) * 2 ** -7
+    np.testing.assert_allclose(ff, fr, rtol=0, atol=max(q, 1e-6))
+
+
+def test_bf16_storage_validation():
+    with pytest.raises(ValueError):
+        CavityConfig(storage="fp8")
+    with pytest.raises(ValueError):
+        CavityConfig(storage="bf16", dtype=jnp.float64)
