@@ -117,6 +117,47 @@ def load3d(path: str, dtype=None, device=None):
     return _load(path, Plasma3DState, dtype, device)
 
 
+def save_cavity(path: str, state, *, storage: Optional[str] = None) -> None:
+    """CavityState variant (f, rho, ux, uy, step). ``storage`` records the
+    population layout: "bf16" means f holds bfloat16 DELTAS from the
+    uniform background w_i (CavityConfig.storage)."""
+    from ..models.cavity import CavityState
+
+    _save(path, state, CavityState._fields, storage=storage)
+
+
+def load_cavity(path: str, dtype=None, device=None):
+    from ..models.cavity import CavityState
+
+    return _load(path, CavityState, dtype, device)
+
+
+def reconcile_cavity_state(state, path: str, cfg):
+    """Convert a loaded cavity checkpoint to cfg's storage layout.
+
+    The bf16 cavity layout stores f as deviations from w_i, so a storage
+    mismatch is a LAYOUT mismatch (deltas reinterpreted as populations or
+    vice versa), not just a dtype one — converted exactly here via the
+    models/cavity encode/decode pair. Metadata-less checkpoints are
+    declared native (the only layout that predates the tagging)."""
+    import dataclasses as _dc
+
+    from ..models import cavity as _cav
+    from ..models.cavity import CavityState
+
+    ck = load_meta(path).get("storage", "native")
+    if ck == cfg.storage:
+        return state
+    src_cfg = _dc.replace(cfg, storage=ck)
+    f_full = _cav.decode_f(src_cfg, state.f)
+    if cfg.storage == "native":
+        f_full = f_full.astype(cfg.dtype)
+    return CavityState(
+        f=_cav.encode_f(cfg, f_full),
+        rho=state.rho.astype(cfg.dtype), ux=state.ux.astype(cfg.dtype),
+        uy=state.uy.astype(cfg.dtype), step=state.step)
+
+
 def convert_neutral_layout(state: PlasmaState, *, to_delta: bool,
                            rho_n_ref: float) -> PlasmaState:
     """Convert f[2] between the classic and delta neutral layouts.

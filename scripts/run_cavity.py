@@ -37,6 +37,12 @@ def main():
                    help="bf16 = f stored as bfloat16 deviations from the "
                         "uniform background (60 B/site; Ghia errors "
                         "identical to f32, mass drift ~1e-4/10k steps)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="write <out>/ckpt_<step>.npz every N steps "
+                        "(plus final_state.npz at the end)")
+    p.add_argument("--resume", default="",
+                   help="resume from a cavity .npz checkpoint (storage "
+                        "layout reconciled to --storage)")
     args = p.parse_args()
 
     import jax
@@ -64,8 +70,16 @@ def main():
         cfg = cfg.with_stability_guard()
     print(f"cavity: {cfg.NX}^2, tau={cfg.tau:.4f}, {cfg.nsteps} steps")
 
+    from lbm_tpu.io import checkpoint as ckpt
+
     os.makedirs(args.out, exist_ok=True)
     state = cavity.init_state(cfg)
+    start_step = 0
+    if args.resume:
+        state = ckpt.reconcile_cavity_state(
+            ckpt.load_cavity(args.resume), args.resume, cfg)
+        start_step = int(state.step)
+        print(f"resumed from {args.resume} at step {start_step}")
     step = jax.jit(cavity.make_step(cfg), donate_argnums=(0,))
 
     writer = None
@@ -89,11 +103,20 @@ def main():
     roll = jax.jit(cavity.make_rollout(cfg, chunk), donate_argnums=(0,))
     roll(cavity.init_state(cfg))  # compile outside the timer
 
+    def write_ckpt(st, name=None):
+        path = os.path.join(args.out,
+                            name or f"ckpt_{int(st.step):07d}.npz")
+        ckpt.save_cavity(path, jax.device_get(st), storage=cfg.storage)
+        return path
+
     timer = timing.StepTimer(cfg.NX, cfg.NY)
     timer.start()
     done = 0
-    while done < cfg.nsteps:
-        if cfg.nsteps - done >= chunk:
+    # nsteps is the TOTAL trajectory length: a resumed run does the rest
+    target = max(cfg.nsteps - start_step, 0)
+    next_ckpt = args.checkpoint_every or target + 1
+    while done < target:
+        if target - done >= chunk:
             state = roll(state)
             done += chunk
             timer.tick(chunk)
@@ -103,7 +126,12 @@ def main():
             timer.tick()
         if writer is not None:
             writer.write(np.asarray(jax.device_get(render(state.ux, state.uy))))
+        if args.checkpoint_every and done >= next_ckpt:
+            print(f"checkpoint: {write_ckpt(state)}")
+            next_ckpt += args.checkpoint_every
     float(state.ux[0, 0])  # sync
+    if args.checkpoint_every:
+        write_ckpt(state, "final_state.npz")
     wall_ms = timer.wall_s * 1000
     if writer is not None:
         writer.close()

@@ -78,6 +78,60 @@ def _load_macros(path: str, z_slice: int | None):
     return rho, ux, uy, np.asarray(mac.rho_q), int(state.step)
 
 
+def _plot_cavity(path: str, out: str):
+    """Cavity checkpoint (f, rho, ux, uy, step): heatmap + quiver +
+    streamlines of the single population — the same plot family the
+    reference's Python visualizers produce from its output_*.csv dumps
+    (old codes/LBM_classic/Python visualize/VelocityDensityField.py)."""
+    import dataclasses
+
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.io import checkpoint as ckpt
+
+    state = ckpt.load_cavity(path)
+    storage = ckpt.load_meta(path).get("storage", "native")
+    NY, NX = np.asarray(state.rho).shape
+    print(f"cavity checkpoint {NY}x{NX} (storage {storage}), "
+          f"step {int(state.step)}")
+    rho = np.asarray(state.rho, np.float32)
+    ux = np.asarray(state.ux, np.float32)
+    uy = np.asarray(state.uy, np.float32)
+    os.makedirs(out, exist_ok=True)
+
+    fig, ax = plt.subplots(figsize=(6, 5), dpi=110)
+    im = ax.imshow(rho, origin="lower", cmap="viridis")
+    fig.colorbar(im, ax=ax, label="rho")
+    ax.set_title(f"cavity density (step {int(state.step)})")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out, "density.png"))
+    plt.close(fig)
+
+    speed = np.sqrt(ux ** 2 + uy ** 2)
+    step_q = max(1, NX // 32)
+    Y, X = np.mgrid[0:NY:step_q, 0:NX:step_q]
+    fig, ax = plt.subplots(figsize=(6, 5), dpi=110)
+    im = ax.imshow(speed, origin="lower", cmap="magma")
+    fig.colorbar(im, ax=ax, label="|u|")
+    ax.quiver(X, Y, ux[::step_q, ::step_q], uy[::step_q, ::step_q],
+              color="w", scale_units="xy", angles="xy")
+    ax.set_title("cavity velocity")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out, "velocity.png"))
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(6, 5), dpi=110)
+    ax.streamplot(np.arange(NX), np.arange(NY), ux, uy,
+                  color=speed, cmap="magma", density=1.2)
+    ax.set_title("cavity streamlines")
+    fig.tight_layout()
+    fig.savefig(os.path.join(out, "streamlines.png"))
+    plt.close(fig)
+    print(f"wrote 3 plots to {out}")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint")
@@ -94,6 +148,13 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     import numpy as np
+
+    with np.load(args.checkpoint) as z:
+        _keys = set(z.keys())
+    if not ("Ex" in _keys or "Ex__bf16" in _keys):
+        # no field arrays -> single-population cavity schema
+        _plot_cavity(args.checkpoint, args.out)
+        return
 
     rho_s, ux_s, uy_s, rho_q, step = _load_macros(args.checkpoint,
                                                   args.z_slice)

@@ -278,3 +278,52 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     back = ckpt.load_orbax(path, template=state)
     for a, b in zip(state, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cavity_checkpoint_roundtrip(tmp_path):
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.models import cavity
+
+    cfg = CavityConfig(NX=24, NY=24, nsteps=30, dtype=jnp.float32)
+    s = jax.jit(cavity.make_rollout(cfg))(cavity.init_state(cfg))
+    path = str(tmp_path / "cav.npz")
+    ckpt.save_cavity(path, s, storage=cfg.storage)
+    assert ckpt.load_meta(path)["storage"] == "native"
+    s2 = ckpt.load_cavity(path)
+    for a, b in zip(s, s2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cavity_checkpoint_bf16_reconcile(tmp_path):
+    """bf16 cavity checkpoints round-trip bit-exactly and convert to the
+    native layout (and back) via the encode/decode pair."""
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.models import cavity
+
+    cfg = CavityConfig(NX=24, NY=24, nsteps=30, storage="bf16")
+    s = jax.jit(cavity.make_rollout(cfg))(cavity.init_state(cfg))
+    path = str(tmp_path / "cav_bf16.npz")
+    ckpt.save_cavity(path, s, storage="bf16")
+
+    # same-layout resume: bit-exact
+    s2 = ckpt.reconcile_cavity_state(ckpt.load_cavity(path), path, cfg)
+    assert s2.f.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(s.f, np.float32), np.asarray(s2.f, np.float32))
+
+    # cross-layout resume: bf16 ckpt into a native config decodes f
+    cfg_native = dataclasses.replace(cfg, storage="native")
+    s3 = ckpt.reconcile_cavity_state(ckpt.load_cavity(path), path,
+                                     cfg_native)
+    assert s3.f.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(s3.f),
+                               np.asarray(cavity.decode_f(cfg, s.f)),
+                               rtol=0, atol=0)
+
+    # native ckpt into a bf16 config encodes (one bf16 rounding)
+    path_n = str(tmp_path / "cav_native.npz")
+    ckpt.save_cavity(path_n, s3, storage="native")
+    s4 = ckpt.reconcile_cavity_state(ckpt.load_cavity(path_n), path_n, cfg)
+    assert s4.f.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(s4.f, np.float32), np.asarray(s.f, np.float32))

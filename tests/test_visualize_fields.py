@@ -91,3 +91,23 @@ def test_load_macros_3d_z_slice(tmp_path):
 
     with pytest.raises(SystemExit):
         m._load_macros(path, 4)  # z-slice out of range [0, NZ)
+
+
+def test_plot_cavity_checkpoint(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.io import checkpoint as ckpt
+    from lbm_tpu.models import cavity
+
+    cfg = CavityConfig(NX=24, NY=24, nsteps=40, storage="bf16")
+    s = jax.jit(cavity.make_rollout(cfg))(cavity.init_state(cfg))
+    path = str(tmp_path / "cav.npz")
+    ckpt.save_cavity(path, s, storage="bf16")
+
+    m = _mod()
+    out = str(tmp_path / "plots")
+    m._plot_cavity(path, out)
+    for name in ("density.png", "velocity.png", "streamlines.png"):
+        assert os.path.exists(os.path.join(out, name))
