@@ -172,7 +172,7 @@ def cmd_run(args):
             backend = args.backend if args.backend in ("jnp", "fused") \
                 else "fused"
             cfg = C.CavityConfig(NX=nx, NY=ny, nsteps=args.steps,
-                                 dtype=jnp.float32,
+                                 dtype=jnp.float32, storage=args.storage,
                                  backend=backend if n_dev == 0 else "jnp")
             wall_ms, eff = _run_one_cavity(cfg, mesh, args.steps)
             wall_ms *= args.steps / eff
