@@ -147,7 +147,14 @@ def reconcile_cavity_state(state, path: str, cfg):
 
     ck = load_meta(path).get("storage", "native")
     if ck == cfg.storage:
-        return state
+        if cfg.storage == "bf16":
+            return state  # f is bf16 by construction; macros load as f32
+        # same layout but possibly a different run dtype (f64 ckpt into an
+        # f32 run or vice versa)
+        return CavityState(
+            f=state.f.astype(cfg.dtype), rho=state.rho.astype(cfg.dtype),
+            ux=state.ux.astype(cfg.dtype), uy=state.uy.astype(cfg.dtype),
+            step=state.step)
     src_cfg = _dc.replace(cfg, storage=ck)
     f_full = _cav.decode_f(src_cfg, state.f)
     if cfg.storage == "native":
