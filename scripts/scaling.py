@@ -102,7 +102,7 @@ def _run_one(cfg, mesh, steps: int):
 def _run_one_cavity(cfg, mesh, steps: int):
     """Wall-ms + effective steps for the cavity workload (the reference's
     second benchmark family: grid scaling in grafici.ipynb cell 1, strong
-    scaling in cells 2-3). Sharded runs use the fused halo-kernel path."""
+    scaling in cells 2-3). Device-sweep rows run the GSPMD jnp path."""
     import jax
 
     from lbm_tpu.models import cavity
@@ -112,8 +112,13 @@ def _run_one_cavity(cfg, mesh, steps: int):
             return jax.jit(cavity.make_rollout(cfg, k), donate_argnums=(0,))
         return _timed_trials(make_fn, lambda: cavity.init_state(cfg), steps)
 
-    from lbm_tpu.parallel.fused_sharded import make_fused_sharded_cavity_step
-    step1 = make_fused_sharded_cavity_step(cfg, mesh)
+    # Device sweeps on the virtual CPU mesh use the GSPMD jnp path (same
+    # as the plasma sweeps): compiled XLA code whose partitioning overhead
+    # is measurable. The fused halo-kernel path only runs interpreted on
+    # CPU, which times the interpreter, not the program - it is covered by
+    # tests + dryrun and is the path a real TPU pod runs.
+    from lbm_tpu.parallel import sharding as shp
+    step1 = shp.make_sharded_cavity_step(cfg, mesh, donate=False)
 
     def make_fn(k):
         def roll(state):
@@ -168,7 +173,8 @@ def cmd_run(args):
             mesh = None
             if n_dev:
                 devs = jax.devices("cpu")[:n_dev]
-                mesh = Mesh(np.asarray(devs), (AXIS_Y,))
+                mesh = Mesh(np.asarray(devs).reshape(n_dev, 1),
+                            (AXIS_Y, AXIS_X))
             backend = args.backend if args.backend in ("jnp", "fused") \
                 else "fused"
             cfg = C.CavityConfig(NX=nx, NY=ny, nsteps=args.steps,
