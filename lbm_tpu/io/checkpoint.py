@@ -140,8 +140,6 @@ def reconcile_cavity_state(state, path: str, cfg):
     vice versa), not just a dtype one — converted exactly here via the
     models/cavity encode/decode pair. Metadata-less checkpoints are
     declared native (the only layout that predates the tagging)."""
-    import dataclasses as _dc
-
     from ..models import cavity as _cav
     from ..models.cavity import CavityState
 
@@ -155,10 +153,14 @@ def reconcile_cavity_state(state, path: str, cfg):
             f=state.f.astype(cfg.dtype), rho=state.rho.astype(cfg.dtype),
             ux=state.ux.astype(cfg.dtype), uy=state.uy.astype(cfg.dtype),
             step=state.step)
-    src_cfg = _dc.replace(cfg, storage=ck)
-    f_full = _cav.decode_f(src_cfg, state.f)
-    if cfg.storage == "native":
-        f_full = f_full.astype(cfg.dtype)
+    # cross-layout: decode/encode inline rather than via a storage-swapped
+    # config copy — CavityConfig.__post_init__ rejects bf16+f64, which
+    # would make a bf16 checkpoint unresumable into an f64 native run
+    if ck == "bf16":
+        f_full = (state.f.astype(jnp.float32)
+                  + _cav._w_bg(jnp.float32)).astype(cfg.dtype)
+    else:
+        f_full = state.f
     return CavityState(
         f=_cav.encode_f(cfg, f_full),
         rho=state.rho.astype(cfg.dtype), ux=state.ux.astype(cfg.dtype),

@@ -137,6 +137,10 @@ def make_sharded_cavity_step(cfg: CavityConfig, mesh: Mesh,
     from ..models.cavity import make_step as make_cavity_step
 
     validate_grid(cfg, mesh)   # duck-types: reads cfg.NY / cfg.NX
+    # GSPMD partitions the jnp step; a pallas_call is opaque to the
+    # partitioner (the fused kernel's multi-chip story is the shard_map
+    # halo path, fused_sharded.make_fused_sharded_cavity_step)
+    cfg = _dc.replace(cfg, backend="jnp")
     sh = cavity_state_shardings(mesh)
     return jax.jit(make_cavity_step(cfg), in_shardings=(sh,),
                    out_shardings=sh, donate_argnums=(0,) if donate else ())

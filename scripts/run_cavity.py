@@ -78,6 +78,12 @@ def main():
     if args.resume:
         state = ckpt.reconcile_cavity_state(
             ckpt.load_cavity(args.resume), args.resume, cfg)
+        if tuple(state.rho.shape) != (cfg.NY, cfg.NX):
+            raise SystemExit(
+                f"--resume checkpoint grid {state.rho.shape} != run grid "
+                f"({cfg.NY}, {cfg.NX}): pass the matching --nx (tau "
+                f"depends on NY — a silent mismatch runs the wrong "
+                f"Reynolds number)")
         start_step = int(state.step)
         print(f"resumed from {args.resume} at step {start_step}")
     step = jax.jit(cavity.make_step(cfg), donate_argnums=(0,))

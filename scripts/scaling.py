@@ -177,9 +177,13 @@ def cmd_run(args):
                             (AXIS_Y, AXIS_X))
             backend = args.backend if args.backend in ("jnp", "fused") \
                 else "fused"
+            if n_dev or jax.default_backend() == "cpu":
+                # sharded rows use the GSPMD jnp path; on a CPU-only host
+                # the fused kernel cannot lower (bench.py guards the same)
+                backend = "jnp"
             cfg = C.CavityConfig(NX=nx, NY=ny, nsteps=args.steps,
                                  dtype=jnp.float32, storage=args.storage,
-                                 backend=backend if n_dev == 0 else "jnp")
+                                 backend=backend)
             wall_ms, eff = _run_one_cavity(cfg, mesh, args.steps)
             wall_ms *= args.steps / eff
             mlups = nx * ny * args.steps / wall_ms / 1000

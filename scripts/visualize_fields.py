@@ -83,12 +83,9 @@ def _plot_cavity(path: str, out: str):
     streamlines of the single population — the same plot family the
     reference's Python visualizers produce from its output_*.csv dumps
     (old codes/LBM_classic/Python visualize/VelocityDensityField.py)."""
-    import dataclasses
-
     import matplotlib.pyplot as plt
     import numpy as np
 
-    from lbm_tpu.config import CavityConfig
     from lbm_tpu.io import checkpoint as ckpt
 
     state = ckpt.load_cavity(path)

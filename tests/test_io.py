@@ -327,3 +327,26 @@ def test_cavity_checkpoint_bf16_reconcile(tmp_path):
     assert s4.f.dtype == jnp.bfloat16
     np.testing.assert_array_equal(
         np.asarray(s4.f, np.float32), np.asarray(s.f, np.float32))
+
+
+def test_cavity_checkpoint_bf16_into_f64_run(tmp_path):
+    """A bf16 cavity checkpoint must resume into an f64 NATIVE run (the
+    cross-layout decode used to build a storage-swapped config copy whose
+    validation rejects bf16+f64)."""
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.models import cavity
+
+    cfg = CavityConfig(NX=24, NY=24, nsteps=20, storage="bf16")
+    s = jax.jit(cavity.make_rollout(cfg))(cavity.init_state(cfg))
+    path = str(tmp_path / "cav_bf16.npz")
+    ckpt.save_cavity(path, s, storage="bf16")
+
+    cfg64 = CavityConfig(NX=24, NY=24, nsteps=20, dtype=jnp.float64)
+    s64 = ckpt.reconcile_cavity_state(ckpt.load_cavity(path), path, cfg64)
+    assert s64.f.dtype == jnp.float64
+    np.testing.assert_allclose(
+        np.asarray(s64.f, np.float32),
+        np.asarray(cavity.decode_f(cfg, s.f)), rtol=0, atol=0)
+    # and the resumed state steps cleanly
+    s65 = jax.jit(cavity.make_step(cfg64))(s64)
+    assert np.isfinite(np.asarray(s65.f)).all()
