@@ -200,3 +200,32 @@ def test_bf16_storage_validation():
         CavityConfig(storage="fp8")
     with pytest.raises(ValueError):
         CavityConfig(storage="bf16", dtype=jnp.float64)
+
+
+def test_fused_matches_jnp_random_state():
+    """Random (finite, positive-rho) states stress fixup paths a smooth
+    developed flow never exercises (garbage-row masking, corner winners
+    with sign-mixed populations)."""
+    rng = np.random.default_rng(7)
+    NY, NX = 40, 56
+    f = jnp.asarray(rng.uniform(0.01, 0.5, (9, NY, NX)), jnp.float64)
+    rho, ux, uy = (jnp.asarray(a, jnp.float64) for a in (
+        rng.uniform(0.5, 1.5, (NY, NX)),
+        rng.uniform(-0.1, 0.1, (NY, NX)),
+        rng.uniform(-0.1, 0.1, (NY, NX))))
+    cfg = CavityConfig(NX=NX, NY=NY, nsteps=0, dtype=jnp.float64)
+    s_j = cavity.CavityState(f, rho, ux, uy, jnp.asarray(20, jnp.int32))
+    s_k = s_j
+    step = jax.jit(cavity.make_step(cfg))
+    from lbm_tpu.kernels.fused_cavity import collide_stream_cavity
+    for _ in range(3):
+        s_j = step(s_j)
+        u = cavity._lid_speed(cfg, s_k.step)
+        fk, rk, uk, vk = collide_stream_cavity(
+            s_k.f, s_k.rho, s_k.ux, s_k.uy, u, tau=cfg.tau, interpret=True,
+            band=8)
+        s_k = cavity.CavityState(fk, rk, uk, vk, s_k.step + 1)
+    np.testing.assert_allclose(np.asarray(s_k.f), np.asarray(s_j.f),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s_k.ux), np.asarray(s_j.ux),
+                               rtol=1e-12, atol=1e-13)
