@@ -730,3 +730,89 @@ def make_fused_sharded_cavity_step(
         step=NamedSharding(mesh, P()),
     )
     return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)
+
+
+def make_fused_sharded_step_auto(
+    cfg: PlasmaConfig,
+    devices,
+    interpret: bool | None = None,
+):
+    """Pick the 2-D plasma lattice decomposition for a flat device list
+    (the 2-D analog of make_fused_sharded_step3d_auto), in preference
+    order:
+
+      1. 1-D (dy) row sharding with the fused halo kernel — the cheapest
+         protocol — when the BC/solver allow it (periodic, FFT/NONE),
+         NY divides 8*n, and the per-shard band fits VMEM;
+      2. a (dy, dx) 2-D mesh with the corner-complete halo2d kernel,
+         trying dy descending so shards stay row-major-contiguous;
+      3. GSPMD over the jnp step — any solver (GS/SOR/NPS too) and
+         bounce-back walls, at jnp speed.
+
+    Returns ``(step, mesh, shardings)`` like the 3-D picker. Raises
+    ValueError when no decomposition divides the grid.
+    """
+    import numpy as np
+
+    from ..kernels.fused_step import _pick_band
+    from . import sharding as gspmd
+
+    devs = list(devices)
+    n = len(devs)
+    if n < 2:
+        raise ValueError("auto sharding needs >= 2 devices")
+    itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
+
+    def feasible(ny_l, nx_l):
+        try:
+            _pick_band(ny_l, nx_l, itemsize)
+            return True
+        except ValueError:
+            return False
+
+    def result(step, mesh, pop_spec, fld_spec):
+        sh_pop = NamedSharding(mesh, pop_spec)
+        sh_fld = NamedSharding(mesh, fld_spec)
+        shardings = PlasmaState(
+            f=sh_pop, g=sh_pop, Ex=sh_fld, Ey=sh_fld, phi=sh_fld,
+            step=NamedSharding(mesh, P()))
+        return step, mesh, shardings
+
+    fused_ok = (cfg.bc == BC.PERIODIC
+                and cfg.poisson in (PoissonSolver.FFT, PoissonSolver.NONE))
+
+    if (fused_ok and cfg.NY % (8 * n) == 0
+            and feasible(cfg.NY // n, cfg.NX)):
+        mesh = Mesh(np.asarray(devs).reshape(n, 1), (AXIS_Y, AXIS_X))
+        return result(make_fused_sharded_step(cfg, mesh, interpret=interpret),
+                      mesh, P(None, None, AXIS_Y, None), P(AXIS_Y, None))
+
+    if fused_ok:
+        for ny_dev in (d for d in range(n, 1, -1) if n % d == 0):
+            nx_dev = n // ny_dev
+            if nx_dev < 2:
+                continue  # (n, 1) already rejected above
+            if cfg.NY % (8 * ny_dev) or cfg.NX % (8 * nx_dev):
+                continue
+            if not feasible(cfg.NY // ny_dev, cfg.NX // nx_dev):
+                continue
+            mesh = Mesh(np.asarray(devs).reshape(ny_dev, nx_dev),
+                        (AXIS_Y, AXIS_X))
+            return result(
+                make_fused_sharded_step_2d(cfg, mesh, interpret=interpret),
+                mesh, P(None, None, AXIS_Y, AXIS_X), P(AXIS_Y, AXIS_X))
+
+    for ny_dev in (d for d in range(n, 0, -1) if n % d == 0):
+        nx_dev = n // ny_dev
+        if cfg.NY % ny_dev or cfg.NX % nx_dev:
+            continue
+        mesh = Mesh(np.asarray(devs).reshape(ny_dev, nx_dev),
+                    (AXIS_Y, AXIS_X))
+        step = gspmd.make_sharded_step(
+            _dc.replace(cfg, backend="jnp"), mesh)
+        return result(step, mesh, P(None, None, AXIS_Y, AXIS_X),
+                      P(AXIS_Y, AXIS_X))
+
+    raise ValueError(
+        f"no feasible decomposition of {cfg.NY}x{cfg.NX} over {n} devices: "
+        f"no mesh factorization divides the grid")

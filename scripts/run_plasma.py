@@ -68,6 +68,12 @@ def parse_args():
                         "output against the reference debug build")
     p.add_argument("--watchdog-every", type=int, default=100,
                    help="NaN-watchdog cadence in steps (0 = off)")
+    p.add_argument("--shard", type=int, default=0, metavar="N",
+                   help="shard the lattice over the first N devices via "
+                        "parallel.fused_sharded.make_fused_sharded_step_"
+                        "auto (1-D fused halos -> 2-D fused -> GSPMD, "
+                        "picked from grid shape/BC/solver; ignores "
+                        "--backend on the fused paths)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace to this directory")
     return p.parse_args()
@@ -160,7 +166,24 @@ def main():
             staged = plasma_staged.make_staged_step(cfg)
             feq = plasma_staged.init_feq(cfg)
     step = None
-    if staged is None:
+    if staged is None and args.shard:
+        from lbm_tpu.parallel.fused_sharded import \
+            make_fused_sharded_step_auto
+
+        devs = jax.devices()
+        if len(devs) < args.shard:
+            raise SystemExit(f"--shard {args.shard}: only {len(devs)} "
+                             f"devices available")
+        try:
+            step, mesh, shardings = make_fused_sharded_step_auto(
+                cfg, devs[:args.shard])
+        except ValueError as e:
+            raise SystemExit(f"--shard: {e}")
+        print(f"sharded over mesh {dict(mesh.shape)}")
+        state = jax.tree.map(jax.device_put, state, shardings)
+        step(jax.tree.map(jax.device_put, plasma.init_state(cfg),
+                          shardings))  # compile outside the timer
+    elif staged is None:
         # AOT-compile so the timer measures simulation, not compilation
         step = (jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
                 .lower(state).compile())

@@ -53,3 +53,37 @@ def test_cli3d_shard_flag(tmp_path):
     assert "sharded over mesh {'dz': 2}" in r.stdout
     assert "2 steps" in r.stdout
     assert os.path.exists(os.path.join(out, "final_state.npz"))
+
+
+def test_cli2d_shard_flag(tmp_path):
+    """run_plasma.py --shard N: the 2-D auto picker (1-D dy fused at this
+    shape) runs the multi-device step end-to-end from the CLI."""
+    out = str(tmp_path / "shrun2d")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_plasma.py"),
+         "--cpu", "--nx", "32", "--ny", "32", "--steps", "2", "--shard", "2",
+         "--no-video", "--no-plots", "--checkpoint-every", "2",
+         "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded over mesh {'dy': 2, 'dx': 1}" in r.stdout
+    assert os.path.exists(os.path.join(out, "ckpt_000002.npz"))
+
+
+def test_cli2d_shard_gspmd_fallback(tmp_path):
+    """Bounce-back walls can't use the fused halo protocol: the auto
+    picker must fall back to GSPMD instead of failing."""
+    out = str(tmp_path / "shrun2d_bb")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_plasma.py"),
+         "--cpu", "--nx", "32", "--ny", "32", "--steps", "2", "--shard", "2",
+         "--bc", "bounceback", "--no-video", "--no-plots", "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded over mesh" in r.stdout

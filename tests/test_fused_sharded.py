@@ -260,3 +260,44 @@ def test_auto3d_raises_when_nothing_fits():
                               dtype=jnp.float64)
     with pytest.raises(ValueError, match="no feasible 3-D decomposition"):
         fused_sharded.make_fused_sharded_step3d_auto(cfg, jax.devices()[:8])
+
+
+def test_auto_2d_picker():
+    """make_fused_sharded_step_auto: 1-D pick when rows divide, 2-D when
+    only a factorization does, GSPMD when the BC forbids fused halos; the
+    picked step matches the single-device jnp path."""
+    import numpy as _np
+    from jax.sharding import Mesh as _Mesh
+    from lbm_tpu.config import BC
+
+    devs = jax.devices()[:4]
+
+    # rows divide 8*4 -> 1-D (dy) pick
+    cfg1 = dataclasses.replace(PlasmaConfig(), NX=32, NY=64,
+                               dtype=jnp.float64)
+    step, mesh, sh = fused_sharded.make_fused_sharded_step_auto(cfg1, devs)
+    assert dict(mesh.shape) == {"dy": 4, "dx": 1}
+
+    # NY=16 can't take 8*4 rows but (2, 2) divides both axes -> 2-D pick
+    cfg2 = dataclasses.replace(PlasmaConfig(), NX=16, NY=16,
+                               dtype=jnp.float64)
+    step2, mesh2, sh2 = fused_sharded.make_fused_sharded_step_auto(
+        cfg2, devs)
+    assert dict(mesh2.shape) == {"dy": 2, "dx": 2}
+    s0 = plasma.init_state(cfg2)
+    out = step2(jax.tree.map(jax.device_put, s0, sh2))
+    ref = jax.jit(plasma.make_step(dataclasses.replace(
+        cfg2, backend="jnp")))(s0)
+    np.testing.assert_allclose(np.asarray(out.f), np.asarray(ref.f),
+                               rtol=1e-11, atol=0)
+
+    # bounce-back -> GSPMD fallback
+    cfg3 = dataclasses.replace(PlasmaConfig(), NX=16, NY=16,
+                               dtype=jnp.float64, bc=BC.BOUNCE_BACK)
+    _, mesh3, _ = fused_sharded.make_fused_sharded_step_auto(cfg3, devs)
+    assert sorted(mesh3.axis_names) == ["dx", "dy"]
+
+    # indivisible grid -> clear error
+    cfg4 = dataclasses.replace(PlasmaConfig(), NX=17, NY=13)
+    with pytest.raises(ValueError, match="decomposition"):
+        fused_sharded.make_fused_sharded_step_auto(cfg4, devs)
