@@ -37,6 +37,10 @@ def main():
                    help="bf16 = f stored as bfloat16 deviations from the "
                         "uniform background (60 B/site; Ghia errors "
                         "identical to f32, mass drift ~1e-4/10k steps)")
+    p.add_argument("--shard", type=int, default=0, metavar="N",
+                   help="row-shard the cavity over the first N devices "
+                        "(fused halo kernels + ICI strips; needs NX "
+                        "divisible by 8*N; ignores --backend)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="write <out>/ckpt_<step>.npz every N steps "
                         "(plus final_state.npz at the end)")
@@ -86,7 +90,25 @@ def main():
                 f"Reynolds number)")
         start_step = int(state.step)
         print(f"resumed from {args.resume} at step {start_step}")
-    step = jax.jit(cavity.make_step(cfg), donate_argnums=(0,))
+    if args.shard:
+        from jax.sharding import Mesh
+
+        from lbm_tpu.parallel.fused_sharded import \
+            make_fused_sharded_cavity_step
+        from lbm_tpu.parallel.mesh import AXIS_Y
+
+        devs = jax.devices()
+        if len(devs) < args.shard:
+            raise SystemExit(f"--shard {args.shard}: only {len(devs)} "
+                             f"devices available")
+        mesh = Mesh(np.asarray(devs[:args.shard]), (AXIS_Y,))
+        try:
+            step = make_fused_sharded_cavity_step(cfg, mesh)
+        except ValueError as e:
+            raise SystemExit(f"--shard: {e}")
+        print(f"sharded over mesh {dict(mesh.shape)}")
+    else:
+        step = jax.jit(cavity.make_step(cfg), donate_argnums=(0,))
 
     writer = None
     if not args.no_video:
@@ -106,7 +128,14 @@ def main():
     # march in scan chunks between video frames: tiny grids are dispatch-
     # latency-bound if stepped one call at a time
     chunk = max(1, args.video_every if not args.no_video else 500)
-    roll = jax.jit(cavity.make_rollout(cfg, chunk), donate_argnums=(0,))
+    if args.shard:
+        def _roll(s):
+            out, _ = jax.lax.scan(lambda x, _: (step(x), None), s,
+                                  None, length=chunk)
+            return out
+        roll = jax.jit(_roll, donate_argnums=(0,))
+    else:
+        roll = jax.jit(cavity.make_rollout(cfg, chunk), donate_argnums=(0,))
     roll(cavity.init_state(cfg))  # compile outside the timer
 
     def write_ckpt(st, name=None):
