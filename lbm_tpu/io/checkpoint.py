@@ -235,8 +235,9 @@ def reconcile_resumed_state(state, path: str, cfg, *,
     return state
 
 
-def save_orbax(path: str, state: PlasmaState) -> None:
-    """Orbax variant (sharding-aware, async-capable)."""
+def save_orbax(path: str, state) -> None:
+    """Orbax variant (sharding-aware, async-capable). Accepts any of the
+    NamedTuple states (PlasmaState, Plasma3DState, CavityState)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -244,10 +245,12 @@ def save_orbax(path: str, state: PlasmaState) -> None:
     ckptr.wait_until_finished()
 
 
-def load_orbax(path: str, template: Optional[PlasmaState] = None) -> PlasmaState:
+def load_orbax(path: str, template=None, state_cls=PlasmaState):
+    """Restore an orbax checkpoint. ``state_cls`` selects the state type
+    (default PlasmaState; pass models.cavity.CavityState etc.)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     target = template._asdict() if template is not None else None
     restored = ckptr.restore(os.path.abspath(path), target)
-    return PlasmaState(**restored)
+    return state_cls(**restored)

@@ -350,3 +350,17 @@ def test_cavity_checkpoint_bf16_into_f64_run(tmp_path):
     # and the resumed state steps cleanly
     s65 = jax.jit(cavity.make_step(cfg64))(s64)
     assert np.isfinite(np.asarray(s65.f)).all()
+
+
+def test_cavity_orbax_roundtrip(tmp_path):
+    from lbm_tpu.config import CavityConfig
+    from lbm_tpu.models import cavity
+
+    cfg = CavityConfig(NX=16, NY=16, nsteps=5)
+    s = jax.jit(cavity.make_rollout(cfg))(cavity.init_state(cfg))
+    path = str(tmp_path / "cav_orbax")
+    ckpt.save_orbax(path, s)
+    back = ckpt.load_orbax(path, template=s,
+                           state_cls=cavity.CavityState)
+    for a, b in zip(s, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
