@@ -133,7 +133,8 @@ def measure3d(n: int, steps: int, storage: str = "native",
     return n * n * nz * eff / dt / 1e6
 
 
-def measure_cavity(n: int, steps: int, storage: str = "native") -> float:
+def measure_cavity(n: int, steps: int, storage: str = "native",
+                   lean: bool = False) -> float:
     """Single-population D2Q9 lid-driven cavity at n x n — the reference's
     SECOND benchmarked workload (BASELINE.md cavity grid-scaling rows:
     1000^2 x 10k steps = 8,841 ms ~ 1,131 MLUPS on the authors' machine).
@@ -151,7 +152,8 @@ def measure_cavity(n: int, steps: int, storage: str = "native") -> float:
         "BENCH_CAVITY_BACKEND",
         "fused" if (n % 8 == 0 and not on_cpu) else "jnp")
     cfg = dataclasses.replace(CavityConfig(), NX=n, NY=n, nsteps=steps,
-                              backend=backend, storage=storage)
+                              backend=backend, storage=storage,
+                              lean_macros=lean and backend == "fused")
     k_short = max(steps // 5, 1)
     roll_long = jax.jit(cavity.make_rollout(cfg, steps), donate_argnums=(0,))
     roll_short = jax.jit(cavity.make_rollout(cfg, k_short),
@@ -273,8 +275,10 @@ def main() -> None:
         # the reference's second benchmarked workload; its own 1000^2 row
         # works out to ~1,131 MLUPS (BASELINE.md) — the one reference
         # number the plasma ratios don't cover
+        # f32 in lean-macro mode: populations-only traffic (72 B/site),
+        # Ghia errors identical to the stored-macro path (STATUS)
         attempt(f"cavity_mlups_{ncav}x{ncav}",
-                lambda: measure_cavity(ncav, 2000))
+                lambda: measure_cavity(ncav, 2000, lean=True))
         # bf16 delta storage (60 B/site; Ghia-identical accuracy) — the
         # cavity's own fast mode, fused backend only
         attempt(f"cavity_mlups_{ncav}x{ncav}_bf16",

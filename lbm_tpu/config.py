@@ -198,6 +198,14 @@ class CavityConfig:
     backend: str = "jnp"
     # Run the Pallas kernel in interpret mode (CPU testing).
     kernel_interpret: bool = False
+    # Lean-macro mode (fused backend only): the stored macros are
+    # mathematically redundant (always macros_guarded(f)), so the kernel
+    # recomputes them in-register and traffics populations only — 72 B/site
+    # f32 (same mathematical trajectory; agrees to fusion-context ulp)
+    # or 36 B/site with bf16 storage (recomputed macros lose the stored
+    # f32 macros' pre-rounding information: Ghia u error 5.5% vs 2.5%,
+    # measured — see docs/STATUS.md before enabling bf16+lean).
+    lean_macros: bool = False
     # Population storage: "native" keeps f in cfg.dtype; "bf16" stores f as
     # bfloat16 DEVIATIONS from the uniform background w_i (the lattice
     # background is exactly invariant under cavity streaming + bounce-back
@@ -222,6 +230,8 @@ class CavityConfig:
         if self.storage == "bf16" and self.dtype != jnp.float32:
             raise ValueError("cavity bf16 storage computes in f32; set "
                              "dtype=float32 (f64 runs use native storage)")
+        if self.lean_macros and self.backend != "fused":
+            raise ValueError("lean_macros is a fused-kernel mode")
 
     @property
     def tau(self) -> float:

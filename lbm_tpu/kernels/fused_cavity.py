@@ -152,12 +152,13 @@ def _make_emit(ty: int, nk: int, dt_store=None):
         out[7] = jnp.where(is_t, top[5] + d5, out[7])
         out[8] = jnp.where(is_t, top[6] + d6, out[8])
 
-        rho, ux, uy = macros_guarded(out)
         for i in range(Q):
             fo_ref[i] = _encode_dir(out[i], i, dt_store)
-        rho_o[:] = rho
-        ux_o[:] = ux
-        uy_o[:] = uy
+        if rho_o is not None:  # lean mode: macros are never materialized
+            rho, ux, uy = macros_guarded(out)
+            rho_o[:] = rho
+            ux_o[:] = ux
+            uy_o[:] = uy
 
     return emit
 
@@ -197,6 +198,116 @@ def _make_kernel(tau: float, ty: int, nk: int, dt_store=None):
                  fo_ref, rho_o, ux_o, uy_o, prev, last8)
 
     return kernel
+
+
+def _make_lean_kernel(tau: float, ty: int, nk: int, dt_store=None):
+    """Lean variant: the stored macros are mathematically redundant
+    (always macros_guarded(f) by the step recurrence), so this kernel
+    RECOMPUTES them in-register at collide time and traffics only the
+    populations — 18 planes instead of 24 (f32: 72 B/site; bf16 delta:
+    36). In f32 this computes the exact same mathematical function as the
+    stored-macro kernel (the init state's analytic rho=1 equals the
+    sequential w-sum exactly in f32) — trajectories agree to the usual
+    cross-program fusion-context ulp; in f64 the init differs by one ulp
+    besides. In bf16 the recomputed
+    macros come from the ROUNDED deltas instead of the pre-rounding f32
+    planes — measured Ghia 128^2/10k: u 5.5% vs 2.5% (docs/STATUS.md) —
+    so bf16+lean is a documented accuracy trade."""
+    emit = _make_emit(ty, nk, dt_store)
+
+    def kernel(f_ref, ulid_ref, fo_ref, prev, last8):
+        k = pl.program_id(0)
+        ulid_row = ulid_ref[0:1, :]
+
+        @pl.when(k < nk)
+        def _():
+            fdec = [_decode_dir(f_ref[i], i) for i in range(Q)]
+            rho, ux, uy = macros_guarded(fdec)
+            fd = collide_dirs(fdec, rho, ux, uy, tau)
+            fv = [_roll_x(fd[i], CX[i]) for i in range(Q)]
+
+            @pl.when(k >= 1)
+            def _():
+                below = [fv[i][0:1] for i in _DIRS_NEG]
+                emit(k, below, ulid_row, fo_ref, None, None, None,
+                     prev, last8)
+                for gi, i in enumerate(_DIRS_POS):
+                    last8[gi] = prev[i, ty - 8:, :]
+
+            for i in range(Q):
+                prev[i] = fv[i]
+
+        @pl.when(k == nk)
+        def _():
+            below = [prev[i, ty - 1:, :] for i in _DIRS_NEG]
+            emit(k, below, ulid_row, fo_ref, None, None, None,
+                 prev, last8)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "interpret", "band"))
+def collide_stream_cavity_lean(
+    f: jnp.ndarray,      # (Q, NY, NX)
+    u_lid_dyn,
+    *,
+    tau: float,
+    interpret: bool = False,
+    band: int = 0,
+) -> jnp.ndarray:
+    """One fused cavity step, populations only (see _make_lean_kernel).
+    Returns f_new; compute macros on demand with ops.cavity.macros_guarded.
+    """
+    Qd, NY, NX = f.shape
+    assert Qd == Q
+    dt = f.dtype
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    ty = band or _pick_band(NY, NX, jnp.dtype(cdt).itemsize)
+    if ty < 8 or NY % ty or ty % 8:
+        raise ValueError(f"band height {ty} invalid for NY={NY}")
+    nk = NY // ty
+    grid = (nk + 1,)
+
+    def in_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
+
+    def out_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk, jnp.int32(nk - 1),
+                         jnp.maximum(k - jnp.int32(1), jnp.int32(0)))
+
+    pop_in = pl.BlockSpec((Q, ty, NX), lambda k: (0, in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    pop_out = pl.BlockSpec((Q, ty, NX), lambda k: (0, out_band(k), 0),
+                           memory_space=pltpu.VMEM)
+    lid_in = pl.BlockSpec((1, NX), lambda k: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    ulid_row = jnp.broadcast_to(jnp.asarray(u_lid_dyn, cdt), (1, NX))
+    kernel = _make_lean_kernel(float(tau), ty, nk,
+                               dt_store=(dt if dt == jnp.bfloat16 else None))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pop_in, lid_in],
+        out_specs=pop_out,
+        out_shape=jax.ShapeDtypeStruct(f.shape, dt),
+        scratch_shapes=[
+            pltpu.VMEM((Q, ty, NX), cdt),
+            pltpu.VMEM((3, 8, NX), cdt),
+        ],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=int(170 * NY * NX),
+            bytes_accessed=2 * Q * NY * NX * dt.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f, ulid_row)
 
 
 def _make_halo_kernel(tau: float, ty: int, nk: int, dt_store=None):

@@ -75,6 +75,14 @@ def init_state(cfg: CavityConfig) -> CavityState:
     )
 
 
+def macros_of(cfg: CavityConfig, f: jnp.ndarray):
+    """(rho, ux, uy) recomputed from stored populations — the quantity the
+    state's macro fields always equal (used by the lean-macro mode to
+    materialize them on demand)."""
+    ff = decode_f(cfg, f)
+    return macros_guarded([ff[i] for i in range(D2Q9.Q)])
+
+
 def _lid_speed(cfg: CavityConfig, step_count) -> jnp.ndarray:
     """u_lid * t / sigma ramp for t < sigma (LBM.cpp:180)."""
     t = step_count.astype(cfg.dtype)
@@ -92,9 +100,21 @@ def make_step(cfg: CavityConfig) -> Callable[[CavityState], CavityState]:
     backend = getattr(cfg, "backend", "jnp")
 
     if backend == "fused":
-        from ..kernels.fused_cavity import collide_stream_cavity
+        from ..kernels.fused_cavity import (collide_stream_cavity,
+                                            collide_stream_cavity_lean)
 
         interpret = bool(getattr(cfg, "kernel_interpret", False))
+
+        if getattr(cfg, "lean_macros", False):
+            def step_lean(state: CavityState) -> CavityState:
+                u_lid_dyn = _lid_speed(cfg, state.step)
+                f = collide_stream_cavity_lean(
+                    state.f, u_lid_dyn, tau=tau, interpret=interpret)
+                rho, ux, uy = macros_of(cfg, f)
+                return CavityState(f=f, rho=rho, ux=ux, uy=uy,
+                                   step=state.step + 1)
+
+            return step_lean
 
         def step_fused(state: CavityState) -> CavityState:
             u_lid_dyn = _lid_speed(cfg, state.step)
@@ -130,8 +150,32 @@ def make_step(cfg: CavityConfig) -> Callable[[CavityState], CavityState]:
 
 
 def make_rollout(cfg: CavityConfig, n: Optional[int] = None):
-    step = make_step(cfg)
     n_steps = cfg.nsteps if n is None else n
+
+    if getattr(cfg, "lean_macros", False) and cfg.backend == "fused":
+        # lean mode: carry only (f, step) through the scan — a full-state
+        # carry would materialize the (redundant) macros every iteration,
+        # paying the bytes the mode exists to avoid — and reconstruct the
+        # macros once at the end.
+        from ..kernels.fused_cavity import collide_stream_cavity_lean
+
+        interpret = bool(getattr(cfg, "kernel_interpret", False))
+        tau = cfg.tau
+
+        def rollout(state: CavityState) -> CavityState:
+            def body(c, _):
+                f, t = c
+                f = collide_stream_cavity_lean(
+                    f, _lid_speed(cfg, t), tau=tau, interpret=interpret)
+                return (f, t + 1), None
+            (f, t), _ = jax.lax.scan(body, (state.f, state.step), None,
+                                     length=n_steps)
+            rho, ux, uy = macros_of(cfg, f)
+            return CavityState(f=f, rho=rho, ux=ux, uy=uy, step=t)
+
+        return rollout
+
+    step = make_step(cfg)
 
     def rollout(state: CavityState) -> CavityState:
         def body(s, _):

@@ -37,6 +37,12 @@ def main():
                    help="bf16 = f stored as bfloat16 deviations from the "
                         "uniform background (60 B/site; Ghia errors "
                         "identical to f32, mass drift ~1e-4/10k steps)")
+    p.add_argument("--lean", action="store_true",
+                   help="fused backend: recompute macros in-register and "
+                        "traffic populations only (f32: 72 B/site, Ghia "
+                        "identical, ~9,200 MLUPS at 2048^2; bf16: 36 "
+                        "B/site, ~17,900 MLUPS, Ghia u 5.5%% vs 2.5%% — "
+                        "see docs/STATUS.md)")
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="row-shard the cavity over the first N devices "
                         "(fused halo kernels + ICI strips; needs NX "
@@ -68,6 +74,7 @@ def main():
                        u_lid=args.u_lid, Re=args.re,
                        dtype=jnp.float64 if args.f64 else jnp.float32,
                        backend=args.backend, storage=args.storage,
+                       lean_macros=args.lean,
                        kernel_interpret=(args.backend == "fused"
                                          and args.cpu))
     if args.stability_guard:
@@ -90,6 +97,9 @@ def main():
                 f"Reynolds number)")
         start_step = int(state.step)
         print(f"resumed from {args.resume} at step {start_step}")
+    if args.shard and args.lean:
+        raise SystemExit("--lean is single-device-only (the sharded halo "
+                         "protocol exchanges stored macros)")
     if args.shard:
         from jax.sharding import Mesh
 
