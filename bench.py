@@ -140,7 +140,8 @@ def measure_cavity(n: int, steps: int, storage: str = "native",
     1000^2 x 10k steps = 8,841 ms ~ 1,131 MLUPS on the authors' machine).
     Same long/short scan-timing design as measure(). Runs the fused
     Pallas backend when the grid admits it (NY divisible by 8; measured
-    6570 MLUPS at 1000^2 / 6872 at 2048^2 on v5e-1 vs jnp's 4293/2335)."""
+    on v5e-1 at 1000^2-2048^2: f32 stored 6570-6872 MLUPS, f32 lean
+    ~9000-9200, bf16 stored ~10500-11000, vs jnp's 4293/2335)."""
     import jax
 
     from lbm_tpu.config import CavityConfig
