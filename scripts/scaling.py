@@ -183,7 +183,9 @@ def cmd_run(args):
                 backend = "jnp"
             cfg = C.CavityConfig(NX=nx, NY=ny, nsteps=args.steps,
                                  dtype=jnp.float32, storage=args.storage,
-                                 backend=backend)
+                                 backend=backend,
+                                 lean_macros=args.lean
+                                 and backend == "fused")
             wall_ms, eff = _run_one_cavity(cfg, mesh, args.steps)
             wall_ms *= args.steps / eff
             mlups = nx * ny * args.steps / wall_ms / 1000
@@ -409,6 +411,9 @@ def main():
     r.add_argument("--bc", default="PERIODIC")
     r.add_argument("--steps", type=int, default=30)
     r.add_argument("--backend", default="fused")
+    r.add_argument("--lean", action="store_true",
+                   help="cavity: lean-macro fused mode (populations-only "
+                        "traffic; f32 accuracy-identical)")
     r.add_argument("--storage", choices=["native", "bf16"], default="native",
                    help="population storage precision for the sweep")
     r.add_argument("--devices", default="",
