@@ -206,6 +206,16 @@ class CavityConfig:
     # f32 macros' pre-rounding information: Ghia u error 5.5% vs 2.5%,
     # measured — see docs/STATUS.md before enabling bf16+lean).
     lean_macros: bool = False
+    # Temporal blocking (fused backend only): run this many steps per
+    # kernel launch with the WHOLE grid resident in VMEM — zero HBM
+    # traffic between steps, one read+write of the populations per window.
+    # Only feasible when the grid fits the VMEM budget
+    # (kernels/fused_cavity.check_vmem_multistep: ~512^2 f32 / ~620^2
+    # bf16); implies lean semantics (populations-only state). In bf16
+    # storage the window rounds once at its final store instead of every
+    # step — strictly fewer roundings than the per-step bf16 kernel.
+    # 0 disables (the banded single-step kernels run).
+    multistep: int = 0
     # Population storage: "native" keeps f in cfg.dtype; "bf16" stores f as
     # bfloat16 DEVIATIONS from the uniform background w_i (the lattice
     # background is exactly invariant under cavity streaming + bounce-back
@@ -232,6 +242,12 @@ class CavityConfig:
                              "dtype=float32 (f64 runs use native storage)")
         if self.lean_macros and self.backend != "fused":
             raise ValueError("lean_macros is a fused-kernel mode")
+        if self.multistep:
+            if self.backend != "fused":
+                raise ValueError("multistep is a fused-kernel mode")
+            if self.multistep < 0:
+                raise ValueError(f"multistep must be >= 0, "
+                                 f"got {self.multistep}")
 
     @property
     def tau(self) -> float:

@@ -310,6 +310,142 @@ def collide_stream_cavity_lean(
     )(f, ulid_row)
 
 
+def _make_lean_halo_kernel(tau: float, ty: int, nk: int, dt_store=None):
+    """Sharded lean variant: populations-only HBM traffic AND
+    populations-only ICI halos. The neighbor strips arrive as pre-collision
+    f rows; their macros are recomputed in-register exactly the way the
+    owning shard recomputes its own (lean mode stores no macros anywhere),
+    so the redundant halo collide is elementwise-identical to the
+    neighbor's own result. Wall/lid fixups gated by flag rows as in
+    _make_halo_kernel."""
+    emit = _make_emit(ty, nk, dt_store)
+
+    def collide_strip(f_ref):
+        fdec = [_decode_dir(f_ref[i], i) for i in range(Q)]
+        rho, ux, uy = macros_guarded(fdec)
+        fd = collide_dirs(fdec, rho, ux, uy, tau)
+        return [_roll_x(fd[i], CX[i]) for i in range(Q)]
+
+    def kernel(f_ref, fup_ref, fdn_ref, aux_ref, fo_ref, prev, last8):
+        k = pl.program_id(0)
+        ulid_row = aux_ref[0:1, :]
+        bflag = aux_ref[1:2, :]
+        tflag = aux_ref[2:3, :]
+
+        @pl.when(k < nk)
+        def _():
+            # seed last8 with the collided upper strip (only row 7 — the
+            # row immediately above the shard — is ever consumed)
+            @pl.when(k == 0)
+            def _():
+                fvu = collide_strip(fup_ref)
+                for gi, i in enumerate(_DIRS_POS):
+                    last8[gi] = fvu[i]
+
+            fdec = [_decode_dir(f_ref[i], i) for i in range(Q)]
+            rho, ux, uy = macros_guarded(fdec)
+            fd = collide_dirs(fdec, rho, ux, uy, tau)
+            fv = [_roll_x(fd[i], CX[i]) for i in range(Q)]
+
+            @pl.when(k >= 1)
+            def _():
+                below = [fv[i][0:1] for i in _DIRS_NEG]
+                emit(k, below, ulid_row, fo_ref, None, None, None,
+                     prev, last8, bflag_row=bflag, tflag_row=tflag)
+                for gi, i in enumerate(_DIRS_POS):
+                    last8[gi] = prev[i, ty - 8:, :]
+
+            for i in range(Q):
+                prev[i] = fv[i]
+
+        @pl.when(k == nk)
+        def _():
+            fvd = collide_strip(fdn_ref)
+            below = [fvd[i][0:1] for i in _DIRS_NEG]
+            emit(k, below, ulid_row, fo_ref, None, None, None,
+                 prev, last8, bflag_row=bflag, tflag_row=tflag)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau", "interpret", "band"))
+def collide_stream_cavity_halo_lean(
+    f: jnp.ndarray,      # (Q, NYl, NX) local y-shard
+    f_up: jnp.ndarray,   # (Q, 8, NX) pre-collision rows above the shard
+    f_dn: jnp.ndarray,   # (Q, 8, NX) rows below
+    u_lid_dyn,           # traced scalar
+    bottom,              # traced 0/1 scalar: this shard holds y=0
+    top,                 # traced 0/1 scalar: this shard holds y=NY-1
+    *,
+    tau: float,
+    interpret: bool = False,
+    band: int = 0,
+) -> jnp.ndarray:
+    """Fused lean cavity step for one y-shard: populations-only halos
+    (9 planes per strip instead of the stored-macro protocol's 12) and
+    populations-only HBM traffic. Returns f_new; macros on demand via
+    ops.cavity.macros_guarded. Accuracy contract identical to the
+    single-device lean kernel (f32: Ghia-identical; bf16: documented
+    trade, docs/STATUS.md)."""
+    Qd, NY, NX = f.shape
+    assert Qd == Q
+    dt = f.dtype
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    ty = band or _pick_band(NY, NX, jnp.dtype(cdt).itemsize)
+    if ty < 8 or NY % ty or ty % 8:
+        raise ValueError(f"band height {ty} invalid for NY={NY}")
+    nk = NY // ty
+    grid = (nk + 1,)
+
+    def in_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.minimum(k, jnp.int32(nk - 1))
+
+    def out_band(k):
+        k = jnp.asarray(k, jnp.int32)
+        return jnp.where(k == nk, jnp.int32(nk - 1),
+                         jnp.maximum(k - jnp.int32(1), jnp.int32(0)))
+
+    pop_in = pl.BlockSpec((Q, ty, NX), lambda k: (0, in_band(k), 0),
+                          memory_space=pltpu.VMEM)
+    pop_out = pl.BlockSpec((Q, ty, NX), lambda k: (0, out_band(k), 0),
+                           memory_space=pltpu.VMEM)
+    halo_pop = pl.BlockSpec((Q, 8, NX), lambda k: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    aux_in = pl.BlockSpec((3, NX), lambda k: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    aux = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(u_lid_dyn, cdt), (1, NX)),
+        jnp.broadcast_to(jnp.asarray(bottom, cdt), (1, NX)),
+        jnp.broadcast_to(jnp.asarray(top, cdt), (1, NX)),
+    ], axis=0)
+
+    kernel = _make_lean_halo_kernel(
+        float(tau), ty, nk, dt_store=(dt if dt == jnp.bfloat16 else None))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pop_in, halo_pop, halo_pop, aux_in],
+        out_specs=pop_out,
+        out_shape=jax.ShapeDtypeStruct(f.shape, dt),
+        scratch_shapes=[
+            pltpu.VMEM((Q, ty, NX), cdt),
+            pltpu.VMEM((3, 8, NX), cdt),
+        ],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=int(170 * NY * NX),
+            bytes_accessed=2 * Q * NY * NX * dt.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f, f_up, f_dn, aux)
+
+
 def _make_halo_kernel(tau: float, ty: int, nk: int, dt_store=None):
     """Sharded (y-row-sharded) variant: the rows above/below the shard
     arrive as pre-collision 8-row strips (+ their stored macros) exchanged
@@ -468,6 +604,177 @@ def collide_stream_cavity_halo(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(f, rho, ux, uy, f_up, mac_up, f_dn, mac_dn, aux)
+
+
+def _roll_y(a: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Periodic row shift on a loaded (rows, NX) value (jnp.roll semantics).
+    Arbitrary offsets are legal on VALUES (only ref slices must be
+    8-row-aligned), so the whole-plane shift is a pair of value slices."""
+    if shift == 0:
+        return a
+    return jnp.concatenate((a[-shift:], a[:-shift]), axis=0)
+
+
+def check_vmem_multistep(NY: int, NX: int, itemsize: int,
+                         budget: int = 90 * 1024 * 1024) -> bool:
+    """Whole-grid VMEM residency feasibility for the multi-step kernel:
+    in + out blocks, the f32 working scratch, and ~24 live temporary
+    planes during the collide."""
+    need = (
+        2 * Q * NY * NX * itemsize      # in + out blocks (grid=(1,): single)
+        + Q * NY * NX * 4               # f32 working scratch
+        + 24 * NY * NX * 4              # live temporaries
+    )
+    return need < budget
+
+
+def _make_multistep_kernel(tau: float, k_steps: int, NY: int, NX: int,
+                           u_lid: float, sigma: float, dt_store=None):
+    """K whole cavity steps per kernel launch, state resident in VMEM.
+
+    No band pipeline: the full (Q, NY, NX) grid lives in an f32 scratch
+    for all K steps — zero HBM traffic between steps, one read + one write
+    of the populations per WINDOW instead of per step (temporal blocking).
+    Per-step math is byte-for-byte the lean kernel's (recompute macros ->
+    collide -> pull-stream -> walls/lid), so f32 trajectories equal the
+    lean/stored paths to fusion-context ulp. In bf16 storage the K-step
+    window rounds ONCE at the final store instead of every step — strictly
+    fewer roundings than the per-step bf16 kernel (accuracy between f32
+    and per-step bf16; a different, documented trajectory).
+
+    The lid ramp is evaluated in-kernel from the window's starting step
+    (aux row): u_lid_dyn(t) = u_lid * t / sigma for t < sigma
+    (old codes/LBM_classic/LBM.cpp:180)."""
+
+    def step_planes(f, u_lid_dyn):
+        """One full cavity step on 9 loaded (NY, NX) planes."""
+        rho, ux, uy = macros_guarded(f)
+        fd = collide_dirs(f, rho, ux, uy, tau)
+        # pull streaming = periodic roll by +c, then the walls overwrite
+        # every row/column the wrap got wrong (same order as the band
+        # kernel's emit: sides -> bottom -> lid encodes the corner winners)
+        pv = [_roll_x(fd[i], CX[i]) for i in range(Q)]
+        out = [_roll_y(pv[i], CY[i]) for i in range(Q)]
+
+        def set_col0(a, col):
+            return jnp.concatenate((col, a[:, 1:]), axis=1)
+
+        def set_colN(a, col):
+            return jnp.concatenate((a[:, :-1], col), axis=1)
+
+        # side walls: pre-streaming wall values live at the x-rolled
+        # planes' wrap columns
+        out[1] = set_col0(out[1], pv[3][:, -1:])
+        out[8] = set_col0(out[8], pv[6][:, -1:])
+        out[5] = set_col0(out[5], pv[7][:, -1:])
+        out[3] = set_colN(out[3], pv[1][:, :1])
+        out[7] = set_colN(out[7], pv[5][:, :1])
+        out[6] = set_colN(out[6], pv[8][:, :1])
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (NY, 1), 0)
+        is_b = iota == 0
+        is_t = iota == NY - 1
+
+        def unroll_row(i, rows):
+            return _roll_x(rows, -CX[i])
+
+        # bottom wall (row 0 of the cy=+1 populations)
+        out[2] = jnp.where(is_b, pv[4], out[2])
+        out[5] = jnp.where(is_b, unroll_row(7, pv[7]), out[5])
+        out[6] = jnp.where(is_b, unroll_row(8, pv[8]), out[6])
+
+        # moving lid (row NY-1 of the cy=-1 populations), written after the
+        # walls so the lid wins the two top corners
+        top = [unroll_row(i, pv[i]) for i in range(Q)]
+        rho_top = sum_dirs(top)
+        d5, d6 = lid_deltas(rho_top, u_lid_dyn)
+        out[4] = jnp.where(is_t, top[2], out[4])
+        out[7] = jnp.where(is_t, top[5] + d5, out[7])
+        out[8] = jnp.where(is_t, top[6] + d6, out[8])
+        return out
+
+    def kernel(f_ref, t0_ref, fo_ref, work):
+        # window's starting step as a broadcast (1, NX) row (scalar VMEM
+        # reads are fragile under Mosaic; rows broadcast fine)
+        t0_row = t0_ref[0:1, :]
+
+        for i in range(Q):
+            work[i] = _decode_dir(f_ref[i], i)
+
+        def body(i, _):
+            t = t0_row + jnp.asarray(i, t0_row.dtype)
+            u_lid_dyn = jnp.where(t < sigma, u_lid / sigma * t,
+                                  jnp.full_like(t, u_lid))
+            out = step_planes([work[j] for j in range(Q)], u_lid_dyn)
+            for j in range(Q):
+                work[j] = out[j]
+            return 0
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+        for i in range(Q):
+            fo_ref[i] = _encode_dir(work[i], i, dt_store)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau", "k_steps", "u_lid", "sigma", "interpret"))
+def collide_stream_cavity_multistep(
+    f: jnp.ndarray,      # (Q, NY, NX)
+    step0,               # traced scalar: trajectory step at window start
+    *,
+    tau: float,
+    k_steps: int,
+    u_lid: float,
+    sigma: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """k_steps fused cavity steps in ONE kernel launch (VMEM-resident
+    temporal blocking; see _make_multistep_kernel). Lean semantics:
+    populations only — macros on demand via ops.cavity.macros_guarded.
+    Requires check_vmem_multistep(NY, NX, itemsize) and NY % 8 == 0."""
+    Qd, NY, NX = f.shape
+    assert Qd == Q
+    dt = f.dtype
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    if NY % 8:
+        raise ValueError(f"NY={NY} must be divisible by 8")
+    if not check_vmem_multistep(NY, NX, jnp.dtype(dt).itemsize):
+        raise ValueError(
+            f"{NY}x{NX} exceeds the multi-step kernel's whole-grid VMEM "
+            f"budget (use the banded kernels)")
+    if k_steps < 1:
+        raise ValueError("k_steps must be >= 1")
+
+    t0_row = jnp.broadcast_to(
+        jnp.asarray(step0).astype(cdt).reshape(1, 1), (1, NX))
+    kernel = _make_multistep_kernel(
+        float(tau), int(k_steps), NY, NX, float(u_lid), float(sigma),
+        dt_store=(dt if dt == jnp.bfloat16 else None))
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((Q, NY, NX), lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NX), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Q, NY, NX), lambda k: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(f.shape, dt),
+        scratch_shapes=[pltpu.VMEM((Q, NY, NX), cdt)],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=int(170 * NY * NX) * int(k_steps),
+            bytes_accessed=2 * Q * NY * NX * dt.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f, t0_row)
 
 
 def _pick_band(NY: int, NX: int, itemsize: int) -> int:

@@ -101,9 +101,24 @@ def make_step(cfg: CavityConfig) -> Callable[[CavityState], CavityState]:
 
     if backend == "fused":
         from ..kernels.fused_cavity import (collide_stream_cavity,
-                                            collide_stream_cavity_lean)
+                                            collide_stream_cavity_lean,
+                                            collide_stream_cavity_multistep)
 
         interpret = bool(getattr(cfg, "kernel_interpret", False))
+
+        if getattr(cfg, "multistep", 0):
+            # temporal blocking with k=1: same per-step math as the lean
+            # kernel evaluated in the multistep program (make_rollout runs
+            # the real K-step windows; a single step can't amortize)
+            def step_ms(state: CavityState) -> CavityState:
+                f = collide_stream_cavity_multistep(
+                    state.f, state.step, tau=tau, k_steps=1,
+                    u_lid=cfg.u_lid, sigma=cfg.sigma, interpret=interpret)
+                rho, ux, uy = macros_of(cfg, f)
+                return CavityState(f=f, rho=rho, ux=ux, uy=uy,
+                                   step=state.step + 1)
+
+            return step_ms
 
         if getattr(cfg, "lean_macros", False):
             def step_lean(state: CavityState) -> CavityState:
@@ -151,6 +166,35 @@ def make_step(cfg: CavityConfig) -> Callable[[CavityState], CavityState]:
 
 def make_rollout(cfg: CavityConfig, n: Optional[int] = None):
     n_steps = cfg.nsteps if n is None else n
+
+    if getattr(cfg, "multistep", 0) and cfg.backend == "fused":
+        # temporal blocking: K steps per kernel launch, whole grid
+        # VMEM-resident (kernels/fused_cavity.collide_stream_cavity_multistep)
+        from ..kernels.fused_cavity import collide_stream_cavity_multistep
+
+        interpret = bool(getattr(cfg, "kernel_interpret", False))
+        tau = cfg.tau
+        K = min(int(cfg.multistep), max(n_steps, 1))
+        full, rem = divmod(n_steps, K)
+
+        def window(f, t, k):
+            f = collide_stream_cavity_multistep(
+                f, t, tau=tau, k_steps=k, u_lid=cfg.u_lid,
+                sigma=cfg.sigma, interpret=interpret)
+            return f, t + k
+
+        def rollout(state: CavityState) -> CavityState:
+            f, t = state.f, state.step
+            if full:
+                def body(c, _):
+                    return window(*c, K), None
+                (f, t), _ = jax.lax.scan(body, (f, t), None, length=full)
+            if rem:
+                f, t = window(f, t, rem)
+            rho, ux, uy = macros_of(cfg, f)
+            return CavityState(f=f, rho=rho, ux=ux, uy=uy, step=t)
+
+        return rollout
 
     if getattr(cfg, "lean_macros", False) and cfg.backend == "fused":
         # lean mode: carry only (f, step) through the scan — a full-state

@@ -671,9 +671,16 @@ def make_fused_sharded_cavity_step(
 
     Requires NY divisible by 8 * n_devices. Returns a jitted step with
     in/out shardings set (jit re-places any input state).
+
+    cfg.lean_macros runs the populations-only protocol (9-plane ICI strips
+    instead of 12, 18-plane HBM traffic instead of 24 — the sharded analog
+    of the single-device lean kernel); the returned step still materializes
+    macros for the full CavityState, so long marches should prefer
+    make_fused_sharded_cavity_rollout, which carries (f, step) only.
     """
-    from ..kernels.fused_cavity import collide_stream_cavity_halo
-    from ..models.cavity import CavityState, _lid_speed
+    from ..kernels.fused_cavity import (collide_stream_cavity_halo,
+                                        collide_stream_cavity_halo_lean)
+    from ..models.cavity import CavityState, _lid_speed, macros_of
 
     if AXIS_Y not in mesh.axis_names:
         raise ValueError(f"mesh must have a '{AXIS_Y}' axis")
@@ -693,18 +700,18 @@ def make_fused_sharded_cavity_step(
     pop_spec = P(None, AXIS_Y, None)
     fld_spec = P(AXIS_Y, None)
 
+    fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]  # recv from d-1
+    bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]  # recv from d+1
+
+    def xchg(a, rows, perm):
+        return jax.lax.ppermute(a[..., rows, :], AXIS_Y, perm)
+
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(pop_spec, fld_spec, fld_spec, fld_spec, P()),
              out_specs=(pop_spec, fld_spec, fld_spec, fld_spec),
              check_vma=False)  # pallas_call outputs carry no vma metadata
     def local_step(f, rho, ux, uy, u_lid_dyn):
         idx = jax.lax.axis_index(AXIS_Y)
-        fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]  # recv from d-1
-        bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]  # recv from d+1
-
-        def xchg(a, rows, perm):
-            return jax.lax.ppermute(a[..., rows, :], AXIS_Y, perm)
-
         mac = jnp.stack([rho, ux, uy])
         f_up = xchg(f, slice(-8, None), fwd)
         m_up = xchg(mac, slice(-8, None), fwd)
@@ -715,10 +722,26 @@ def make_fused_sharded_cavity_step(
             u_lid_dyn, (idx == 0), (idx == n_dev - 1),
             tau=tau, interpret=interpret)
 
+    @partial(jax.shard_map, mesh=mesh, in_specs=(pop_spec, P()),
+             out_specs=pop_spec, check_vma=False)
+    def local_step_lean(f, u_lid_dyn):
+        idx = jax.lax.axis_index(AXIS_Y)
+        f_up = xchg(f, slice(-8, None), fwd)
+        f_dn = xchg(f, slice(0, 8), bwd)
+        return collide_stream_cavity_halo_lean(
+            f, f_up, f_dn, u_lid_dyn, (idx == 0), (idx == n_dev - 1),
+            tau=tau, interpret=interpret)
+
+    lean = bool(getattr(cfg, "lean_macros", False))
+
     def step(state):
         u = _lid_speed(cfg, state.step)
-        f, rho, ux, uy = local_step(state.f, state.rho, state.ux,
-                                    state.uy, u)
+        if lean:
+            f = local_step_lean(state.f, u)
+            rho, ux, uy = macros_of(cfg, f)  # elementwise: stays sharded
+        else:
+            f, rho, ux, uy = local_step(state.f, state.rho, state.ux,
+                                        state.uy, u)
         return CavityState(f=f, rho=rho, ux=ux, uy=uy,
                            step=state.step + 1)
 
@@ -729,7 +752,53 @@ def make_fused_sharded_cavity_step(
         uy=NamedSharding(mesh, fld_spec),
         step=NamedSharding(mesh, P()),
     )
-    return jax.jit(step, in_shardings=(shardings,), out_shardings=shardings)
+    step_fn = jax.jit(step, in_shardings=(shardings,),
+                      out_shardings=shardings)
+    step_fn._cavity_parts = (local_step_lean if lean else local_step,
+                             shardings)  # reused by the rollout constructor
+    return step_fn
+
+
+def make_fused_sharded_cavity_rollout(
+    cfg,
+    mesh: Mesh,
+    n: int,
+    interpret: bool | None = None,
+):
+    """n-step scanned multi-chip cavity rollout.
+
+    In lean mode the scan carries (f, step) ONLY — a full-state carry
+    would materialize the redundant macros every iteration, paying the
+    bytes the mode exists to avoid (the same design as the single-device
+    models/cavity.make_rollout) — and the macros are reconstructed once at
+    the end, shard-locally. Stored-macro mode scans the full state."""
+    from ..models.cavity import CavityState, _lid_speed, macros_of
+
+    step = make_fused_sharded_cavity_step(cfg, mesh, interpret)
+    local, shardings = step._cavity_parts
+
+    if getattr(cfg, "lean_macros", False):
+        def rollout(state):
+            def body(c, _):
+                f, t = c
+                f = local(f, _lid_speed(cfg, t))
+                return (f, t + 1), None
+            (f, t), _ = jax.lax.scan(body, (state.f, state.step), None,
+                                     length=n)
+            rho, ux, uy = macros_of(cfg, f)
+            return CavityState(f=f, rho=rho, ux=ux, uy=uy, step=t)
+    else:
+        def rollout(state):
+            def body(s, _):
+                u = _lid_speed(cfg, s.step)
+                f, rho, ux, uy = local(s.f, s.rho, s.ux, s.uy, u)
+                return CavityState(f=f, rho=rho, ux=ux, uy=uy,
+                                   step=s.step + 1), None
+            out, _ = jax.lax.scan(body, state, None, length=n)
+            return out
+
+    return jax.jit(rollout, in_shardings=(shardings,),
+                   out_shardings=shardings)
 
 
 def make_fused_sharded_step_auto(

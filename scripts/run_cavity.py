@@ -43,6 +43,11 @@ def main():
                         "identical, ~9,200 MLUPS at 2048^2; bf16: 36 "
                         "B/site, ~17,900 MLUPS, Ghia u 5.5%% vs 2.5%% — "
                         "see docs/STATUS.md)")
+    p.add_argument("--multistep", type=int, default=0, metavar="K",
+                   help="fused backend, VMEM-resident grids (<=~512^2): "
+                        "run K steps per kernel launch (temporal blocking "
+                        "— zero HBM traffic between steps; lean "
+                        "populations-only semantics)")
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="row-shard the cavity over the first N devices "
                         "(fused halo kernels + ICI strips; needs NX "
@@ -70,13 +75,20 @@ def main():
     from lbm_tpu.io import colormap, timing, video
     from lbm_tpu.models import cavity
 
+    # --shard runs the fused halo kernels regardless of --backend; --lean
+    # and --multistep need backend="fused" to pass config validation
+    backend = ("fused" if (args.lean or args.shard or args.multistep)
+               else args.backend)
+    if args.shard and args.multistep:
+        raise SystemExit("--multistep is single-device-only (the whole "
+                         "grid must be VMEM-resident)")
     cfg = CavityConfig(NX=args.nx, NY=args.nx, nsteps=args.steps,
                        u_lid=args.u_lid, Re=args.re,
                        dtype=jnp.float64 if args.f64 else jnp.float32,
-                       backend=args.backend, storage=args.storage,
-                       lean_macros=args.lean,
-                       kernel_interpret=(args.backend == "fused"
-                                         and args.cpu))
+                       backend=backend, storage=args.storage,
+                       lean_macros=args.lean, multistep=args.multistep,
+                       kernel_interpret=(backend == "fused" and args.cpu
+                                         and not args.shard))
     if args.stability_guard:
         cfg = cfg.with_stability_guard()
     print(f"cavity: {cfg.NX}^2, tau={cfg.tau:.4f}, {cfg.nsteps} steps")
@@ -97,9 +109,6 @@ def main():
                 f"Reynolds number)")
         start_step = int(state.step)
         print(f"resumed from {args.resume} at step {start_step}")
-    if args.shard and args.lean:
-        raise SystemExit("--lean is single-device-only (the sharded halo "
-                         "protocol exchanges stored macros)")
     if args.shard:
         from jax.sharding import Mesh
 
@@ -136,14 +145,18 @@ def main():
         return colormap.jet((m - lo) / jnp.maximum(hi - lo, 1e-30))[::-1]
 
     # march in scan chunks between video frames: tiny grids are dispatch-
-    # latency-bound if stepped one call at a time
-    chunk = max(1, args.video_every if not args.no_video else 500)
+    # latency-bound if stepped one call at a time. Clamp to the remaining
+    # trajectory so short runs don't compile an oversized rollout.
+    remaining = max(cfg.nsteps - start_step, 0)
+    chunk = max(1, min(args.video_every if not args.no_video else 500,
+                       remaining))
     if args.shard:
-        def _roll(s):
-            out, _ = jax.lax.scan(lambda x, _: (step(x), None), s,
-                                  None, length=chunk)
-            return out
-        roll = jax.jit(_roll, donate_argnums=(0,))
+        from lbm_tpu.parallel.fused_sharded import \
+            make_fused_sharded_cavity_rollout
+
+        # lean mode's reduced (f, step) scan carry lives inside the
+        # rollout constructor; stored mode scans the full state there too
+        roll = make_fused_sharded_cavity_rollout(cfg, mesh, chunk)
     else:
         roll = jax.jit(cavity.make_rollout(cfg, chunk), donate_argnums=(0,))
     roll(cavity.init_state(cfg))  # compile outside the timer

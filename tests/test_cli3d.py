@@ -73,6 +73,24 @@ def test_cli2d_shard_flag(tmp_path):
     assert os.path.exists(os.path.join(out, "ckpt_000002.npz"))
 
 
+def test_cli_cavity_shard_lean(tmp_path):
+    """run_cavity.py --shard N --lean: the populations-only sharded
+    protocol end-to-end from the CLI (reduced-carry chunk rollouts +
+    checkpoint of the materialized state)."""
+    out = str(tmp_path / "cavlean")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_cavity.py"),
+         "--cpu", "--nx", "32", "--steps", "4", "--shard", "2", "--lean",
+         "--no-video", "--checkpoint-every", "4", "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded over mesh" in r.stdout
+    assert os.path.exists(os.path.join(out, "final_state.npz"))
+
+
 def test_cli2d_shard_gspmd_fallback(tmp_path):
     """Bounce-back walls can't use the fused halo protocol: the auto
     picker must fall back to GSPMD instead of failing."""

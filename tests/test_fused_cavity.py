@@ -292,3 +292,157 @@ def test_lean_bf16_runs_with_documented_accuracy():
 def test_lean_requires_fused_backend():
     with pytest.raises(ValueError, match="lean"):
         CavityConfig(lean_macros=True)  # jnp backend default
+
+
+# ---------------------------------------------------------------------------
+# Multi-step (temporally-blocked) kernel: K whole steps per launch,
+# grid VMEM-resident
+# ---------------------------------------------------------------------------
+
+def test_multistep_matches_jnp_f64():
+    """23 steps as 4 windows of 5 + a remainder of 3, crossing the lid
+    ramp (sigma=10): the in-kernel ramp evaluation and the window
+    chaining must reproduce the per-step jnp trajectory exactly (f64
+    interpret, no storage rounding anywhere)."""
+    cfg = CavityConfig(NX=48, NY=32, nsteps=23, dtype=jnp.float64)
+    ref = _run(cfg, 23)
+    cfgm = dataclasses.replace(cfg, backend="fused", kernel_interpret=True,
+                               multistep=5)
+    s = jax.jit(cavity.make_rollout(cfgm))(cavity.init_state(cfgm))
+    assert int(s.step) == 23
+    np.testing.assert_allclose(np.asarray(s.f), np.asarray(ref.f),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(s.ux), np.asarray(ref.ux),
+                               rtol=1e-12, atol=1e-14)
+    assert float(jnp.abs(s.ux).max()) > 1e-4  # developed flow
+
+
+def test_multistep_f32_tracks_lean():
+    cfg = CavityConfig(NX=32, NY=32, nsteps=40, dtype=jnp.float32,
+                       backend="fused", kernel_interpret=True,
+                       lean_macros=True)
+    ref = jax.jit(cavity.make_rollout(cfg))(cavity.init_state(cfg))
+    cfgm = dataclasses.replace(cfg, lean_macros=False, multistep=8)
+    s = jax.jit(cavity.make_rollout(cfgm))(cavity.init_state(cfgm))
+    np.testing.assert_allclose(np.asarray(s.f), np.asarray(ref.f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s.ux), np.asarray(ref.ux),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_multistep_bf16_window_rounding():
+    """bf16 multistep rounds once per WINDOW (strictly fewer roundings
+    than the per-step bf16 kernel): the trajectory must track the f32
+    path at the bf16-quantum scale and conserve mass."""
+    cfg32 = CavityConfig(NX=32, NY=32, nsteps=60, dtype=jnp.float32)
+    ref = _run(cfg32, 60)
+    cfgm = dataclasses.replace(cfg32, storage="bf16", backend="fused",
+                               kernel_interpret=True, multistep=10)
+    s = jax.jit(cavity.make_rollout(cfgm))(cavity.init_state(cfgm))
+    assert s.f.dtype == jnp.bfloat16
+    ff = np.asarray(cavity.decode_f(cfgm, s.f))
+    q = float(np.abs(np.asarray(ref.f, np.float32)).max()) * 2 ** -7
+    np.testing.assert_allclose(ff, np.asarray(ref.f), rtol=0,
+                               atol=max(3 * q, 1e-6))
+    m = float(np.asarray(ff, np.float64).sum())
+    assert abs(m / (32 * 32) - 1.0) < 5e-4
+
+
+def test_multistep_step_dispatch():
+    """make_step under a multistep cfg runs k=1 windows (same per-step
+    math); the step counter and macros must line up with the rollout's
+    materialization in f64 (no storage rounding: trajectories equal)."""
+    cfg = CavityConfig(NX=32, NY=32, nsteps=0, dtype=jnp.float64,
+                       backend="fused", kernel_interpret=True, multistep=4)
+    s = cavity.init_state(cfg)
+    step = jax.jit(cavity.make_step(cfg))
+    for _ in range(12):
+        s = step(s)
+    r = jax.jit(cavity.make_rollout(cfg, 12))(cavity.init_state(cfg))
+    assert int(s.step) == int(r.step) == 12
+    np.testing.assert_allclose(np.asarray(s.f), np.asarray(r.f),
+                               rtol=1e-12, atol=1e-15)
+
+
+def test_multistep_rejects_oversized_grid():
+    from lbm_tpu.kernels.fused_cavity import (check_vmem_multistep,
+                                              collide_stream_cavity_multistep)
+    assert not check_vmem_multistep(768, 768, 4)
+    assert check_vmem_multistep(256, 256, 4)
+    f = jnp.zeros((9, 768, 768), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        collide_stream_cavity_multistep(f, 0, tau=0.6, k_steps=4,
+                                        u_lid=0.1, sigma=10.0,
+                                        interpret=True)
+
+
+def test_multistep_config_validation():
+    with pytest.raises(ValueError, match="multistep"):
+        CavityConfig(multistep=8)  # jnp backend
+    with pytest.raises(ValueError, match="multistep"):
+        CavityConfig(multistep=-1, backend="fused")
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_lean_sharded_matches_single(ndev):
+    """Populations-only halo protocol (9-plane ICI strips) vs the
+    single-device jnp path across the lid ramp — the halo strips' macros
+    are recomputed in-register exactly like the owning shard's own, so the
+    gates match the stored-macro sharded test's f64-ulp level."""
+    from lbm_tpu.parallel import fused_sharded
+
+    cfg = CavityConfig(NX=48, NY=64, nsteps=0, dtype=jnp.float64)
+    ref = _run(cfg, 30)
+
+    cfgl = dataclasses.replace(cfg, backend="fused", lean_macros=True)
+    step_sh = fused_sharded.make_fused_sharded_cavity_step(
+        cfgl, _mesh_1d(ndev))
+    s = cavity.init_state(cfgl)
+    for _ in range(30):
+        s = step_sh(s)
+
+    np.testing.assert_allclose(np.asarray(s.f), np.asarray(ref.f),
+                               rtol=1e-11, atol=1e-16)
+    np.testing.assert_allclose(np.asarray(s.ux), np.asarray(ref.ux),
+                               rtol=1e-11, atol=1e-14)
+    assert float(jnp.abs(s.ux).max()) > 1e-5  # developed flow
+
+
+def test_lean_sharded_rollout_matches_step():
+    """The reduced-carry sharded rollout equals per-step marching (the
+    scan carry drops the redundant macros; the final materialization must
+    land on the same state)."""
+    from lbm_tpu.parallel import fused_sharded
+
+    cfg = CavityConfig(NX=32, NY=32, nsteps=0, dtype=jnp.float32,
+                       backend="fused", lean_macros=True)
+    mesh = _mesh_1d(2)
+    step_sh = fused_sharded.make_fused_sharded_cavity_step(cfg, mesh)
+    s = cavity.init_state(cfg)
+    for _ in range(12):
+        s = step_sh(s)
+    roll = fused_sharded.make_fused_sharded_cavity_rollout(cfg, mesh, 12)
+    r = roll(cavity.init_state(cfg))
+    assert np.array_equal(np.asarray(s.f), np.asarray(r.f))
+    assert np.array_equal(np.asarray(s.rho), np.asarray(r.rho))
+    assert int(r.step) == 12
+
+
+def test_lean_sharded_bf16():
+    """bf16 delta storage through the lean halo path (36 B/site on-shard,
+    halved-again ICI strips); tracked against the single-device lean
+    kernel at the bf16-quantum scale."""
+    from lbm_tpu.parallel import fused_sharded
+
+    cfg = CavityConfig(NX=48, NY=64, nsteps=20, storage="bf16",
+                       backend="fused", kernel_interpret=True,
+                       lean_macros=True)
+    ref = jax.jit(cavity.make_rollout(cfg))(cavity.init_state(cfg))
+    roll = fused_sharded.make_fused_sharded_cavity_rollout(
+        cfg, _mesh_1d(4), 20)
+    s = roll(cavity.init_state(cfg))
+    assert s.f.dtype == jnp.bfloat16
+    ff = np.asarray(cavity.decode_f(cfg, s.f))
+    fr = np.asarray(cavity.decode_f(cfg, ref.f))
+    q = float(np.abs(np.asarray(fr, np.float32)).max()) * 2 ** -7
+    np.testing.assert_allclose(ff, fr, rtol=0, atol=max(q, 1e-6))
