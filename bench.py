@@ -134,7 +134,7 @@ def measure3d(n: int, steps: int, storage: str = "native",
 
 
 def measure_cavity(n: int, steps: int, storage: str = "native",
-                   lean: bool = False) -> float:
+                   lean: bool = False, multistep: int = 0) -> float:
     """Single-population D2Q9 lid-driven cavity at n x n — the reference's
     SECOND benchmarked workload (BASELINE.md cavity grid-scaling rows:
     1000^2 x 10k steps = 8,841 ms ~ 1,131 MLUPS on the authors' machine).
@@ -154,7 +154,9 @@ def measure_cavity(n: int, steps: int, storage: str = "native",
         "fused" if (n % 8 == 0 and not on_cpu) else "jnp")
     cfg = dataclasses.replace(CavityConfig(), NX=n, NY=n, nsteps=steps,
                               backend=backend, storage=storage,
-                              lean_macros=lean and backend == "fused")
+                              lean_macros=lean and backend == "fused",
+                              multistep=(multistep if backend == "fused"
+                                         else 0))
     k_short = max(steps // 5, 1)
     roll_long = jax.jit(cavity.make_rollout(cfg, steps), donate_argnums=(0,))
     roll_short = jax.jit(cavity.make_rollout(cfg, k_short),
@@ -284,6 +286,13 @@ def main() -> None:
         # cavity's own fast mode, fused backend only
         attempt(f"cavity_mlups_{ncav}x{ncav}_bf16",
                 lambda: measure_cavity(ncav, 2000, "bf16"))
+    nms = int(os.environ.get("BENCH_CAVITY_MULTISTEP", "512"))
+    if nms and jax.default_backend() != "cpu":
+        # temporal blocking: K steps per kernel launch, whole grid
+        # VMEM-resident (the small-grid regime the banded kernels ran
+        # launch-bound; measured 20-35 GLUPS at 128^2-512^2, STATUS)
+        attempt(f"cavity_mlups_{nms}x{nms}_multistep",
+                lambda: measure_cavity(nms, 4000, multistep=256))
     if extra:
         out["extra"] = extra
     print(json.dumps(out))

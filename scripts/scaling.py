@@ -185,7 +185,9 @@ def cmd_run(args):
                                  dtype=jnp.float32, storage=args.storage,
                                  backend=backend,
                                  lean_macros=args.lean
-                                 and backend == "fused")
+                                 and backend == "fused",
+                                 multistep=(args.multistep
+                                            if backend == "fused" else 0))
             wall_ms, eff = _run_one_cavity(cfg, mesh, args.steps)
             wall_ms *= args.steps / eff
             mlups = nx * ny * args.steps / wall_ms / 1000
@@ -411,6 +413,9 @@ def main():
     r.add_argument("--bc", default="PERIODIC")
     r.add_argument("--steps", type=int, default=30)
     r.add_argument("--backend", default="fused")
+    r.add_argument("--multistep", type=int, default=0, metavar="K",
+                   help="cavity: temporal blocking, K steps per kernel "
+                        "launch (VMEM-resident grids <=~512^2)")
     r.add_argument("--lean", action="store_true",
                    help="cavity: lean-macro fused mode (populations-only "
                         "traffic; f32 accuracy-identical)")

@@ -83,6 +83,11 @@ def main():
                         "units (the f32 steady state floors at ~3e-5)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--backend", choices=("jnp", "fused"), default="fused")
+    p.add_argument("--multistep", type=int, default=0, metavar="K",
+                   help="temporal blocking: K steps per kernel launch "
+                        "(VMEM-resident grids <=~512^2; 20-35 GLUPS — the "
+                        "whole sweep in seconds; f32 trajectories equal "
+                        "the banded kernels' to fusion ulp)")
     p.add_argument("--out", default="artifacts/cavity_re")
     args = p.parse_args()
 
@@ -108,7 +113,9 @@ def main():
 
     for re_n in (int(r) for r in args.re.split(",")):
         cfg = CavityConfig(NX=args.nx, NY=args.nx, u_lid=args.u_lid,
-                           Re=float(re_n), nsteps=0, backend=backend)
+                           Re=float(re_n), nsteps=0, backend=backend,
+                           multistep=(args.multistep
+                                      if backend == "fused" else 0))
         if not 0.5 < cfg.tau < 2.0:
             raise SystemExit(f"Re={re_n}: tau={cfg.tau:.4f} outside the "
                              f"stable BGK window at {args.nx}^2 — change "
