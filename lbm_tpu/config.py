@@ -138,6 +138,14 @@ class PlasmaConfig:
     # would be wrong).
     fft_engine: str = "auto"  # "auto" | "xla" | "pallas"
 
+    # Temporal blocking (fused backend, NONE solver + periodic BC, 2-D):
+    # run this many steps per kernel launch with the whole (f, g) state
+    # resident in VMEM (kernels/fused_multistep.py; feasible to ~256^2 f32
+    # / ~304^2 bf16 — check_vmem_multistep_plasma). The NONE configuration
+    # has no global stage, so the window is exact per-step math; bf16
+    # storage rounds once per window instead of every step. 0 disables.
+    multistep: int = 0
+
     # Population STORAGE precision for f and g (fields/phi keep `dtype`).
     # "bf16" halves the dominant HBM traffic (the step is bandwidth-bound:
     # 432 B/site -> 216) for ~1.5x throughput; all arithmetic still runs
@@ -159,6 +167,21 @@ class PlasmaConfig:
         if self.fft_engine not in ("auto", "xla", "pallas"):
             raise ValueError(f"fft_engine must be auto|xla|pallas, "
                              f"got {self.fft_engine!r}")
+        if self.multistep:
+            if self.multistep < 0:
+                raise ValueError(f"multistep must be >= 0, "
+                                 f"got {self.multistep}")
+            if self.backend != "fused":
+                raise ValueError("multistep is a fused-kernel mode")
+            if self.poisson != PoissonSolver.NONE or self.bc != BC.PERIODIC:
+                raise ValueError(
+                    "multistep requires poisson=NONE + periodic BC (any "
+                    "other solver is a global stage every step)")
+            if self.NZ:
+                raise ValueError("multistep is 2-D only")
+            if self.compat.debug_variant:
+                raise ValueError("multistep is incompatible with "
+                                 "debug_variant (jnp-only mode)")
 
     def units(self) -> LatticeUnits:
         return compute_lattice_units(

@@ -204,12 +204,18 @@ def cmd_run(args):
         if n_dev:
             devs = jax.devices("cpu")[:n_dev]
             mesh = Mesh(np.asarray(devs).reshape(n_dev, 1), (AXIS_Y, AXIS_X))
+        # plasma temporal blocking: NONE solver + periodic + fused +
+        # single-device only (config-validated); other rows ignore it
+        ms = (args.multistep if (sol == C.PoissonSolver.NONE
+                                 and bc == C.BC.PERIODIC
+                                 and backend == "fused" and not n_dev)
+              else 0)
         cfg = dataclasses.replace(
             C.PlasmaConfig(), NX=nx, NY=ny, nsteps=args.steps, poisson=sol,
             bc=bc, dtype=jnp.float32, backend=backend,
             storage=args.storage,
             neutral_delta=args.storage == "bf16",
-            poisson_max_iter=args.poisson_iters)
+            poisson_max_iter=args.poisson_iters, multistep=ms)
         wall_ms, eff = _run_one(cfg, mesh, args.steps)
         wall_ms *= args.steps / eff   # normalize to the nominal step count
         mlups = nx * ny * args.steps / wall_ms / 1000
@@ -414,8 +420,9 @@ def main():
     r.add_argument("--steps", type=int, default=30)
     r.add_argument("--backend", default="fused")
     r.add_argument("--multistep", type=int, default=0, metavar="K",
-                   help="cavity: temporal blocking, K steps per kernel "
-                        "launch (VMEM-resident grids <=~512^2)")
+                   help="temporal blocking, K steps per kernel launch "
+                        "(VMEM-resident grids; cavity <=~512^2, plasma "
+                        "<=~256^2 with NONE+periodic only)")
     r.add_argument("--lean", action="store_true",
                    help="cavity: lean-macro fused mode (populations-only "
                         "traffic; f32 accuracy-identical)")

@@ -1,0 +1,119 @@
+"""Temporally-blocked plasma kernel (NONE solver) vs the jnp path.
+
+The multistep window's per-step math is the fused band kernel's (the
+shared ops on whole-grid values); in f64 interpret mode with no storage
+rounding the trajectories must match the jnp step to cross-program
+fusion-ulp. The window-internal E dispatch (state field on step 1, zero
+afterwards under the compat quirk) replicates models/plasma._solve_poisson
+for PoissonSolver.NONE exactly."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbm_tpu.config import BC, CompatFlags, PlasmaConfig, PoissonSolver
+from lbm_tpu.models import plasma
+
+
+def _cfg(**kw):
+    base = dict(NX=16, NY=16, nsteps=11, dtype=jnp.float64,
+                poisson=PoissonSolver.NONE, bc=BC.PERIODIC)
+    base.update(kw)
+    return dataclasses.replace(PlasmaConfig(), **base)
+
+
+def _ref_run(cfg, steps):
+    rcfg = dataclasses.replace(cfg, backend="jnp", multistep=0)
+    s = plasma.init_state(rcfg)
+    return jax.jit(plasma.make_rollout(rcfg, steps))(s)
+
+
+def _assert_states_close(a, b, rtol, atol):
+    np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(a.g), np.asarray(b.g),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(a.Ex), np.asarray(b.Ex),
+                               rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("K", [1, 4, 16])
+def test_multistep_matches_jnp_f64(K):
+    """11 steps as K-step windows (+ remainder), compat quirk ON: the
+    first step collides with the external field, the rest with zero."""
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=K)
+    ref = _ref_run(cfg, 11)
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    assert int(s.step) == 11
+    _assert_states_close(s, ref, rtol=1e-11, atol=1e-22)
+    # flow actually developed (electron drift under the step-0 field)
+    assert float(jnp.abs(s.f - plasma.init_state(cfg).f).max()) > 0
+
+
+def test_multistep_field_kept_without_quirk():
+    """compat quirk OFF: the external field drives every step."""
+    compat = CompatFlags(none_solver_kills_external_field=False)
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4,
+               compat=compat)
+    ref = _ref_run(cfg, 11)
+    assert float(jnp.abs(ref.Ex).max()) > 0  # field survived
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    _assert_states_close(s, ref, rtol=1e-11, atol=1e-22)
+
+
+def test_multistep_neutral_delta():
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=5,
+               neutral_delta=True)
+    ref = _ref_run(cfg, 11)
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    _assert_states_close(s, ref, rtol=1e-11, atol=1e-22)
+
+
+def test_multistep_bf16_window_rounding():
+    """bf16 storage rounds once per window: the trajectory must track the
+    f32-native jnp path (same delta layout — classic f32 neutrals diverge
+    by design, STATUS drift table) within a few bf16 quanta per species
+    scale."""
+    cfg32 = _cfg(dtype=jnp.float32, nsteps=12, neutral_delta=True)
+    ref = _ref_run(cfg32, 12)
+    cfgm = dataclasses.replace(cfg32, backend="fused",
+                               kernel_interpret=True, multistep=4,
+                               storage="bf16")
+    s = jax.jit(plasma.make_rollout(cfgm))(plasma.init_state(cfgm))
+    assert s.f.dtype == jnp.bfloat16
+    # g gets the loose gate: the thermal energy-loss term amplifies any
+    # input rounding ~80x on small grids (the reference's near-singular
+    # fragility, SURVEY 7.3.4) — same convention as test_bf16_storage's
+    # 0.3-of-scale macro drift gates
+    for name, tol in (("f", 3e-2), ("g", 0.3)):
+        for sp in range(3):
+            a = np.asarray(getattr(ref, name), np.float32)[sp]
+            b = np.asarray(getattr(s, name), np.float32)[sp]
+            scale = max(np.abs(a).max(), 1e-30)
+            assert np.isfinite(b).all()
+            assert np.abs(a - b).max() / scale < tol, (name, sp)
+
+
+def test_multistep_config_validation():
+    with pytest.raises(ValueError, match="multistep"):
+        _cfg(multistep=4)  # jnp backend
+    with pytest.raises(ValueError, match="NONE"):
+        dataclasses.replace(PlasmaConfig(), backend="fused", multistep=4)
+    with pytest.raises(ValueError, match="2-D"):
+        _cfg(backend="fused", multistep=4, NZ=8)
+
+
+def test_multistep_rejects_oversized_grid():
+    from lbm_tpu.kernels.fused_multistep import (
+        check_vmem_multistep_plasma, collide_stream_multistep)
+    assert check_vmem_multistep_plasma(200, 200, 4)
+    assert not check_vmem_multistep_plasma(512, 512, 4)
+    f = jnp.zeros((3, 9, 512, 512), jnp.float32)
+    E = jnp.zeros((512, 512), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        collide_stream_multistep(f, f, E, E, taus=(5, 3, 1, 6, 4, 2),
+                                 q_e=-1.0, q_i=1.0, m_e=1.0, m_i=1836.0,
+                                 cs2=1 / 3, kb=1.0, k_steps=2,
+                                 interpret=True)
