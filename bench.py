@@ -133,6 +133,51 @@ def measure3d(n: int, steps: int, storage: str = "native",
     return n * n * nz * eff / dt / 1e6
 
 
+def measure_plasma_multistep(n: int, steps: int,
+                             storage: str = "bf16") -> float:
+    """Temporally-blocked plasma throughput (NONE solver + periodic —
+    no global stage, so K steps run per kernel launch with the whole
+    (f, g) state VMEM-resident; kernels/fused_multistep.py). The
+    reference's own benchmark CSV is dominated by NONE+Periodic rows;
+    its 200^2 rows work out to 0.55-1.1 MLUPS."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.config import PlasmaConfig, PoissonSolver
+    from lbm_tpu.models import plasma
+    from lbm_tpu.utils.watchdog import finite_reduction
+
+    cfg = dataclasses.replace(
+        PlasmaConfig(), NX=n, NY=n, nsteps=steps, dtype=jnp.float32,
+        poisson=PoissonSolver.NONE, backend="fused", storage=storage,
+        neutral_delta=(storage == "bf16"), multistep=256)
+    k_short = max(steps // 5, 1)
+    roll_long = jax.jit(plasma.make_rollout(cfg, steps), donate_argnums=(0,))
+    roll_short = jax.jit(plasma.make_rollout(cfg, k_short),
+                         donate_argnums=(0,))
+    finite = jax.jit(finite_reduction)
+
+    def trial(roll):
+        s = plasma.init_state(cfg)
+        bool(finite(s))
+        t0 = time.perf_counter()
+        s = roll(s)
+        ok = bool(finite(s))
+        dt = time.perf_counter() - t0
+        assert ok, f"non-finite multistep state ({n}x{n})"
+        return dt
+
+    trial(roll_long)
+    trial(roll_short)
+    t_long = min(trial(roll_long) for _ in range(3))
+    t_short = min(trial(roll_short) for _ in range(3))
+    dt = t_long - t_short
+    eff = steps - k_short
+    if dt <= 0:
+        dt, eff = t_long, steps
+    return n * n * eff / dt / 1e6
+
+
 def measure_cavity(n: int, steps: int, storage: str = "native",
                    lean: bool = False, multistep: int = 0) -> float:
     """Single-population D2Q9 lid-driven cavity at n x n — the reference's
@@ -292,7 +337,14 @@ def main() -> None:
         # VMEM-resident (the small-grid regime the banded kernels ran
         # launch-bound; measured 20-35 GLUPS at 128^2-512^2, STATUS)
         attempt(f"cavity_mlups_{nms}x{nms}_multistep",
-                lambda: measure_cavity(nms, 4000, multistep=256))
+                lambda: measure_cavity(nms, 20000, multistep=256))
+    npms = int(os.environ.get("BENCH_PLASMA_MULTISTEP", "256"))
+    if npms and jax.default_backend() != "cpu":
+        # plasma temporal blocking (NONE solver — the reference's own
+        # most-benchmarked configuration; measured 2.4-3.3 GLUPS bf16 at
+        # 200^2-256^2, STATUS)
+        attempt(f"plasma_mlups_{npms}x{npms}_none_multistep_bf16",
+                lambda: measure_plasma_multistep(npms, 10240, "bf16"))
     if extra:
         out["extra"] = extra
     print(json.dumps(out))
