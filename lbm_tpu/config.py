@@ -173,10 +173,15 @@ class PlasmaConfig:
                                  f"got {self.multistep}")
             if self.backend != "fused":
                 raise ValueError("multistep is a fused-kernel mode")
-            if self.poisson != PoissonSolver.NONE or self.bc != BC.PERIODIC:
+            if not (self.poisson == PoissonSolver.NONE
+                    or (self.poisson == PoissonSolver.FFT
+                        and self.bc == BC.BOUNCE_BACK)):
                 raise ValueError(
-                    "multistep requires poisson=NONE + periodic BC (any "
-                    "other solver is a global stage every step)")
+                    "multistep requires a configuration whose solve leaves "
+                    "E constant: poisson=NONE (either BC) or FFT + "
+                    "bounce-back (the reference's no-op solve, "
+                    "src/poisson.cpp:76-77); FFT + periodic is a global "
+                    "stage every step")
             if self.NZ:
                 raise ValueError("multistep is 2-D only")
             if self.compat.debug_variant:

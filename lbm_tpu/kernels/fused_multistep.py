@@ -43,6 +43,7 @@ from ..constants import D2Q9
 from ..ops.collide import collide_species_dirs
 from ..ops.equilibrium import equilibrium_wpolys
 from ..ops.macros import update_macro
+from ..ops.stream import HOLE_SLOTS, bounceback_fix_dirs
 
 _CX = [int(c) for c in D2Q9.CX]
 _CY = [int(c) for c in D2Q9.CY]
@@ -60,6 +61,14 @@ def _roll2(a: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
     return a
 
 
+def _corner11(v: jnp.ndarray, y: int, x: int) -> jnp.ndarray:
+    """A (1, 1) STATIC corner slice of a loaded plane (y, x in {0, -1});
+    scalar extractions from values are fragile under Mosaic — 2-D slices
+    broadcast fine."""
+    return v[(slice(0, 1) if y == 0 else slice(-1, None)),
+             (slice(0, 1) if x == 0 else slice(-1, None))]
+
+
 def check_vmem_multistep_plasma(NY: int, NX: int, itemsize: int,
                                 budget: int = 90 * 1024 * 1024) -> bool:
     """Whole-state VMEM feasibility: f+g in/out blocks, the f32 working
@@ -73,11 +82,11 @@ def check_vmem_multistep_plasma(NY: int, NX: int, itemsize: int,
     return need < budget
 
 
-def _make_kernel(params, k_steps, kill_field, dt_store=None):
+def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False):
     def one_step(wf, wg, Ex, Ey):
         """One full plasma step on the scratch state (macros -> equilibria
-        -> collide -> periodic push-stream), species-sequential to bound
-        the live plane set."""
+        -> collide -> periodic push-stream [-> bounce-back edge fixups]),
+        species-sequential to bound the live plane set."""
         mac = update_macro(wf[:], wg[:], Ex, Ey,
                            q_e=params["q_e"], q_i=params["q_i"],
                            m_e=params["m_e"], m_i=params["m_i"],
@@ -88,6 +97,7 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None):
             for p in range(3)
         }
         for s in range(_S):
+            fs = wf[s] if bounce else None  # pre-collision (hole staleness)
             f_dirs, g_dirs = collide_species_dirs(
                 s, wf[s], wg[s], mac, Ex, Ey,
                 taus=params["taus"], q_e=params["q_e"], q_i=params["q_i"],
@@ -97,9 +107,24 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None):
                 g_recip=(lambda x: pl.reciprocal(x, approx=True))
                 if dt_store is not None else None)
             # push streaming: temp[y+cy, x+cx] = f[y, x] (periodic wrap)
+            f_out = [_roll2(f_dirs[q], _CY[q], _CX[q]) for q in range(_Q)]
+            g_out = [_roll2(g_dirs[q], _CY[q], _CX[q]) for q in range(_Q)]
+            if bounce:
+                # the reference's recycled temp buffers leak stale values
+                # into the 8 corner holes: pre-collision f for the f pass,
+                # post-collision f for the g pass — species 2's classic
+                # leak gets the delta background added back
+                # (models/plasma._g_holes_with_background)
+                f_holes = [_corner11(fs[i], y, x) for (i, y, x) in HOLE_SLOTS]
+                bg = params["neutral_ref"] if s == 2 else 0.0
+                g_holes = [
+                    _corner11(f_dirs[i], y, x) + bg * float(D2Q9.W[i])
+                    for (i, y, x) in HOLE_SLOTS]
+                f_out = bounceback_fix_dirs(f_out, f_dirs, f_holes)
+                g_out = bounceback_fix_dirs(g_out, g_dirs, g_holes)
             for q in range(_Q):
-                wf[s, q] = _roll2(f_dirs[q], _CY[q], _CX[q])
-                wg[s, q] = _roll2(g_dirs[q], _CY[q], _CX[q])
+                wf[s, q] = f_out[q]
+                wg[s, q] = g_out[q]
 
     def kernel(f_ref, g_ref, ex_ref, ey_ref, fo_ref, go_ref, wf, wg):
         cdt = wf.dtype
@@ -132,7 +157,8 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None):
 @functools.partial(
     jax.jit,
     static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
-                     "neutral_ref", "k_steps", "kill_field", "interpret"))
+                     "neutral_ref", "k_steps", "kill_field", "bounce",
+                     "interpret"))
 def collide_stream_multistep(
     f: jnp.ndarray,    # (3, Q, NY, NX)
     g: jnp.ndarray,
@@ -145,11 +171,16 @@ def collide_stream_multistep(
     neutral_ref: float = 0.0,
     k_steps: int,
     kill_field: bool = True,
+    bounce: bool = False,
     interpret: bool = False,
 ):
-    """k_steps full plasma steps (NONE solver, periodic BC) in one kernel
-    launch. Returns (f_new, g_new); E handling is the caller's (the quirk
-    zeroes it after any step)."""
+    """k_steps full plasma steps in one kernel launch: NONE solver (either
+    BC) or the FFT-under-bounce-back no-op solve (src/poisson.cpp:76-77
+    returns without solving, so E is constant across the window —
+    kill_field=False). bounce=True streams with wall bounce-back (edge
+    fixups on the periodic rolls incl. the corner-hole staleness quirks,
+    ops/stream.bounceback_fix_dirs). Returns (f_new, g_new); E handling is
+    the caller's (the quirk zeroes it after any step)."""
     S, Qd, NY, NX = f.shape
     assert (S, Qd) == (_S, _Q)
     dt = f.dtype
@@ -166,7 +197,8 @@ def collide_stream_multistep(
     params = dict(taus=tuple(taus), q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
                   cs2=cs2, kb=kb, neutral_ref=neutral_ref)
     kernel = _make_kernel(params, int(k_steps), bool(kill_field),
-                          dt_store=(dt if dt == jnp.bfloat16 else None))
+                          dt_store=(dt if dt == jnp.bfloat16 else None),
+                          bounce=bool(bounce))
     pop = pl.BlockSpec((_S, _Q, NY, NX), lambda k: (0, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     fld = pl.BlockSpec((NY, NX), lambda k: (0, 0),

@@ -360,25 +360,30 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
 def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):
     """scan-based multi-step rollout: state -> state after n steps.
 
-    cfg.multistep > 0 (NONE solver + periodic BC, config-validated) runs
-    temporally-blocked windows instead: K whole steps per kernel launch
-    with the (f, g) state VMEM-resident (kernels/fused_multistep.py). The
-    quirk's per-step E zeroing happens once per window — the kernel
-    collides step 1 with the state's field and later steps with 0,
-    exactly the per-step dispatch order."""
+    cfg.multistep > 0 (config-validated: NONE solver under either BC, or
+    FFT + bounce-back — every configuration whose "solve" leaves E
+    constant) runs temporally-blocked windows instead: K whole steps per
+    kernel launch with the (f, g) state VMEM-resident
+    (kernels/fused_multistep.py). Under the NONE quirk the per-step E
+    zeroing happens once per window — the kernel collides step 1 with the
+    state's field and later steps with 0, exactly the per-step dispatch
+    order; FFT + bounce-back is the reference's no-op solve
+    (src/poisson.cpp:76-77), so every step collides with the state's E."""
     n_steps = cfg.nsteps if n is None else n
 
     if getattr(cfg, "multistep", 0):
         from ..kernels.fused_multistep import collide_stream_multistep
 
         u = cfg.units()
-        kill = cfg.compat.none_solver_kills_external_field
+        kill = (cfg.poisson == PoissonSolver.NONE
+                and cfg.compat.none_solver_kills_external_field)
         K = min(int(cfg.multistep), max(n_steps, 1))
         full, rem = divmod(n_steps, K)
         kw = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e,
                   m_i=u.m_i, cs2=u.cs2, kb=u.kb,
                   neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0,
-                  kill_field=kill, interpret=cfg.kernel_interpret)
+                  kill_field=kill, bounce=cfg.bc == BC.BOUNCE_BACK,
+                  interpret=cfg.kernel_interpret)
 
         def window(state: PlasmaState, k: int) -> PlasmaState:
             f, g = collide_stream_multistep(state.f, state.g, state.Ex,

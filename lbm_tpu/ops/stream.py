@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -220,6 +221,63 @@ def bounceback_from_periodic(out: jnp.ndarray, hole_vals: list) -> jnp.ndarray:
     out = out.at[..., 7, -1, :].set(src_7row)    # row wins (7,-1,-1)
     out = out.at[..., 8, :, 0].set(src_8col)
     out = out.at[..., 8, -1, :].set(src_8row)    # row wins (8,-1,0)
+    return out
+
+
+def bounceback_fix_dirs(out: list, fd: list, holes: list) -> list:
+    """bounceback_from_periodic on per-direction PLANES — the kernel-safe
+    form (concatenate/where on loaded values only; no .at scatter, no
+    captured array constants) used by the temporally-blocked plasma kernel.
+
+    out: Q periodic-rolled (NY, NX) planes (push streaming of fd).
+    fd:  the post-collision pre-streaming planes (every wall source is a
+         post-collision value; the periodic result holds each of them at a
+         shifted index, so reading fd directly is the same value bit-for-bit
+         — out[i][y, x] = fd[i][y-cy, x-cx mod N]).
+    holes: 8 (1, 1)-broadcastable stale values in HOLE_SLOTS order.
+
+    Update order replicates bounceback_from_periodic exactly (column/row
+    write order encodes the reference's serial corner winners); equality is
+    pinned by tests against the gather oracle.
+    """
+    NY, NX = out[0].shape[-2], out[0].shape[-1]
+    (h6a, h8a, h5b, h7a, h5a, h7b, h6b, h8b) = [
+        jnp.broadcast_to(jnp.asarray(v, out[0].dtype), (1, 1)) for v in holes]
+
+    def set_col0(a, col):
+        return jnp.concatenate((col, a[..., :, 1:]), axis=-1)
+
+    def set_colN(a, col):
+        return jnp.concatenate((a[..., :, :-1], col), axis=-1)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (NY, 1), 0)
+    is_b = iota == 0
+    is_t = iota == NY - 1
+
+    def cat(*parts):
+        return jnp.concatenate(parts, axis=-1)
+
+    # Axis directions: one full column/row each.
+    out[1] = set_col0(out[1], fd[3][..., :, 0:1])
+    out[3] = set_colN(out[3], fd[1][..., :, -1:])
+    out[2] = jnp.where(is_b, fd[4][..., 0:1, :], out[2])
+    out[4] = jnp.where(is_t, fd[2][..., -1:, :], out[4])
+    # Diagonals: column/row order encodes the serial-corner winner
+    # (bounceback_from_periodic's source vectors, read from fd directly).
+    out[5] = set_col0(out[5], jnp.concatenate(
+        (fd[7][..., 1:, 0:1], h5a), axis=-2))
+    out[5] = jnp.where(is_b, cat(fd[7][..., 0:1, 1:], h5b), out[5])
+    out[6] = jnp.where(is_b, cat(h6a, fd[8][..., 0:1, :-1]), out[6])
+    out[6] = set_colN(out[6], jnp.concatenate(
+        (fd[8][..., 1:, -1:], h6b), axis=-2))
+    out[7] = set_colN(out[7], jnp.concatenate(
+        (h7a, fd[5][..., :-1, -1:]), axis=-2))
+    out[7] = jnp.where(
+        is_t, cat(h7b, fd[5][..., -1:, :NX - 2], fd[5][..., -1:, -1:]),
+        out[7])
+    out[8] = set_col0(out[8], jnp.concatenate(
+        (h8a, fd[6][..., :-1, 0:1]), axis=-2))
+    out[8] = jnp.where(is_t, cat(fd[6][..., -1:, 1:], h8b), out[8])
     return out
 
 

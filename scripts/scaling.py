@@ -204,12 +204,14 @@ def cmd_run(args):
         if n_dev:
             devs = jax.devices("cpu")[:n_dev]
             mesh = Mesh(np.asarray(devs).reshape(n_dev, 1), (AXIS_Y, AXIS_X))
-        # plasma temporal blocking: NONE solver + periodic + fused +
-        # single-device only (config-validated); other rows ignore it
-        ms = (args.multistep if (sol == C.PoissonSolver.NONE
-                                 and bc == C.BC.PERIODIC
-                                 and backend == "fused" and not n_dev)
-              else 0)
+        # plasma temporal blocking: any config whose solve leaves E
+        # constant (NONE either BC, or FFT's bounce-back no-op solve) +
+        # fused + single-device only (config-validated); others ignore it
+        blockable = (sol == C.PoissonSolver.NONE
+                     or (sol == C.PoissonSolver.FFT
+                         and bc == C.BC.BOUNCE_BACK))
+        ms = (args.multistep
+              if (blockable and backend == "fused" and not n_dev) else 0)
         cfg = dataclasses.replace(
             C.PlasmaConfig(), NX=nx, NY=ny, nsteps=args.steps, poisson=sol,
             bc=bc, dtype=jnp.float32, backend=backend,

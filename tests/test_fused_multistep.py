@@ -96,11 +96,56 @@ def test_multistep_bf16_window_rounding():
             assert np.abs(a - b).max() / scale < tol, (name, sp)
 
 
+@pytest.mark.parametrize("K", [1, 4, 16])
+def test_multistep_bounceback_matches_jnp_f64(K):
+    """NONE + bounce-back (211 rows of the reference's own benchmark CSV):
+    the in-kernel edge fixups (ops/stream.bounceback_fix_dirs) must
+    replicate the jnp path's stream_bounceback incl. the corner-hole
+    staleness quirks (pre-collision f for the f pass, post-collision f
+    for the g pass)."""
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=K,
+               bc=BC.BOUNCE_BACK)
+    ref = _ref_run(cfg, 11)
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    assert int(s.step) == 11
+    _assert_states_close(s, ref, rtol=1e-11, atol=1e-22)
+
+
+def test_multistep_bounceback_neutral_delta():
+    """Delta-stored neutrals under bounce-back: the g-pass corner holes
+    leak CLASSIC post-collision f values, so the kernel must add the
+    background rho_n_init * w_i back for species 2
+    (models/plasma._g_holes_with_background)."""
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4,
+               bc=BC.BOUNCE_BACK, neutral_delta=True)
+    ref = _ref_run(cfg, 11)
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    _assert_states_close(s, ref, rtol=1e-11, atol=1e-22)
+
+
+def test_multistep_fft_bounceback():
+    """FFT under bounce-back is the reference's no-op solve
+    (src/poisson.cpp:76-77 returns without solving) — E stays at the
+    external value across the whole window, so the configuration is
+    temporally blockable; every step collides with the state's E."""
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4,
+               poisson=PoissonSolver.FFT, bc=BC.BOUNCE_BACK)
+    ref = _ref_run(cfg, 11)
+    assert float(jnp.abs(ref.Ex).max()) > 0  # the no-op solve kept E
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    _assert_states_close(s, ref, rtol=1e-11, atol=1e-22)
+
+
 def test_multistep_config_validation():
     with pytest.raises(ValueError, match="multistep"):
         _cfg(multistep=4)  # jnp backend
     with pytest.raises(ValueError, match="NONE"):
         dataclasses.replace(PlasmaConfig(), backend="fused", multistep=4)
+    # FFT + periodic stays rejected (a real global stage every step), but
+    # FFT + bounce-back (no-op solve) and NONE + bounce-back validate
+    _cfg(backend="fused", multistep=4, bc=BC.BOUNCE_BACK)
+    _cfg(backend="fused", multistep=4, bc=BC.BOUNCE_BACK,
+         poisson=PoissonSolver.FFT)
     with pytest.raises(ValueError, match="2-D"):
         _cfg(backend="fused", multistep=4, NZ=8)
 
