@@ -133,13 +133,15 @@ def measure3d(n: int, steps: int, storage: str = "native",
     return n * n * nz * eff / dt / 1e6
 
 
-def measure_plasma_multistep(n: int, steps: int,
-                             storage: str = "bf16") -> float:
-    """Temporally-blocked plasma throughput (NONE solver + periodic —
-    no global stage, so K steps run per kernel launch with the whole
-    (f, g) state VMEM-resident; kernels/fused_multistep.py). The
-    reference's own benchmark CSV is dominated by NONE+Periodic rows;
-    its 200^2 rows work out to 0.55-1.1 MLUPS."""
+def measure_plasma_multistep(n: int, steps: int, storage: str = "bf16",
+                             solver: str = "NONE") -> float:
+    """Temporally-blocked plasma throughput: K steps per kernel launch
+    with the whole (f, g) state VMEM-resident
+    (kernels/fused_multistep.py). solver="NONE" has no global stage (the
+    reference's own benchmark CSV is dominated by NONE+Periodic rows; its
+    200^2 rows work out to 0.55-1.1 MLUPS); solver="FFT" is the GOLDEN
+    configuration (src/main_plasma.cpp:16-51) with the spectral solve
+    running IN-KERNEL as MXU DFT matmuls each step."""
     import jax
     import jax.numpy as jnp
 
@@ -149,7 +151,7 @@ def measure_plasma_multistep(n: int, steps: int,
 
     cfg = dataclasses.replace(
         PlasmaConfig(), NX=n, NY=n, nsteps=steps, dtype=jnp.float32,
-        poisson=PoissonSolver.NONE, backend="fused", storage=storage,
+        poisson=PoissonSolver[solver], backend="fused", storage=storage,
         neutral_delta=(storage == "bf16"), multistep=256)
     k_short = max(steps // 5, 1)
     roll_long = jax.jit(plasma.make_rollout(cfg, steps), donate_argnums=(0,))
@@ -345,6 +347,17 @@ def main() -> None:
         # 200^2-256^2, STATUS)
         attempt(f"plasma_mlups_{npms}x{npms}_none_multistep_bf16",
                 lambda: measure_plasma_multistep(npms, 10240, "bf16"))
+    ngms = int(os.environ.get("BENCH_PLASMA_GOLDEN_MULTISTEP", "200"))
+    if ngms and jax.default_backend() != "cpu":
+        # the GOLDEN configuration (200^2, FFT + periodic) temporally
+        # blocked with the spectral solve in-kernel (MXU DFT matmuls);
+        # the reference's best run of this exact config is 0.99 MLUPS
+        attempt(f"plasma_mlups_{ngms}x{ngms}_fft_multistep",
+                lambda: measure_plasma_multistep(ngms, 10240, "native",
+                                                 solver="FFT"))
+        attempt(f"plasma_mlups_{ngms}x{ngms}_fft_multistep_bf16",
+                lambda: measure_plasma_multistep(ngms, 10240, "bf16",
+                                                 solver="FFT"))
     if extra:
         out["extra"] = extra
     print(json.dumps(out))

@@ -138,12 +138,16 @@ class PlasmaConfig:
     # would be wrong).
     fft_engine: str = "auto"  # "auto" | "xla" | "pallas"
 
-    # Temporal blocking (fused backend, NONE solver + periodic BC, 2-D):
-    # run this many steps per kernel launch with the whole (f, g) state
-    # resident in VMEM (kernels/fused_multistep.py; feasible to ~256^2 f32
-    # / ~304^2 bf16 — check_vmem_multistep_plasma). The NONE configuration
-    # has no global stage, so the window is exact per-step math; bf16
-    # storage rounds once per window instead of every step. 0 disables.
+    # Temporal blocking (fused backend, 2-D): run this many steps per
+    # kernel launch with the whole (f, g) state resident in VMEM
+    # (kernels/fused_multistep.py; feasible to ~256^2 f32 / ~304^2 bf16 —
+    # check_vmem_multistep_plasma). NONE (either BC) and FFT+bounce-back
+    # have no global stage, so the window is exact per-step math; FFT +
+    # periodic — the GOLDEN configuration — runs the spectral solve
+    # in-kernel as MXU DFT matmuls (exact algebra; f32 matmuls at
+    # Precision.HIGHEST, ~1e-7 rel like the f32 FFT's own roundoff).
+    # bf16 storage rounds once per window instead of every step.
+    # 0 disables.
     multistep: int = 0
 
     # Population STORAGE precision for f and g (fields/phi keep `dtype`).
@@ -173,15 +177,10 @@ class PlasmaConfig:
                                  f"got {self.multistep}")
             if self.backend != "fused":
                 raise ValueError("multistep is a fused-kernel mode")
-            if not (self.poisson == PoissonSolver.NONE
-                    or (self.poisson == PoissonSolver.FFT
-                        and self.bc == BC.BOUNCE_BACK)):
-                raise ValueError(
-                    "multistep requires a configuration whose solve leaves "
-                    "E constant: poisson=NONE (either BC) or FFT + "
-                    "bounce-back (the reference's no-op solve, "
-                    "src/poisson.cpp:76-77); FFT + periodic is a global "
-                    "stage every step")
+            # every solver x BC combination is temporally blockable:
+            # NONE (either BC) and FFT+bounce-back leave E constant;
+            # FFT+periodic runs the spectral solve in-kernel (MXU DFT
+            # matmuls); GS/SOR/NPS sweep in-kernel under a while_loop
             if self.NZ:
                 raise ValueError("multistep is 2-D only")
             if self.compat.debug_variant:

@@ -1,4 +1,4 @@
-"""Temporally-blocked plasma kernel: K whole steps per launch, NONE solver.
+"""Temporally-blocked plasma kernel: K whole steps per launch.
 
 The NONE-solver configuration (reference: src/poisson.cpp:34-43 — the
 reference's own benchmark CSV carries hundreds of NONE+Periodic rows,
@@ -24,6 +24,24 @@ step collides with 0 — exactly the per-step dispatch of
 models/plasma._solve_poisson for PoissonSolver.NONE. The caller zeroes
 the state's E after the window (quirk) like the per-step path does.
 
+FFT + periodic — the reference's GOLDEN configuration
+(src/main_plasma.cpp:16-51) — is temporally blockable too, by running
+the spectral solve INSIDE the kernel (solve_fft=True): at VMEM-resident
+grid sizes the 2-D DFT is a handful of MXU matmuls (12 per step in the
+half-spectrum form of _dft_solve_mats), tiny next to the VPU collision
+math. The in-kernel solve is algebraically identical to
+ops/poisson.solve_fft + efield_periodic (src/poisson.cpp:365-420,
+589-607): half-spectrum DFT with the discrete 5-point eigenvalue
+4(sin^2+sin^2), k=(0,0) zeroed (zero-mean gauge), then
+central-difference E on the materialized phi. On TPU the matmuls run at
+Precision.HIGHEST (6-pass f32 emulation, ~1e-7 rel — the scale of the
+f32 FFT's own roundoff); in f64 interpret mode they are exact, and the
+trajectory matches the jnp per-step path to DFT-vs-FFT roundoff. Each
+step's solve consumes the rho_q of that step's OWN UpdateMacro (stage
+1), exactly like the per-step dispatch; the kernel returns the final
+step's (Ex, Ey, phi) so the state contract (warm-started phi, post-solve
+field) is identical to the per-step path's.
+
 bf16 storage: the window decodes to f32 once, marches K steps in f32,
 and rounds ONCE at the final store — strictly fewer roundings than the
 per-step bf16 kernel (a separate, documented trajectory; same contract
@@ -36,6 +54,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -61,6 +80,27 @@ def _roll2(a: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
     return a
 
 
+def _efield_periodic_val(phi: jnp.ndarray):
+    """Central differences with periodic wrap on a loaded plane
+    (ops/poisson.efield_periodic, src/poisson.cpp:589-607)."""
+    Ex = -0.5 * (_roll2(phi, 0, -1) - _roll2(phi, 0, 1))
+    Ey = -0.5 * (_roll2(phi, -1, 0) - _roll2(phi, 1, 0))
+    return Ex, Ey
+
+
+def _efield_neumann_val(phi: jnp.ndarray):
+    """ops/poisson.efield_neumann on loaded values: central differences,
+    then copy-to-edge closure — rows first, then columns INCLUDING the
+    corners (the reference's fill order, src/poisson.cpp:551-585)."""
+    Ex, Ey = _efield_periodic_val(phi)
+
+    def close(E):
+        E = jnp.concatenate((E[1:2], E[1:-1], E[-2:-1]), axis=0)
+        return jnp.concatenate((E[:, 1:2], E[:, 1:-1], E[:, -2:-1]), axis=1)
+
+    return close(Ex), close(Ey)
+
+
 def _corner11(v: jnp.ndarray, y: int, x: int) -> jnp.ndarray:
     """A (1, 1) STATIC corner slice of a loaded plane (y, x in {0, -1});
     scalar extractions from values are fragile under Mosaic — 2-D slices
@@ -70,19 +110,94 @@ def _corner11(v: jnp.ndarray, y: int, x: int) -> jnp.ndarray:
 
 
 def check_vmem_multistep_plasma(NY: int, NX: int, itemsize: int,
-                                budget: int = 90 * 1024 * 1024) -> bool:
+                                budget: int = 90 * 1024 * 1024,
+                                solve: bool = False) -> bool:
     """Whole-state VMEM feasibility: f+g in/out blocks, the f32 working
-    scratch pair, and the macro/equilibrium live set (~80 planes)."""
+    scratch pair, and the macro/equilibrium live set (~80 planes). With
+    the in-kernel spectral solve, add the DFT matrices, the (phi, Ex, Ey)
+    scratch, and the half-spectrum matmul intermediates."""
     planes = _S * _Q
     need = (
         2 * 2 * planes * NY * NX * itemsize  # f+g, in + out
         + 2 * planes * NY * NX * 4           # f32 working scratch pair
         + 80 * NY * NX * 4                   # mac + live temporaries
     )
+    if solve:
+        Hp = _pad_half(NX)
+        need += (
+            2 * NY * NY * 4                  # cy, sy
+            + 2 * NX * Hp * 4                # cxh, sxh
+            + NY * Hp * 4                    # invh
+            + 2 * Hp * NX * 4                # gcx, gsx
+            + 3 * NY * NX * 4                # (phi, Ex, Ey) scratch
+            + 10 * NY * Hp * 4               # matmul intermediates
+            + 5 * NY * NX * 4                # E out blocks + phi out
+        )
     return need < budget
 
 
-def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False):
+def _pad_half(NX: int) -> int:
+    """Half-spectrum width NX//2+1 padded up to a lane multiple (the pad
+    columns are exact zeros through the whole chain: cxh/sxh columns,
+    invh, and gcx/gsx rows are all zero there)."""
+    H = NX // 2 + 1
+    return ((H + 127) // 128) * 128
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_solve_mats(NY: int, NX: int):
+    """Host-built f64 matrices for the in-kernel half-spectrum Poisson
+    solve (cast to the kernel compute dtype at call time).
+
+    Chain (all 2-D MXU matmuls on (NY, NX)-resident values; H = NX//2+1
+    lane-padded to Hp):
+      forward x (real input, half spectrum):  A = rho @ cxh, B = rho @ sxh
+      forward y (full complex):               R = (cy - i sy) @ (A - i B)
+      eigenvalue (1/(4(sin^2+sin^2)), k=(0,0) zeroed, 1/(NY NX) folded):
+                                              P = R * invh
+      inverse y ((cy + i sy), 1/NY folded):   W = (cy + i sy) @ P
+      inverse x (real output from the Hermitian half spectrum):
+            phi = Re(W) @ gcx - Im(W) @ gsx
+      where gcx[k, x] = a_k cos(2 pi k x / NX), gsx likewise with sin,
+      a_0 = 1, a_k = 2 for interior k, a_{NX/2} = 1 (even NX). The DC and
+      Nyquist imaginary parts are discarded automatically (sin rows are
+      exactly zero there) — the same convention as irfft2.
+    """
+    H = NX // 2 + 1
+    Hp = _pad_half(NX)
+    jy = np.arange(NY, dtype=np.float64)
+    cy = np.cos(2.0 * np.pi * np.outer(jy, jy) / NY)
+    sy = np.sin(2.0 * np.pi * np.outer(jy, jy) / NY)
+    x = np.arange(NX, dtype=np.float64)
+    k = np.arange(H, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(x, k) / NX            # (NX, H)
+    cxh = np.zeros((NX, Hp))
+    sxh = np.zeros((NX, Hp))
+    cxh[:, :H] = np.cos(ang)
+    sxh[:, :H] = np.sin(ang)
+    # eigenvalue of the 5-point Laplacian, zero-mean gauge, with the
+    # inverse-transform normalization folded in (ops/poisson.solve_fft)
+    ky = np.arange(NY, dtype=np.float64)
+    siny2 = np.sin(np.pi * ky / NY) ** 2
+    sinx2 = np.sin(np.pi * k / NX) ** 2
+    denom = 4.0 * (siny2[:, None] + sinx2[None, :])    # (NY, H)
+    inv = np.where(denom > 1e-15, 1.0 / np.maximum(denom, 1e-300), 0.0)
+    invh = np.zeros((NY, Hp))
+    invh[:, :H] = inv / (NY * NX)
+    alpha = np.full(H, 2.0)
+    alpha[0] = 1.0
+    if NX % 2 == 0:
+        alpha[H - 1] = 1.0
+    angk = 2.0 * np.pi * np.outer(np.arange(H), x) / NX  # (H, NX)
+    gcx = np.zeros((Hp, NX))
+    gsx = np.zeros((Hp, NX))
+    gcx[:H] = alpha[:, None] * np.cos(angk)
+    gsx[:H] = alpha[:, None] * np.sin(angk)
+    return cy, sy, cxh, sxh, invh, gcx, gsx
+
+
+def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False,
+                 solve=False):
     def one_step(wf, wg, Ex, Ey):
         """One full plasma step on the scratch state (macros -> equilibria
         -> collide -> periodic push-stream [-> bounce-back edge fixups]),
@@ -125,6 +240,150 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False):
             for q in range(_Q):
                 wf[s, q] = f_out[q]
                 wg[s, q] = g_out[q]
+        return mac.rho_q
+
+    def solve_field(rho_q, mats):
+        """In-kernel spectral solve + central-difference E: 12 MXU
+        matmuls in the half-spectrum form of _dft_solve_mats. Exact
+        algebra of ops/poisson.solve_fft + efield_periodic."""
+        cy, sy, cxh, sxh, invh, gcx, gsx = mats
+
+        def mm(a, b):
+            return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+        A = mm(rho_q, cxh)                 # (NY, Hp) re of rho F_x^T
+        B = mm(rho_q, sxh)                 # -im
+        Rr = mm(cy, A) - mm(sy, B)         # forward y: (cy - i sy)(A - iB)
+        Ri = -(mm(cy, B) + mm(sy, A))
+        Pr = Rr * invh                     # eigenvalue + normalization
+        Pi = Ri * invh
+        U = mm(cy, Pr) - mm(sy, Pi)        # inverse y: (cy + i sy)(P)
+        V = mm(sy, Pr) + mm(cy, Pi)
+        phi = mm(U, gcx) - mm(V, gsx)      # real inverse x
+        Ex, Ey = _efield_periodic_val(phi)
+        return phi, Ex, Ey
+
+    def solve_field_iter(rho_q, phi0):
+        """In-kernel iterative Poisson sweep: red-black GS/SOR or 4-color
+        9-point (NPS), the exact functional form of ops/poisson.solve_gs /
+        solve_9point, run under a Mosaic lax.while_loop until
+        maxErr < tol or max_iter (the C++ do-loop always sweeps once —
+        err starts at inf). Masks are built from in-kernel iotas (array
+        constants cannot be captured); warm-started phi rides the window
+        scratch like the reference's translation-unit-static phi."""
+        kind, omega, max_iter, tol, interior_only, neumann = solve
+        shape = rho_q.shape
+        NYv, NXv = shape
+        cdt = rho_q.dtype
+        iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        if kind == "gs":
+            m = ((iy + ix) % 2) == 0
+            masks = [m, jnp.logical_not(m)]
+        else:  # "nps": color = 2*(x%2) + (y%2), swept 0..3
+            color = 2 * (ix % 2) + (iy % 2)
+            masks = [color == c for c in range(4)]
+        if interior_only:
+            inside = ((iy >= 1) & (iy < NYv - 1)
+                      & (ix >= 1) & (ix < NXv - 1))
+            masks = [jnp.logical_and(mk, inside) for mk in masks]
+        zero = jnp.zeros((), cdt)
+
+        def nb5(p):
+            return (_roll2(p, 0, 1) + _roll2(p, 0, -1)
+                    + _roll2(p, 1, 0) + _roll2(p, -1, 0))
+
+        def nb_diag(p):
+            return (_roll2(p, 1, 1) + _roll2(p, 1, -1)
+                    + _roll2(p, -1, 1) + _roll2(p, -1, -1))
+
+        def sweep(p):
+            err = zero
+            for mk in masks:
+                if kind == "gs":
+                    new = 0.25 * (nb5(p) + rho_q)
+                    if omega is not None:
+                        new = (1.0 - omega) * p + omega * new
+                else:
+                    new = (4.0 * nb5(p) + nb_diag(p) + 6.0 * rho_q) / 20.0
+                upd = jnp.where(mk, new, p)
+                err = jnp.maximum(
+                    err, jnp.max(jnp.where(mk, jnp.abs(upd - p), zero)))
+                p = upd
+            return p, err
+
+        def cond(c):
+            it, err, _ = c
+            return jnp.logical_and(it < max_iter, err >= tol)
+
+        def body(c):
+            it, _, p = c
+            p2, err = sweep(p)
+            return it + 1, err, p2
+
+        _, _, phi = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, cdt), phi0))
+        Ex, Ey = (_efield_neumann_val(phi) if neumann
+                  else _efield_periodic_val(phi))
+        return phi, Ex, Ey
+
+    def kernel_solve_iter(f_ref, g_ref, ex_ref, ey_ref, phi_ref,
+                          fo_ref, go_ref, exo_ref, eyo_ref, phio_ref,
+                          wf, wg, ws):
+        cdt = wf.dtype
+        wf[:] = f_ref[:].astype(cdt)
+        wg[:] = g_ref[:].astype(cdt)
+        ws[0] = phi_ref[:]                 # warm start persists all window
+        ws[1] = ex_ref[:]
+        ws[2] = ey_ref[:]
+
+        def body(_, carry):
+            rho_q = one_step(wf, wg, ws[1], ws[2])
+            phi, Ex2, Ey2 = solve_field_iter(rho_q, ws[0])
+            ws[0] = phi
+            ws[1] = Ex2
+            ws[2] = Ey2
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+        fo_ref[:] = wf[:].astype(fo_ref.dtype)
+        go_ref[:] = wg[:].astype(go_ref.dtype)
+        exo_ref[:] = ws[1]
+        eyo_ref[:] = ws[2]
+        phio_ref[:] = ws[0]
+
+    def kernel_solve(f_ref, g_ref, ex_ref, ey_ref,
+                     cy_ref, sy_ref, cxh_ref, sxh_ref, invh_ref,
+                     gcx_ref, gsx_ref,
+                     fo_ref, go_ref, exo_ref, eyo_ref, phio_ref,
+                     wf, wg, ws):
+        cdt = wf.dtype
+        wf[:] = f_ref[:].astype(cdt)
+        wg[:] = g_ref[:].astype(cdt)
+        ws[0] = jnp.zeros_like(ex_ref[:])  # phi (always solved before read)
+        ws[1] = ex_ref[:]
+        ws[2] = ey_ref[:]
+        mats = (cy_ref[:], sy_ref[:], cxh_ref[:], sxh_ref[:], invh_ref[:],
+                gcx_ref[:], gsx_ref[:])
+
+        def body(_, carry):
+            # each step: macros (rho_q) -> collide with the CURRENT E ->
+            # stream -> solve(rho_q) -> next E, exactly the per-step
+            # pipeline order (src/plasma.cpp:476-523)
+            rho_q = one_step(wf, wg, ws[1], ws[2])
+            phi, Ex2, Ey2 = solve_field(rho_q, mats)
+            ws[0] = phi
+            ws[1] = Ex2
+            ws[2] = Ey2
+            return carry
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+        fo_ref[:] = wf[:].astype(fo_ref.dtype)
+        go_ref[:] = wg[:].astype(go_ref.dtype)
+        exo_ref[:] = ws[1]
+        eyo_ref[:] = ws[2]
+        phio_ref[:] = ws[0]
 
     def kernel(f_ref, g_ref, ex_ref, ey_ref, fo_ref, go_ref, wf, wg):
         cdt = wf.dtype
@@ -151,6 +410,10 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False):
         fo_ref[:] = wf[:].astype(fo_ref.dtype)
         go_ref[:] = wg[:].astype(go_ref.dtype)
 
+    if solve == "fft":
+        return kernel_solve
+    if solve:
+        return kernel_solve_iter
     return kernel
 
 
@@ -158,12 +421,13 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False):
     jax.jit,
     static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
                      "neutral_ref", "k_steps", "kill_field", "bounce",
-                     "interpret"))
+                     "solve_fft", "solve_iter", "interpret"))
 def collide_stream_multistep(
     f: jnp.ndarray,    # (3, Q, NY, NX)
     g: jnp.ndarray,
-    Ex: jnp.ndarray,   # (NY, NX) — constant across the window
-    Ey: jnp.ndarray,
+    Ex: jnp.ndarray,   # (NY, NX) — constant across the window unless a
+    Ey: jnp.ndarray,   # solve mode is on (then the window's starting field)
+    phi: jnp.ndarray = None,  # (NY, NX) warm start, solve_iter only
     *,
     taus,
     q_e: float, q_i: float, m_e: float, m_i: float,
@@ -172,22 +436,50 @@ def collide_stream_multistep(
     k_steps: int,
     kill_field: bool = True,
     bounce: bool = False,
+    solve_fft: bool = False,
+    solve_iter=None,
     interpret: bool = False,
 ):
-    """k_steps full plasma steps in one kernel launch: NONE solver (either
-    BC) or the FFT-under-bounce-back no-op solve (src/poisson.cpp:76-77
-    returns without solving, so E is constant across the window —
-    kill_field=False). bounce=True streams with wall bounce-back (edge
-    fixups on the periodic rolls incl. the corner-hole staleness quirks,
-    ops/stream.bounceback_fix_dirs). Returns (f_new, g_new); E handling is
-    the caller's (the quirk zeroes it after any step)."""
+    """k_steps full plasma steps in one kernel launch.
+
+    Modes:
+      * default — NONE solver (either BC) or the FFT-under-bounce-back
+        no-op solve (src/poisson.cpp:76-77 returns without solving, so E
+        is constant across the window — kill_field=False). Returns
+        (f_new, g_new); E handling is the caller's (the quirk zeroes it
+        after any step).
+      * solve_fft=True — FFT + periodic (the reference's golden
+        configuration): every step runs the spectral solve in-kernel on
+        its own rho_q via MXU DFT matmuls (module docstring). Returns
+        (f_new, g_new, Ex_new, Ey_new, phi) — the final step's field and
+        potential, matching the per-step state contract.
+      * solve_iter=(kind, omega, max_iter, tol, interior_only, neumann) —
+        the iterative solvers (kind "gs" covers GS and, with omega, SOR;
+        "nps" the 4-color 9-point), swept in-kernel under a Mosaic
+        while_loop with the warm-started phi riding the window scratch.
+        interior_only replicates the reference's Dirichlet-sweeps-under-
+        periodic dispatcher quirk; neumann selects the bounce-back E
+        closure. Same 5-tuple return as solve_fft.
+    bounce=True streams with wall bounce-back (edge fixups on the
+    periodic rolls incl. the corner-hole staleness quirks,
+    ops/stream.bounceback_fix_dirs)."""
     S, Qd, NY, NX = f.shape
     assert (S, Qd) == (_S, _Q)
     dt = f.dtype
     cdt = jnp.float32 if dt == jnp.bfloat16 else dt
     if NY % 8:
         raise ValueError(f"NY={NY} must be divisible by 8")
-    if not check_vmem_multistep_plasma(NY, NX, jnp.dtype(dt).itemsize):
+    if solve_fft and bounce:
+        raise ValueError("solve_fft is the FFT+periodic mode; FFT under "
+                         "bounce-back is the no-op solve (bounce=True, "
+                         "solve_fft=False)")
+    if solve_fft and solve_iter:
+        raise ValueError("solve_fft and solve_iter are exclusive")
+    if solve_iter is not None and phi is None:
+        raise ValueError("solve_iter needs the warm-start phi")
+    if not check_vmem_multistep_plasma(NY, NX, jnp.dtype(dt).itemsize,
+                                       solve=bool(solve_fft)
+                                       or solve_iter is not None):
         raise ValueError(
             f"{NY}x{NX} exceeds the plasma multistep kernel's whole-state "
             f"VMEM budget (use the banded kernels)")
@@ -196,31 +488,81 @@ def collide_stream_multistep(
 
     params = dict(taus=tuple(taus), q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
                   cs2=cs2, kb=kb, neutral_ref=neutral_ref)
+    solve = ("fft" if solve_fft
+             else (tuple(solve_iter) if solve_iter is not None else False))
     kernel = _make_kernel(params, int(k_steps), bool(kill_field),
                           dt_store=(dt if dt == jnp.bfloat16 else None),
-                          bounce=bool(bounce))
+                          bounce=bool(bounce), solve=solve)
     pop = pl.BlockSpec((_S, _Q, NY, NX), lambda k: (0, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     fld = pl.BlockSpec((NY, NX), lambda k: (0, 0),
                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
+
+    def mspec(a):
+        return pl.BlockSpec(a.shape, lambda k: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    kw = dict(
         grid=(1,),
-        in_specs=[pop, pop, fld, fld],
-        out_specs=(pop, pop),
-        out_shape=(jax.ShapeDtypeStruct(f.shape, dt),
-                   jax.ShapeDtypeStruct(g.shape, dt)),
-        scratch_shapes=[
-            pltpu.VMEM((_S, _Q, NY, NX), cdt),
-            pltpu.VMEM((_S, _Q, NY, NX), cdt),
-        ],
-        input_output_aliases={0: 0, 1: 1},
         cost_estimate=pl.CostEstimate(
-            flops=int(1500 * NY * NX) * int(k_steps),
+            flops=int((1500 + (24 * max(NY, NX) if solve_fft else 0))
+                      * NY * NX) * int(k_steps),
             bytes_accessed=4 * _S * _Q * NY * NX * jnp.dtype(dt).itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(f, g, Ex.astype(cdt), Ey.astype(cdt))
+    )
+    if not solve_fft and solve_iter is None:
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pop, pop, fld, fld],
+            out_specs=(pop, pop),
+            out_shape=(jax.ShapeDtypeStruct(f.shape, dt),
+                       jax.ShapeDtypeStruct(g.shape, dt)),
+            scratch_shapes=[
+                pltpu.VMEM((_S, _Q, NY, NX), cdt),
+                pltpu.VMEM((_S, _Q, NY, NX), cdt),
+            ],
+            input_output_aliases={0: 0, 1: 1},
+            **kw,
+        )(f, g, Ex.astype(cdt), Ey.astype(cdt))
+
+    if solve_iter is not None:
+        return pl.pallas_call(
+            kernel,
+            in_specs=[pop, pop, fld, fld, fld],
+            out_specs=(pop, pop, fld, fld, fld),
+            out_shape=(jax.ShapeDtypeStruct(f.shape, dt),
+                       jax.ShapeDtypeStruct(g.shape, dt),
+                       jax.ShapeDtypeStruct((NY, NX), cdt),
+                       jax.ShapeDtypeStruct((NY, NX), cdt),
+                       jax.ShapeDtypeStruct((NY, NX), cdt)),
+            scratch_shapes=[
+                pltpu.VMEM((_S, _Q, NY, NX), cdt),
+                pltpu.VMEM((_S, _Q, NY, NX), cdt),
+                pltpu.VMEM((3, NY, NX), cdt),
+            ],
+            input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4},
+            **kw,
+        )(f, g, Ex.astype(cdt), Ey.astype(cdt), phi.astype(cdt))
+
+    mats = [jnp.asarray(m, cdt) for m in _dft_solve_mats(NY, NX)]
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pop, pop, fld, fld] + [mspec(m) for m in mats],
+        out_specs=(pop, pop, fld, fld, fld),
+        out_shape=(jax.ShapeDtypeStruct(f.shape, dt),
+                   jax.ShapeDtypeStruct(g.shape, dt),
+                   jax.ShapeDtypeStruct((NY, NX), cdt),
+                   jax.ShapeDtypeStruct((NY, NX), cdt),
+                   jax.ShapeDtypeStruct((NY, NX), cdt)),
+        scratch_shapes=[
+            pltpu.VMEM((_S, _Q, NY, NX), cdt),
+            pltpu.VMEM((_S, _Q, NY, NX), cdt),
+            pltpu.VMEM((3, NY, NX), cdt),
+        ],
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        **kw,
+    )(f, g, Ex.astype(cdt), Ey.astype(cdt), *mats)

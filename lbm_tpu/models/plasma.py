@@ -360,15 +360,16 @@ def make_step(cfg: PlasmaConfig) -> Callable[[PlasmaState], PlasmaState]:
 def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):
     """scan-based multi-step rollout: state -> state after n steps.
 
-    cfg.multistep > 0 (config-validated: NONE solver under either BC, or
-    FFT + bounce-back — every configuration whose "solve" leaves E
-    constant) runs temporally-blocked windows instead: K whole steps per
-    kernel launch with the (f, g) state VMEM-resident
-    (kernels/fused_multistep.py). Under the NONE quirk the per-step E
-    zeroing happens once per window — the kernel collides step 1 with the
-    state's field and later steps with 0, exactly the per-step dispatch
-    order; FFT + bounce-back is the reference's no-op solve
-    (src/poisson.cpp:76-77), so every step collides with the state's E."""
+    cfg.multistep > 0 (config-validated) runs temporally-blocked windows
+    instead: K whole steps per kernel launch with the (f, g) state
+    VMEM-resident (kernels/fused_multistep.py). Under the NONE quirk the
+    per-step E zeroing happens once per window — the kernel collides
+    step 1 with the state's field and later steps with 0, exactly the
+    per-step dispatch order; FFT + bounce-back is the reference's no-op
+    solve (src/poisson.cpp:76-77), so every step collides with the
+    state's E; FFT + periodic (the golden configuration) runs the
+    spectral solve IN-KERNEL each step (MXU DFT matmuls) and the window
+    returns the final step's (Ex, Ey, phi) like the per-step path."""
     n_steps = cfg.nsteps if n is None else n
 
     if getattr(cfg, "multistep", 0):
@@ -377,15 +378,38 @@ def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):
         u = cfg.units()
         kill = (cfg.poisson == PoissonSolver.NONE
                 and cfg.compat.none_solver_kills_external_field)
+        periodic_bc = cfg.bc == BC.PERIODIC
+        solve = cfg.poisson == PoissonSolver.FFT and periodic_bc
+        ispec = None
+        it_kinds = {PoissonSolver.GS: ("gs", None),
+                    PoissonSolver.SOR: ("gs", cfg.omega_sor),
+                    PoissonSolver.NPS: ("nps", None)}
+        if cfg.poisson in it_kinds:
+            # replicate _solve_poisson's dispatch: the compat quirk runs
+            # the Dirichlet (interior-only) sweeps even under periodic
+            # BCs; E reconstruction follows the BC type
+            kind, omega = it_kinds[cfg.poisson]
+            interior_only = (not periodic_bc
+                             or cfg.compat.dirichlet_iterative_under_periodic)
+            ispec = (kind, omega, cfg.poisson_max_iter, cfg.poisson_tol,
+                     interior_only, not periodic_bc)
         K = min(int(cfg.multistep), max(n_steps, 1))
         full, rem = divmod(n_steps, K)
         kw = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e,
                   m_i=u.m_i, cs2=u.cs2, kb=u.kb,
                   neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0,
                   kill_field=kill, bounce=cfg.bc == BC.BOUNCE_BACK,
+                  solve_fft=solve, solve_iter=ispec,
                   interpret=cfg.kernel_interpret)
 
         def window(state: PlasmaState, k: int) -> PlasmaState:
+            if solve or ispec:
+                f, g, Ex, Ey, phi = collide_stream_multistep(
+                    state.f, state.g, state.Ex, state.Ey, state.phi,
+                    k_steps=k, **kw)
+                return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey,
+                                   phi=phi.astype(state.phi.dtype),
+                                   step=state.step + k)
             f, g = collide_stream_multistep(state.f, state.g, state.Ex,
                                             state.Ey, k_steps=k, **kw)
             Ex, Ey = ((jnp.zeros_like(state.Ex), jnp.zeros_like(state.Ey))

@@ -204,12 +204,11 @@ def cmd_run(args):
         if n_dev:
             devs = jax.devices("cpu")[:n_dev]
             mesh = Mesh(np.asarray(devs).reshape(n_dev, 1), (AXIS_Y, AXIS_X))
-        # plasma temporal blocking: any config whose solve leaves E
-        # constant (NONE either BC, or FFT's bounce-back no-op solve) +
+        # plasma temporal blocking: NONE (either BC), FFT + bounce-back
+        # (no-op solve), or FFT + periodic (in-kernel spectral solve) +
         # fused + single-device only (config-validated); others ignore it
         blockable = (sol == C.PoissonSolver.NONE
-                     or (sol == C.PoissonSolver.FFT
-                         and bc == C.BC.BOUNCE_BACK))
+                     or sol == C.PoissonSolver.FFT)
         ms = (args.multistep
               if (blockable and backend == "fused" and not n_dev) else 0)
         cfg = dataclasses.replace(

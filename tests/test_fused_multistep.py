@@ -136,16 +136,103 @@ def test_multistep_fft_bounceback():
     _assert_states_close(s, ref, rtol=1e-11, atol=1e-22)
 
 
+@pytest.mark.parametrize("K", [1, 4, 16])
+def test_multistep_fft_periodic_matches_jnp_f64(K):
+    """FFT + periodic — the reference's GOLDEN configuration
+    (src/main_plasma.cpp:16-51) — temporally blocked with the spectral
+    solve running IN-KERNEL as DFT matmuls each step. The matmul DFT is
+    algebraically identical to the jnp path's rfft2 solve but rounds
+    differently, so the gate is scale-relative (f64 interpret: the
+    matmuls are exact f64, differences are DFT-vs-FFT roundoff)."""
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=K,
+               poisson=PoissonSolver.FFT)
+    ref = _ref_run(cfg, 11)
+    assert float(jnp.abs(ref.phi).max()) > 0  # the solve actually ran
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    assert int(s.step) == 11
+    for name in ("f", "g", "Ex", "Ey", "phi"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-11, name
+
+
+def test_multistep_fft_periodic_neutral_delta():
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=5,
+               poisson=PoissonSolver.FFT, neutral_delta=True)
+    ref = _ref_run(cfg, 11)
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    for name in ("f", "g", "Ex", "phi"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-11, name
+
+
+def test_multistep_fft_periodic_odd_nx():
+    """The half-spectrum matrices handle odd NX (no Nyquist bin)."""
+    cfg = _cfg(NX=15, backend="fused", kernel_interpret=True, multistep=4,
+               poisson=PoissonSolver.FFT)
+    ref = _ref_run(cfg, 7)
+    s = jax.jit(plasma.make_rollout(cfg, 7))(plasma.init_state(cfg))
+    for name in ("f", "Ex", "phi"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-11, name
+
+
+@pytest.mark.parametrize("sol,bc", [
+    ("GS", BC.PERIODIC), ("SOR", BC.BOUNCE_BACK), ("NPS", BC.PERIODIC)])
+def test_multistep_iterative_matches_jnp_f64(sol, bc):
+    """GS/SOR/NPS swept IN-KERNEL under a Mosaic while_loop (red-black /
+    4-color masks from iotas, warm-started phi riding the window
+    scratch) must replicate the per-step jnp dispatch: Dirichlet sweeps
+    under periodic BCs (compat quirk), Neumann E closure under
+    bounce-back, convergence on maxErr < tol with at least one sweep."""
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4,
+               poisson=PoissonSolver[sol], bc=bc, poisson_max_iter=60)
+    ref = _ref_run(cfg, 11)
+    assert float(jnp.abs(ref.phi).max()) > 0
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    assert int(s.step) == 11
+    for name in ("f", "g", "Ex", "Ey", "phi"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-11, name
+
+
+def test_multistep_iterative_periodic_sweeps_quirk_off():
+    """With the dispatcher quirk off the sweeps run the true periodic
+    masks (no interior restriction) — both paths must agree on that
+    variant too."""
+    compat = CompatFlags(dirichlet_iterative_under_periodic=False)
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4,
+               poisson=PoissonSolver.GS, compat=compat,
+               poisson_max_iter=40)
+    ref = _ref_run(cfg, 7)
+    s = jax.jit(plasma.make_rollout(cfg, 7))(plasma.init_state(cfg))
+    for name in ("f", "Ex", "phi"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-11, name
+
+
 def test_multistep_config_validation():
     with pytest.raises(ValueError, match="multistep"):
         _cfg(multistep=4)  # jnp backend
-    with pytest.raises(ValueError, match="NONE"):
-        dataclasses.replace(PlasmaConfig(), backend="fused", multistep=4)
-    # FFT + periodic stays rejected (a real global stage every step), but
-    # FFT + bounce-back (no-op solve) and NONE + bounce-back validate
+    # every solver x BC combination is temporally blockable now: NONE
+    # (either BC), FFT + bounce-back (no-op solve), FFT + periodic
+    # (in-kernel spectral solve), GS/SOR/NPS (in-kernel sweeps)
     _cfg(backend="fused", multistep=4, bc=BC.BOUNCE_BACK)
     _cfg(backend="fused", multistep=4, bc=BC.BOUNCE_BACK,
          poisson=PoissonSolver.FFT)
+    _cfg(backend="fused", multistep=4, poisson=PoissonSolver.FFT)
+    _cfg(backend="fused", multistep=4, poisson=PoissonSolver.GS)
+    _cfg(backend="fused", multistep=4, poisson=PoissonSolver.SOR,
+         bc=BC.BOUNCE_BACK)
     with pytest.raises(ValueError, match="2-D"):
         _cfg(backend="fused", multistep=4, NZ=8)
 
