@@ -49,6 +49,17 @@ def parse_args():
     p.add_argument("--no-video", action="store_true")
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--video-every", type=int, default=1)
+    p.add_argument("--multistep", type=int, default=0, metavar="K",
+                   help="temporal blocking: K whole steps per kernel "
+                        "launch with the grid VMEM-resident (fused "
+                        "backend, <=~256^2 f32; every solver/BC "
+                        "combination — FFT+periodic solves in-kernel via "
+                        "MXU DFT matmuls, GS/SOR/NPS sweep in-kernel). "
+                        "Probes, video, watchdog and checkpoints then "
+                        "sample at WINDOW boundaries (every K steps) "
+                        "instead of every step — use the default per-step "
+                        "marching when the reference's per-step probe "
+                        "series is the point")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--assume-ckpt-layout", choices=["classic", "delta"],
@@ -85,9 +96,10 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-        if args.backend != "jnp":
+        if args.backend != "jnp" and not args.multistep:
             # Pallas kernels only run in (slow) interpret mode on CPU; the
-            # XLA path is the right CPU backend.
+            # XLA path is the right CPU backend. (--multistep has no jnp
+            # equivalent and runs interpret-mode kernels instead.)
             print(f"--cpu: backend '{args.backend}' needs a TPU, using 'jnp'")
             args.backend = "jnp"
     if args.f64:
@@ -136,7 +148,23 @@ def main():
             dirichlet_iterative_under_periodic=False,
             debug_variant=True)
         over["backend"] = "jnp"  # debug_variant mode is jnp-backend only
-    cfg = dataclasses.replace(cfg, **over)
+    if args.multistep:
+        if args.shard:
+            raise SystemExit("--multistep is single-device (the sharded "
+                             "paths exchange halos per step)")
+        if args.debug_dump or args.debug_variant:
+            raise SystemExit("--multistep fuses whole windows; per-step/"
+                             "per-stage dumps need per-step marching")
+        over["multistep"] = args.multistep
+        over["backend"] = "fused"
+        if args.cpu:
+            # the fused kernels cannot lower on CPU; interpret mode keeps
+            # the CLI testable there (slow — real runs are TPU)
+            over["kernel_interpret"] = True
+    try:
+        cfg = dataclasses.replace(cfg, **over)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     os.makedirs(args.out, exist_ok=True)
     state = (ckpt.load(args.resume, dtype=cfg.dtype) if args.resume
@@ -183,6 +211,15 @@ def main():
         state = jax.tree.map(jax.device_put, state, shardings)
         step(jax.tree.map(jax.device_put, plasma.init_state(cfg),
                           shardings))  # compile outside the timer
+    elif staged is None and cfg.multistep:
+        # temporally-blocked windows: K steps per kernel launch; a second
+        # compiled remainder window covers nsteps % K
+        step = (jax.jit(plasma.make_rollout(cfg, cfg.multistep),
+                        donate_argnums=(0,)).lower(state).compile())
+        rem_n = max(cfg.nsteps - int(state.step), 0) % cfg.multistep
+        step_rem = (jax.jit(plasma.make_rollout(cfg, rem_n),
+                            donate_argnums=(0,)).lower(state).compile()
+                    if rem_n else None)
     elif staged is None:
         # AOT-compile so the timer measures simulation, not compilation
         step = (jax.jit(plasma.make_step(cfg), donate_argnums=(0,))
@@ -212,11 +249,14 @@ def main():
         print(f"resume: checkpoint already at step {start_step} >= "
               f"--steps {cfg.nsteps}; nothing to run (raise --steps to "
               f"continue further)")
-    for t in range(start_step, cfg.nsteps):
+    stride = cfg.multistep or 1
+    for t in range(start_step, cfg.nsteps, stride):
+        k = min(stride, cfg.nsteps - t)
         # Reference alignment: the reference samples the macros computed at
         # the TOP of iteration t (pre-collide, src/main_plasma.cpp loop), so
         # compute them from the pre-step state; Ex/Ey are the post-Poisson
         # fields of the same iteration, which live on the post-step state.
+        # Under --multistep the sampling happens once per WINDOW.
         if staged is not None:
             state, feq, stages = staged(state, feq)
             mac = stages["UpdateMacro"].mac
@@ -224,15 +264,15 @@ def main():
                 dmp.dump_stage(t, stage, stages[stage])
         else:
             mac = plasma.compute_macros(cfg, state)
-            state = step(state)
+            state = step(state) if k == stride else step_rem(state)
         timer.tick()
         if wd is not None:
             state = wd.check(t, state)
         rec.record(mac, state.Ex, state.Ey)
         if vid is not None and args.video_every and t % args.video_every == 0:
             vid.record(mac)
-        if args.checkpoint_every and (t + 1) % args.checkpoint_every == 0:
-            ckpt.save(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"),
+        if args.checkpoint_every and (t + k) % args.checkpoint_every == 0:
+            ckpt.save(os.path.join(args.out, f"ckpt_{t+k:06d}.npz"),
                       with_fresh_phi(state),
                       neutral_delta=cfg.neutral_delta, storage=cfg.storage)
     jax.block_until_ready(state)

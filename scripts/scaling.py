@@ -204,13 +204,12 @@ def cmd_run(args):
         if n_dev:
             devs = jax.devices("cpu")[:n_dev]
             mesh = Mesh(np.asarray(devs).reshape(n_dev, 1), (AXIS_Y, AXIS_X))
-        # plasma temporal blocking: NONE (either BC), FFT + bounce-back
-        # (no-op solve), or FFT + periodic (in-kernel spectral solve) +
-        # fused + single-device only (config-validated); others ignore it
-        blockable = (sol == C.PoissonSolver.NONE
-                     or sol == C.PoissonSolver.FFT)
+        # plasma temporal blocking: every solver x BC combination blocks
+        # (NONE/FFT+BB leave E constant; FFT+periodic solves in-kernel
+        # via MXU DFT matmuls; GS/SOR/NPS sweep in-kernel) — fused +
+        # single-device only (config-validated)
         ms = (args.multistep
-              if (blockable and backend == "fused" and not n_dev) else 0)
+              if (backend == "fused" and not n_dev) else 0)
         cfg = dataclasses.replace(
             C.PlasmaConfig(), NX=nx, NY=ny, nsteps=args.steps, poisson=sol,
             bc=bc, dtype=jnp.float32, backend=backend,

@@ -105,3 +105,45 @@ def test_cli2d_shard_gspmd_fallback(tmp_path):
         capture_output=True, text=True, cwd=REPO, timeout=600, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "sharded over mesh" in r.stdout
+
+
+def test_cli2d_multistep_golden_config(tmp_path):
+    """run_plasma.py --multistep K: temporally-blocked windows from the
+    CLI at the golden configuration (FFT + periodic — the in-kernel
+    spectral solve), f64 interpret on CPU. The final state must match a
+    per-step jnp run of the same config at DFT-vs-FFT roundoff, and the
+    probe series samples once per window."""
+    import numpy as np
+
+    out_ms = str(tmp_path / "ms")
+    out_ref = str(tmp_path / "ref")
+    common = ["--cpu", "--f64", "--nx", "16", "--ny", "16", "--steps", "11",
+              "--no-video", "--no-plots"]
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_plasma.py"),
+         *common, "--multistep", "4", "--out", out_ms],
+        capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_plasma.py"),
+         *common, "--backend", "jnp", "--out", out_ref],
+        capture_output=True, text=True, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    a = np.load(os.path.join(out_ms, "final_state.npz"))
+    b = np.load(os.path.join(out_ref, "final_state.npz"))
+    for key in ("f", "g", "Ex", "phi"):
+        scale = max(np.abs(b[key]).max(), 1e-300)
+        assert np.abs(a[key] - b[key]).max() / scale < 1e-11, key
+    # 11 steps / K=4 -> windows at t=0,4,8 -> 3 probe rows (+ header)
+    with open(os.path.join(out_ms, "graphs", "ts_rho_e.csv")) as fh:
+        assert len(fh.read().strip().splitlines()) == 4
+
+
+def test_cli2d_multistep_rejects_shard():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_plasma.py"),
+         "--cpu", "--nx", "16", "--ny", "16", "--steps", "4",
+         "--multistep", "2", "--shard", "2", "--no-video", "--no-plots"],
+        capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert r.returncode != 0
+    assert "single-device" in (r.stderr + r.stdout)
