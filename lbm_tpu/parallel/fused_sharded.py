@@ -801,6 +801,136 @@ def make_fused_sharded_cavity_rollout(
                    out_shardings=shardings)
 
 
+def make_fused_sharded_multistep_rollout(
+    cfg: PlasmaConfig,
+    mesh: Mesh,
+    n: int,
+    interpret: bool | None = None,
+):
+    """n-step multi-chip TEMPORALLY-BLOCKED plasma rollout: K-deep ghost
+    rows exchanged once per window instead of 1-row halos every step.
+
+    Composition of the two protocols this module and
+    kernels/fused_multistep.py already own: the lattice is row-sharded
+    over a 1-D (dy) mesh; each K-step window every device ppermutes its
+    edge K-row slabs of f, g (and E — step 1 collides with the state's
+    field) to its y-neighbors, concatenates them around its shard, and
+    runs the UNCHANGED single-device multistep kernel on the extended
+    (rows + 2K, NX) grid. The kernel's periodic y-wrap is wrong on the
+    extended grid, but the corruption it injects at the two extreme rows
+    propagates inward exactly one row per step (the stencil is 1-deep),
+    so after K steps it has reached ghost depth K-1 and the interior
+    slice [K:-K] — the shard — is EXACT: every shard cell's K-step
+    dependency cone (K rows each side) lies inside the true-valued
+    extension. One kernel launch and one neighbor exchange per K steps —
+    the launch/latency-bound small-grid regime that motivated temporal
+    blocking is precisely where per-step ICI halos hurt most.
+
+    Cost: the ghost rows are collided redundantly (2K/rows_per_shard
+    extra work per device) and the exchange ships K rows instead of 1 —
+    the window amortizes K latencies into one.
+
+    Requires: NONE solver + periodic BC (the blockable configuration with
+    no global stage and no wall fixups), cfg.multistep = K with K % 8 == 0
+    (the extended grid must keep 8-row alignment), NY % (8 * n_dev) == 0,
+    and the extended (rows + 2K, NX) state within the multistep kernel's
+    VMEM budget. Windows follow models/plasma.make_rollout's dispatch:
+    under the compat quirk the kernel collides step 1 with the state's E
+    and later steps with 0, and the caller zeroes E after every window.
+    Remainder windows (n % K) run k < K steps on the same K-deep halos
+    (deeper than needed — still exact).
+    """
+    from ..kernels.fused_multistep import (check_vmem_multistep_plasma,
+                                           collide_stream_multistep)
+
+    if AXIS_Y not in mesh.axis_names:
+        raise ValueError(f"mesh must have a '{AXIS_Y}' axis")
+    n_dev = mesh.shape[AXIS_Y]
+    extra = [a for a in mesh.axis_names if a != AXIS_Y and mesh.shape[a] != 1]
+    if extra:
+        raise ValueError("sharded multistep is 1-D (dy) only; got "
+                         f"nontrivial axes {extra}")
+    K = int(getattr(cfg, "multistep", 0))
+    if K <= 0 or K % 8:
+        raise ValueError("sharded multistep needs cfg.multistep = K with "
+                         f"K % 8 == 0 (8-row alignment), got {K}")
+    if cfg.poisson != PoissonSolver.NONE or cfg.bc != BC.PERIODIC:
+        raise ValueError("sharded multistep supports NONE + periodic (the "
+                         "solvers run per-step on the sharded paths)")
+    if cfg.NY % (8 * n_dev):
+        raise ValueError(f"NY={cfg.NY} must be divisible by 8*{n_dev}")
+    rows = cfg.NY // n_dev
+    itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
+    if not check_vmem_multistep_plasma(rows + 2 * K, cfg.NX, itemsize):
+        raise ValueError(
+            f"extended shard ({rows}+2*{K}) x {cfg.NX} exceeds the "
+            f"multistep kernel's VMEM budget (smaller K or more devices)")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+
+    u = cfg.units()
+    kill = cfg.compat.none_solver_kills_external_field
+    phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb,
+                neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0,
+                kill_field=kill, interpret=interpret)
+
+    pop_spec = P(None, None, AXIS_Y, None)
+    fld_spec = P(AXIS_Y, None)
+    fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]  # recv from d-1
+    bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]  # recv from d+1
+
+    def make_window(k):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(pop_spec, pop_spec, fld_spec, fld_spec),
+                 out_specs=(pop_spec, pop_spec),
+                 check_vma=False)
+        def local_window(f, g, Ex, Ey):
+            def xchg(a, rws, perm):
+                return jax.lax.ppermute(a[..., rws, :], AXIS_Y, perm)
+
+            def ext(a):
+                up = xchg(a, slice(-K, None), fwd)   # rows above my first
+                dn = xchg(a, slice(0, K), bwd)       # rows below my last
+                return jnp.concatenate([up, a, dn], axis=-2)
+
+            fe, ge = collide_stream_multistep(
+                ext(f), ext(g), ext(Ex), ext(Ey), k_steps=k, **phys)
+            return fe[..., K:-K, :], ge[..., K:-K, :]
+
+        return local_window
+
+    win_full = make_window(K)
+    rem = n % K if n > 0 else 0
+    win_rem = make_window(rem) if rem else None
+    full = n // K
+
+    def window(state: PlasmaState, local, k):
+        f, g = local(state.f, state.g, state.Ex, state.Ey)
+        Ex, Ey = ((jnp.zeros_like(state.Ex), jnp.zeros_like(state.Ey))
+                  if kill else (state.Ex, state.Ey))
+        return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=state.phi,
+                           step=state.step + k)
+
+    def rollout(state: PlasmaState) -> PlasmaState:
+        if full:
+            def body(s, _):
+                return window(s, win_full, K), None
+            state, _ = jax.lax.scan(body, state, None, length=full)
+        if rem:
+            state = window(state, win_rem, rem)
+        return state
+
+    shardings = PlasmaState(
+        f=NamedSharding(mesh, pop_spec), g=NamedSharding(mesh, pop_spec),
+        Ex=NamedSharding(mesh, fld_spec), Ey=NamedSharding(mesh, fld_spec),
+        phi=NamedSharding(mesh, fld_spec),
+        step=NamedSharding(mesh, P()),
+    )
+    return jax.jit(rollout, in_shardings=(shardings,),
+                   out_shardings=shardings)
+
+
 def make_fused_sharded_step_auto(
     cfg: PlasmaConfig,
     devices,

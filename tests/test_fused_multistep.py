@@ -237,6 +237,85 @@ def test_multistep_config_validation():
         _cfg(backend="fused", multistep=4, NZ=8)
 
 
+def _mesh(n_dev):
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
+    devs = jax.devices("cpu")[:n_dev]
+    return Mesh(np.asarray(devs).reshape(n_dev, 1), (AXIS_Y, AXIS_X))
+
+
+@pytest.mark.parametrize("n_dev,kill,delta",
+                         [(2, True, False), (4, False, True)])
+def test_multistep_sharded_matches_jnp_f64(n_dev, kill, delta):
+    """Multi-chip temporal blocking: K-deep ghost rows exchanged once per
+    window, the unchanged multistep kernel on the extended shard, interior
+    slice exact (the y-wrap corruption travels 1 row/step and never
+    crosses the K-row ghost zone). Gates at f64 ulp vs the single-device
+    jnp rollout, remainder window included (19 = 2*8 + 3)."""
+    from lbm_tpu.parallel.fused_sharded import \
+        make_fused_sharded_multistep_rollout
+
+    compat = (CompatFlags() if kill
+              else CompatFlags(none_solver_kills_external_field=False))
+    cfg = _cfg(NX=24, NY=64, nsteps=19, backend="fused",
+               kernel_interpret=True, multistep=8, compat=compat,
+               neutral_delta=delta)
+    ref = _ref_run(cfg, 19)
+    roll = make_fused_sharded_multistep_rollout(cfg, _mesh(n_dev), 19)
+    s = roll(plasma.init_state(cfg))
+    assert int(s.step) == 19
+    for name in ("f", "g", "Ex"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-14, name
+
+
+def test_multistep_sharded_bf16():
+    """bf16 storage through the sharded window: halved ICI slab bytes,
+    one rounding per window; tracks the f32-delta jnp path within the
+    same per-species gates as the single-device bf16 window test."""
+    from lbm_tpu.parallel.fused_sharded import \
+        make_fused_sharded_multistep_rollout
+
+    cfg32 = _cfg(NX=24, NY=64, dtype=jnp.float32, nsteps=16,
+                 neutral_delta=True)
+    ref = _ref_run(cfg32, 16)
+    cfgm = dataclasses.replace(cfg32, backend="fused",
+                               kernel_interpret=True, multistep=8,
+                               storage="bf16")
+    roll = make_fused_sharded_multistep_rollout(cfgm, _mesh(2), 16)
+    s = roll(plasma.init_state(cfgm))
+    assert s.f.dtype == jnp.bfloat16
+    for name, tol in (("f", 3e-2), ("g", 0.3)):
+        for sp in range(3):
+            a = np.asarray(getattr(ref, name), np.float32)[sp]
+            b = np.asarray(getattr(s, name), np.float32)[sp]
+            scale = max(np.abs(a).max(), 1e-30)
+            assert np.isfinite(b).all()
+            assert np.abs(a - b).max() / scale < tol, (name, sp)
+
+
+def test_multistep_sharded_validation():
+    from lbm_tpu.parallel.fused_sharded import \
+        make_fused_sharded_multistep_rollout
+
+    with pytest.raises(ValueError, match="K % 8"):
+        make_fused_sharded_multistep_rollout(
+            _cfg(NY=64, backend="fused", kernel_interpret=True,
+                 multistep=4), _mesh(2), 8)
+    with pytest.raises(ValueError, match="NONE"):
+        make_fused_sharded_multistep_rollout(
+            _cfg(NY=64, backend="fused", kernel_interpret=True,
+                 multistep=8, poisson=PoissonSolver.FFT), _mesh(2), 8)
+    with pytest.raises(ValueError, match="divisible"):
+        make_fused_sharded_multistep_rollout(
+            _cfg(NY=24, backend="fused", kernel_interpret=True,
+                 multistep=8), _mesh(2), 8)
+
+
 def test_multistep_rejects_oversized_grid():
     from lbm_tpu.kernels.fused_multistep import (
         check_vmem_multistep_plasma, collide_stream_multistep)
