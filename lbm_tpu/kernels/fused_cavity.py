@@ -733,13 +733,15 @@ def collide_stream_cavity_multistep(
     """k_steps fused cavity steps in ONE kernel launch (VMEM-resident
     temporal blocking; see _make_multistep_kernel). Lean semantics:
     populations only — macros on demand via ops.cavity.macros_guarded.
-    Requires check_vmem_multistep(NY, NX, itemsize) and NY % 8 == 0."""
+    Requires check_vmem_multistep(NY, NX, itemsize). Any NY: the kernel
+    is pure value-level ops on whole planes (concats/wheres/iota masks),
+    so Mosaic's (8, 128) tile padding handles unaligned grids — the
+    literal Ghia 129^2 grid runs here (the BANDED cavity kernels keep
+    their NY % 8 gates: their ref slices need sublane alignment)."""
     Qd, NY, NX = f.shape
     assert Qd == Q
     dt = f.dtype
     cdt = jnp.float32 if dt == jnp.bfloat16 else dt
-    if NY % 8:
-        raise ValueError(f"NY={NY} must be divisible by 8")
     if not check_vmem_multistep(NY, NX, jnp.dtype(dt).itemsize):
         raise ValueError(
             f"{NY}x{NX} exceeds the multi-step kernel's whole-grid VMEM "

@@ -106,7 +106,10 @@ def main():
     from lbm_tpu.models import cavity
 
     backend = args.backend
-    if backend == "fused" and (args.cpu or args.nx % 8):
+    if backend == "fused" and (args.cpu
+                               or (args.nx % 8 and not args.multistep)):
+        # the BANDED kernel needs NY % 8 (ref-slice alignment); the
+        # multistep kernel is whole-plane ops and takes any grid
         backend = "jnp"
     os.makedirs(args.out, exist_ok=True)
     summary = {}

@@ -317,6 +317,20 @@ def test_multistep_matches_jnp_f64():
     assert float(jnp.abs(s.ux).max()) > 1e-4  # developed flow
 
 
+def test_multistep_unaligned_ny():
+    """No NY % 8 gate on the multistep kernel (whole-plane value ops;
+    Mosaic pads tiles) — the literal Ghia 129^2 grid runs through it.
+    Semantics pinned at an odd NY in f64 interpret; measured on v5e:
+    129^2 x 10k in ~40 ms with Ghia u 2.56% / v 0.89% (STATUS)."""
+    cfg = CavityConfig(NX=48, NY=33, nsteps=11, dtype=jnp.float64)
+    ref = _run(cfg, 11)
+    cfgm = dataclasses.replace(cfg, backend="fused", kernel_interpret=True,
+                               multistep=4)
+    s = jax.jit(cavity.make_rollout(cfgm))(cavity.init_state(cfgm))
+    np.testing.assert_allclose(np.asarray(s.f), np.asarray(ref.f),
+                               rtol=1e-12, atol=1e-15)
+
+
 def test_multistep_f32_tracks_lean():
     cfg = CavityConfig(NX=32, NY=32, nsteps=40, dtype=jnp.float32,
                        backend="fused", kernel_interpret=True,
