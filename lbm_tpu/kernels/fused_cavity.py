@@ -629,7 +629,8 @@ def check_vmem_multistep(NY: int, NX: int, itemsize: int,
 
 
 def _make_multistep_kernel(tau: float, k_steps: int, NY: int, NX: int,
-                           u_lid: float, sigma: float, dt_store=None):
+                           u_lid: float, sigma: float, dt_store=None,
+                           gated: bool = False):
     """K whole cavity steps per kernel launch, state resident in VMEM.
 
     No band pipeline: the full (Q, NY, NX) grid lives in an f32 scratch
@@ -644,9 +645,17 @@ def _make_multistep_kernel(tau: float, k_steps: int, NY: int, NX: int,
 
     The lid ramp is evaluated in-kernel from the window's starting step
     (aux row): u_lid_dyn(t) = u_lid * t / sigma for t < sigma
-    (old codes/LBM_classic/LBM.cpp:180)."""
+    (old codes/LBM_classic/LBM.cpp:180).
 
-    def step_planes(f, u_lid_dyn):
+    gated=True is the multi-chip variant: the bottom-wall / lid rows are
+    TRACED row indices (aux (2, NX) rows; -1 disables) instead of the
+    static grid edges, so a K-deep-ghost extended shard applies the
+    global walls only where it actually holds them — the wall overwrite
+    consumes same-row data only, so it also BLOCKS the boundary shards'
+    garbage ghost rows from streaming inward. Side (x) walls span every
+    row and stay unconditional."""
+
+    def step_planes(f, u_lid_dyn, b_row=None, l_row=None):
         """One full cavity step on 9 loaded (NY, NX) planes."""
         rho, ux, uy = macros_guarded(f)
         fd = collide_dirs(f, rho, ux, uy, tau)
@@ -672,8 +681,13 @@ def _make_multistep_kernel(tau: float, k_steps: int, NY: int, NX: int,
         out[6] = set_colN(out[6], pv[8][:, :1])
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (NY, 1), 0)
-        is_b = iota == 0
-        is_t = iota == NY - 1
+        if gated:
+            fi = iota.astype(b_row.dtype)   # row index exact in f32
+            is_b = fi == b_row              # (NY, NX) masks
+            is_t = fi == l_row
+        else:
+            is_b = iota == 0
+            is_t = iota == NY - 1
 
         def unroll_row(i, rows):
             return _roll_x(rows, -CX[i])
@@ -714,7 +728,29 @@ def _make_multistep_kernel(tau: float, k_steps: int, NY: int, NX: int,
         for i in range(Q):
             fo_ref[i] = _encode_dir(work[i], i, dt_store)
 
-    return kernel
+    def kernel_gated(f_ref, t0_ref, bl_ref, fo_ref, work):
+        t0_row = t0_ref[0:1, :]
+        b_row = bl_ref[0:1, :]
+        l_row = bl_ref[1:2, :]
+
+        for i in range(Q):
+            work[i] = _decode_dir(f_ref[i], i)
+
+        def body(i, _):
+            t = t0_row + jnp.asarray(i, t0_row.dtype)
+            u_lid_dyn = jnp.where(t < sigma, u_lid / sigma * t,
+                                  jnp.full_like(t, u_lid))
+            out = step_planes([work[j] for j in range(Q)], u_lid_dyn,
+                              b_row, l_row)
+            for j in range(Q):
+                work[j] = out[j]
+            return 0
+
+        jax.lax.fori_loop(0, k_steps, body, 0)
+        for i in range(Q):
+            fo_ref[i] = _encode_dir(work[i], i, dt_store)
+
+    return kernel_gated if gated else kernel
 
 
 @functools.partial(
@@ -777,6 +813,70 @@ def collide_stream_cavity_multistep(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(f, t0_row)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau", "k_steps", "u_lid", "sigma", "interpret"))
+def collide_stream_cavity_multistep_gated(
+    f: jnp.ndarray,      # (Q, NY_ext, NX) — K-deep-ghost extended shard
+    step0,               # traced scalar: trajectory step at window start
+    wall_rows,           # traced (2,) array: [bottom row, lid row]; -1 = off
+    *,
+    tau: float,
+    k_steps: int,
+    u_lid: float,
+    sigma: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-chip window variant of collide_stream_cavity_multistep: the
+    bottom-wall / lid fixup rows are traced indices (-1 disables), so the
+    kernel runs on a ghost-extended shard and applies the global walls
+    only on the shards that hold them (see _make_multistep_kernel,
+    gated=True). The caller slices the exact interior afterwards."""
+    Qd, NY, NX = f.shape
+    assert Qd == Q
+    dt = f.dtype
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    if not check_vmem_multistep(NY, NX, jnp.dtype(dt).itemsize):
+        raise ValueError(
+            f"{NY}x{NX} exceeds the multi-step kernel's whole-grid VMEM "
+            f"budget (use the per-step sharded kernels)")
+    if k_steps < 1:
+        raise ValueError("k_steps must be >= 1")
+
+    t0_row = jnp.broadcast_to(
+        jnp.asarray(step0).astype(cdt).reshape(1, 1), (1, NX))
+    bl = jnp.broadcast_to(
+        jnp.asarray(wall_rows).astype(cdt).reshape(2, 1), (2, NX))
+    kernel = _make_multistep_kernel(
+        float(tau), int(k_steps), NY, NX, float(u_lid), float(sigma),
+        dt_store=(dt if dt == jnp.bfloat16 else None), gated=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((Q, NY, NX), lambda k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NX), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, NX), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Q, NY, NX), lambda k: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(f.shape, dt),
+        scratch_shapes=[pltpu.VMEM((Q, NY, NX), cdt)],
+        input_output_aliases={0: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=int(170 * NY * NX) * int(k_steps),
+            bytes_accessed=2 * Q * NY * NX * dt.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f, t0_row, bl)
 
 
 def _pick_band(NY: int, NX: int, itemsize: int) -> int:

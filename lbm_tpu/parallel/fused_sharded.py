@@ -931,6 +931,117 @@ def make_fused_sharded_multistep_rollout(
                    out_shardings=shardings)
 
 
+def make_fused_sharded_cavity_multistep_rollout(
+    cfg,
+    mesh: Mesh,
+    n: int,
+    interpret: bool | None = None,
+):
+    """n-step multi-chip TEMPORALLY-BLOCKED cavity rollout: the cavity
+    analog of make_fused_sharded_multistep_rollout.
+
+    Each K-step window every device ppermutes K-deep ghost-row slabs of
+    f to its y-neighbors and runs the GATED multistep kernel
+    (kernels/fused_cavity.collide_stream_cavity_multistep_gated) on the
+    extended (rows + 2K) shard: the bottom-wall / lid fixups are traced
+    row indices — extended row K on shard 0, K + rows - 1 on the last
+    shard, -1 (never) elsewhere. The wall overwrite consumes same-row
+    data only, so on the boundary shards it BLOCKS the garbage ghost
+    rows (the ring exchange wraps) from streaming into the shard; on
+    interior shards the ghosts hold true neighbor rows and the plasma
+    rollout's trapezoid argument applies unchanged (wrap corruption
+    travels 1 row/step < K). Lean semantics: the scan carries (f, step)
+    only and macros are materialized shard-locally at the end.
+
+    Requires NY % n_dev == 0 and the extended shard within the multistep
+    kernel's VMEM budget (any alignment — the kernel is whole-plane
+    value ops)."""
+    from ..kernels.fused_cavity import (
+        check_vmem_multistep, collide_stream_cavity_multistep_gated)
+    from ..models.cavity import CavityState, macros_of
+
+    if AXIS_Y not in mesh.axis_names:
+        raise ValueError(f"mesh must have a '{AXIS_Y}' axis")
+    n_dev = mesh.shape[AXIS_Y]
+    extra = [a for a in mesh.axis_names if a != AXIS_Y and mesh.shape[a] != 1]
+    if extra:
+        raise ValueError("sharded cavity multistep is 1-D (dy) only; got "
+                         f"nontrivial axes {extra}")
+    K = int(getattr(cfg, "multistep", 0))
+    if K <= 0:
+        raise ValueError("sharded cavity multistep needs cfg.multistep > 0")
+    if cfg.NY % n_dev:
+        raise ValueError(f"NY={cfg.NY} must be divisible by {n_dev}")
+    rows = cfg.NY // n_dev
+    itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
+    if not check_vmem_multistep(rows + 2 * K, cfg.NX, itemsize):
+        raise ValueError(
+            f"extended shard ({rows}+2*{K}) x {cfg.NX} exceeds the cavity "
+            f"multistep kernel's VMEM budget (smaller K or more devices)")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+
+    tau = cfg.tau
+    phys = dict(tau=tau, u_lid=cfg.u_lid, sigma=cfg.sigma,
+                interpret=interpret)
+    pop_spec = P(None, AXIS_Y, None)
+    fld_spec = P(AXIS_Y, None)
+    fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]  # recv from d-1
+    bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]  # recv from d+1
+
+    def make_window(k):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(pop_spec, P()),
+                 out_specs=pop_spec,
+                 check_vma=False)
+        def local_window(f, t0):
+            idx = jax.lax.axis_index(AXIS_Y)
+            up = jax.lax.ppermute(f[:, -K:, :], AXIS_Y, fwd)
+            dn = jax.lax.ppermute(f[:, :K, :], AXIS_Y, bwd)
+            fe = jnp.concatenate([up, f, dn], axis=1)
+            none = jnp.asarray(-1.0, jnp.float32)
+            b_row = jnp.where(idx == 0, jnp.asarray(float(K), jnp.float32),
+                              none)
+            l_row = jnp.where(idx == n_dev - 1,
+                              jnp.asarray(float(K + rows - 1), jnp.float32),
+                              none)
+            fe = collide_stream_cavity_multistep_gated(
+                fe, t0, jnp.stack([b_row, l_row]), k_steps=k, **phys)
+            return fe[:, K:-K, :]
+
+        return local_window
+
+    win_full = make_window(K)
+    rem = n % K if n > 0 else 0
+    win_rem = make_window(rem) if rem else None
+    full = n // K
+
+    def rollout(state):
+        def win(c, local, k):
+            f, t = c
+            return (local(f, t), t + k)
+
+        c = (state.f, state.step)
+        if full:
+            def body(c, _):
+                return win(c, win_full, K), None
+            c, _ = jax.lax.scan(body, c, None, length=full)
+        if rem:
+            c = win(c, win_rem, rem)
+        f, t = c
+        rho, ux, uy = macros_of(cfg, f)
+        return CavityState(f=f, rho=rho, ux=ux, uy=uy, step=t)
+
+    shardings = CavityState(
+        f=NamedSharding(mesh, pop_spec),
+        rho=NamedSharding(mesh, fld_spec), ux=NamedSharding(mesh, fld_spec),
+        uy=NamedSharding(mesh, fld_spec),
+        step=NamedSharding(mesh, P()),
+    )
+    return jax.jit(rollout, in_shardings=(shardings,),
+                   out_shardings=shardings)
+
+
 def make_fused_sharded_step_auto(
     cfg: PlasmaConfig,
     devices,

@@ -460,3 +460,53 @@ def test_lean_sharded_bf16():
     fr = np.asarray(cavity.decode_f(cfg, ref.f))
     q = float(np.abs(np.asarray(fr, np.float32)).max()) * 2 ** -7
     np.testing.assert_allclose(ff, fr, rtol=0, atol=max(q, 1e-6))
+
+
+def _mesh_ms(n_dev):
+    from jax.sharding import Mesh
+
+    from lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
+    devs = jax.devices("cpu")[:n_dev]
+    return Mesh(np.asarray(devs).reshape(n_dev, 1), (AXIS_Y, AXIS_X))
+
+
+@pytest.mark.parametrize("n_dev,steps,K", [(2, 23, 5), (4, 16, 8)])
+def test_multistep_sharded_matches_jnp_f64(n_dev, steps, K):
+    """Multi-chip cavity temporal blocking: K-deep ghost-row slabs once
+    per window + the GATED multistep kernel (traced bottom/lid rows apply
+    the global walls only on the shards holding them; the same-row wall
+    overwrite blocks the boundary shards' garbage ghosts). f64-ulp vs the
+    single-device jnp rollout across the lid ramp, remainder windows
+    included (23 = 4*5 + 3)."""
+    from lbm_tpu.parallel.fused_sharded import \
+        make_fused_sharded_cavity_multistep_rollout
+
+    cfgj = CavityConfig(NX=48, NY=32, nsteps=steps, dtype=jnp.float64)
+    ref = _run(cfgj, steps)
+    cfgm = dataclasses.replace(cfgj, backend="fused",
+                               kernel_interpret=True, multistep=K)
+    roll = make_fused_sharded_cavity_multistep_rollout(
+        cfgm, _mesh_ms(n_dev), steps)
+    s = roll(cavity.init_state(cfgm))
+    assert int(s.step) == steps
+    assert float(jnp.abs(s.ux).max()) > 1e-4  # developed flow
+    for name in ("f", "rho", "ux", "uy"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-13, name
+
+
+def test_multistep_sharded_cavity_validation():
+    from lbm_tpu.parallel.fused_sharded import \
+        make_fused_sharded_cavity_multistep_rollout
+
+    with pytest.raises(ValueError, match="multistep"):
+        make_fused_sharded_cavity_multistep_rollout(
+            CavityConfig(NX=32, NY=32, dtype=jnp.float64), _mesh_ms(2), 8)
+    with pytest.raises(ValueError, match="divisible"):
+        make_fused_sharded_cavity_multistep_rollout(
+            dataclasses.replace(CavityConfig(NX=32, NY=33,
+                                             dtype=jnp.float64),
+                                backend="fused", kernel_interpret=True,
+                                multistep=8), _mesh_ms(2), 8)
