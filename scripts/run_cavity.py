@@ -79,9 +79,8 @@ def main():
     # and --multistep need backend="fused" to pass config validation
     backend = ("fused" if (args.lean or args.shard or args.multistep)
                else args.backend)
-    if args.shard and args.multistep:
-        raise SystemExit("--multistep is single-device-only (the whole "
-                         "grid must be VMEM-resident)")
+    # --shard + --multistep compose: K-deep ghost-row windows over the
+    # mesh (parallel.fused_sharded.make_fused_sharded_cavity_multistep_rollout)
     cfg = CavityConfig(NX=args.nx, NY=args.nx, nsteps=args.steps,
                        u_lid=args.u_lid, Re=args.re,
                        dtype=jnp.float64 if args.f64 else jnp.float32,
@@ -122,7 +121,10 @@ def main():
                              f"devices available")
         mesh = Mesh(np.asarray(devs[:args.shard]), (AXIS_Y,))
         try:
-            step = make_fused_sharded_cavity_step(cfg, mesh)
+            # under --multistep the march is windows-only (step unused;
+            # the tail runs a remainder-length windowed rollout)
+            step = (None if args.multistep
+                    else make_fused_sharded_cavity_step(cfg, mesh))
         except ValueError as e:
             raise SystemExit(f"--shard: {e}")
         print(f"sharded over mesh {dict(mesh.shape)}")
@@ -150,13 +152,22 @@ def main():
     remaining = max(cfg.nsteps - start_step, 0)
     chunk = max(1, min(args.video_every if not args.no_video else 500,
                        remaining))
+    tail = None
     if args.shard:
-        from lbm_tpu.parallel.fused_sharded import \
-            make_fused_sharded_cavity_rollout
+        from lbm_tpu.parallel.fused_sharded import (
+            make_fused_sharded_cavity_multistep_rollout,
+            make_fused_sharded_cavity_rollout)
 
         # lean mode's reduced (f, step) scan carry lives inside the
         # rollout constructor; stored mode scans the full state there too
-        roll = make_fused_sharded_cavity_rollout(cfg, mesh, chunk)
+        maker = (make_fused_sharded_cavity_multistep_rollout
+                 if args.multistep else make_fused_sharded_cavity_rollout)
+        try:
+            roll = maker(cfg, mesh, chunk)
+            if args.multistep and remaining % chunk:
+                tail = maker(cfg, mesh, remaining % chunk)
+        except ValueError as e:
+            raise SystemExit(f"--shard: {e}")
     else:
         roll = jax.jit(cavity.make_rollout(cfg, chunk), donate_argnums=(0,))
     roll(cavity.init_state(cfg))  # compile outside the timer
@@ -178,6 +189,12 @@ def main():
             state = roll(state)
             done += chunk
             timer.tick(chunk)
+        elif tail is not None:
+            # sharded multistep: the remainder runs as one windowed rollout
+            k = target - done
+            state = tail(state)
+            done += k
+            timer.tick(k)
         else:
             state = step(state)
             done += 1

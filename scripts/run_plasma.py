@@ -149,9 +149,6 @@ def main():
             debug_variant=True)
         over["backend"] = "jnp"  # debug_variant mode is jnp-backend only
     if args.multistep:
-        if args.shard:
-            raise SystemExit("--multistep is single-device (the sharded "
-                             "paths exchange halos per step)")
         if args.debug_dump or args.debug_variant:
             raise SystemExit("--multistep fuses whole windows; per-step/"
                              "per-stage dumps need per-step marching")
@@ -194,7 +191,33 @@ def main():
             staged = plasma_staged.make_staged_step(cfg)
             feq = plasma_staged.init_feq(cfg)
     step = None
-    if staged is None and args.shard:
+    if staged is None and args.shard and cfg.multistep:
+        # temporal blocking over the mesh: K-deep ghost-row windows
+        # (NONE + periodic only — the sharded solvers run per-step)
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from lbm_tpu.parallel.fused_sharded import \
+            make_fused_sharded_multistep_rollout
+        from lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+        devs = jax.devices()
+        if len(devs) < args.shard:
+            raise SystemExit(f"--shard {args.shard}: only {len(devs)} "
+                             f"devices available")
+        mesh = Mesh(np.asarray(devs[:args.shard]).reshape(args.shard, 1),
+                    (AXIS_Y, AXIS_X))
+        try:
+            step = make_fused_sharded_multistep_rollout(
+                cfg, mesh, cfg.multistep)
+            rem_n = max(cfg.nsteps - int(state.step), 0) % cfg.multistep
+            step_rem = (make_fused_sharded_multistep_rollout(
+                cfg, mesh, rem_n) if rem_n else None)
+        except ValueError as e:
+            raise SystemExit(f"--shard --multistep: {e}")
+        print(f"sharded multistep over mesh {dict(mesh.shape)}")
+        step(plasma.init_state(cfg))  # compile outside the timer
+    elif staged is None and args.shard:
         from lbm_tpu.parallel.fused_sharded import \
             make_fused_sharded_step_auto
 

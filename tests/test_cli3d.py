@@ -147,3 +147,36 @@ def test_cli2d_multistep_rejects_shard():
         capture_output=True, text=True, cwd=REPO, timeout=120)
     assert r.returncode != 0
     assert "single-device" in (r.stderr + r.stdout)
+
+
+def test_cli2d_multistep_shard(tmp_path):
+    """run_plasma.py --shard N --multistep K: the K-deep-ghost windowed
+    rollout over the mesh, driven from the CLI (NONE + periodic)."""
+    out = str(tmp_path / "shms")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_plasma.py"),
+         "--cpu", "--nx", "16", "--ny", "16", "--steps", "8",
+         "--poisson", "NONE", "--multistep", "8", "--shard", "2",
+         "--no-video", "--no-plots", "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded multistep over mesh {'dy': 2, 'dx': 1}" in r.stdout
+    assert os.path.exists(os.path.join(out, "final_state.npz"))
+
+
+def test_cli_cavity_multistep_shard(tmp_path):
+    out = str(tmp_path / "cavshms")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_cavity.py"),
+         "--cpu", "--nx", "16", "--steps", "11", "--multistep", "4",
+         "--shard", "2", "--no-video", "--checkpoint-every", "11",
+         "--out", out],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "final_state.npz"))
