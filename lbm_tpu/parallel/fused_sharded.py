@@ -860,6 +860,13 @@ def make_fused_sharded_multistep_rollout(
     if cfg.NY % (8 * n_dev):
         raise ValueError(f"NY={cfg.NY} must be divisible by 8*{n_dev}")
     rows = cfg.NY // n_dev
+    if K > rows:
+        # the one-hop ppermute can only ship rows the neighbor OWNS; a
+        # K-deep ghost needs K <= rows (deeper windows would need
+        # multi-hop slabs)
+        raise ValueError(f"multistep K={K} exceeds rows/shard={rows}; "
+                         f"the one-hop ghost exchange needs K <= rows "
+                         f"(smaller K or fewer devices)")
     itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
     if not check_vmem_multistep_plasma(rows + 2 * K, cfg.NX, itemsize):
         raise ValueError(
@@ -973,6 +980,12 @@ def make_fused_sharded_cavity_multistep_rollout(
     if cfg.NY % n_dev:
         raise ValueError(f"NY={cfg.NY} must be divisible by {n_dev}")
     rows = cfg.NY // n_dev
+    if K > rows:
+        # same one-hop constraint as the plasma rollout: a ghost deeper
+        # than the neighbor's shard cannot come from one ppermute
+        raise ValueError(f"multistep K={K} exceeds rows/shard={rows}; "
+                         f"the one-hop ghost exchange needs K <= rows "
+                         f"(smaller K or fewer devices)")
     itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
     if not check_vmem_multistep(rows + 2 * K, cfg.NX, itemsize):
         raise ValueError(

@@ -510,3 +510,10 @@ def test_multistep_sharded_cavity_validation():
                                              dtype=jnp.float64),
                                 backend="fused", kernel_interpret=True,
                                 multistep=8), _mesh_ms(2), 8)
+    with pytest.raises(ValueError, match="one-hop"):
+        # K deeper than a shard needs multi-hop ghosts — rejected
+        make_fused_sharded_cavity_multistep_rollout(
+            dataclasses.replace(CavityConfig(NX=32, NY=32,
+                                             dtype=jnp.float64),
+                                backend="fused", kernel_interpret=True,
+                                multistep=24), _mesh_ms(2), 24)

@@ -326,6 +326,12 @@ def test_multistep_sharded_validation():
         make_fused_sharded_multistep_rollout(
             _cfg(NY=24, backend="fused", kernel_interpret=True,
                  multistep=8), _mesh(2), 8)
+    with pytest.raises(ValueError, match="one-hop"):
+        # K deeper than a shard: the ghost slab can't come from one
+        # ppermute (neighbor owns only rows < K)
+        make_fused_sharded_multistep_rollout(
+            _cfg(NY=64, backend="fused", kernel_interpret=True,
+                 multistep=40), _mesh(2), 40)
 
 
 def test_multistep_rejects_oversized_grid():
