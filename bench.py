@@ -340,6 +340,18 @@ def main() -> None:
         # launch-bound; measured 20-35 GLUPS at 128^2-512^2, STATUS)
         attempt(f"cavity_mlups_{nms}x{nms}_multistep",
                 lambda: measure_cavity(nms, 20000, multistep=256))
+    nbms = int(os.environ.get("BENCH_CAVITY_MULTISTEP_BANDED", "2048"))
+    if nbms and jax.default_backend() != "cpu":
+        # BANDED temporal blocking: grids past the whole-grid VMEM budget
+        # run K-deep-ghost row bands through the gated kernel
+        # (make_rollout auto-picks it) — measured 14.5 GLUPS f32 (K=32) /
+        # 17.9 GLUPS bf16 (K=16) at 2048^2 vs the per-step banded
+        # kernels' 9.2 / 11.1 (STATUS round-3; bf16 halves the window
+        # traffic so its optimum K is lower)
+        attempt(f"cavity_mlups_{nbms}x{nbms}_multistep_banded",
+                lambda: measure_cavity(nbms, 2048, multistep=32))
+        attempt(f"cavity_mlups_{nbms}x{nbms}_multistep_banded_bf16",
+                lambda: measure_cavity(nbms, 2048, "bf16", multistep=16))
     npms = int(os.environ.get("BENCH_PLASMA_MULTISTEP", "256"))
     if npms and jax.default_backend() != "cpu":
         # plasma temporal blocking (NONE solver — the reference's own

@@ -879,6 +879,106 @@ def collide_stream_cavity_multistep_gated(
     )(f, t0_row, bl)
 
 
+def pick_multistep_bands(NY: int, NX: int, itemsize: int,
+                         k_steps: int) -> int | None:
+    """Smallest band count B >= 2 such that NY % B == 0, the K-deep ghost
+    extension fits a band (K <= NY // B), and the extended
+    (NY // B + 2K, NX) band passes check_vmem_multistep. None when no
+    such B exists (K too deep for any feasible band height)."""
+    for B in range(2, NY + 1):
+        if NY % B:
+            continue
+        R = NY // B
+        if k_steps > R:
+            return None  # growing B only shrinks R further
+        if check_vmem_multistep(R + 2 * k_steps, NX, itemsize):
+            return B
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau", "k_steps", "u_lid", "sigma", "bands",
+                     "interpret"))
+def collide_stream_cavity_multistep_banded(
+    f: jnp.ndarray,      # (Q, NY, NX)
+    step0,               # traced scalar: trajectory step at window start
+    *,
+    tau: float,
+    k_steps: int,
+    u_lid: float,
+    sigma: float,
+    bands: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Temporal blocking at grids BIGGER than the whole-grid VMEM budget:
+    the single-device analog of
+    parallel.fused_sharded.make_fused_sharded_cavity_multistep_rollout,
+    with the ghost slabs sliced straight from the global array instead of
+    ppermuted from a neighbor chip.
+
+    The grid is split into `bands` row-bands of R = NY // bands rows.
+    Each band is extended by K ghost rows on both sides (true pre-window
+    values for interior neighbors; the boundary bands' outer ghosts wrap
+    around the array and hold garbage) and the GATED multistep kernel
+    runs K whole steps on the extended (R + 2K, NX) band: the traced
+    bottom-wall/lid rows land only on the bands that hold them, and the
+    wall overwrite — which consumes same-row data only — BLOCKS the
+    boundary bands' garbage ghosts from streaming inward, while on
+    interior bands the sharded rollout's trapezoid argument applies
+    unchanged (the kernel's wrong y-wrap corrupts the extension at one
+    row per step < the K-deep ghost). The [K:-K] interior of every band
+    is therefore exact, and the K-step window costs one HBM read of
+    (1 + 2K*B/NY) states + one write per window instead of a read+write
+    per STEP — the banded per-step kernels' bandwidth bound is replaced
+    by the multistep kernel's VPU-compute bound at a (1 + 2K*B/NY)
+    redundancy factor.
+
+    Requires NY % bands == 0 and k_steps <= NY // bands (the ghost slices
+    must come from the adjacent band only).
+
+    Structure: the grid is padded once with its K-row wrap slabs and a
+    lax.map marches the bands through ONE traced kernel instance
+    (dynamic_slice at b*R + traced wall rows), so the program size —
+    and the compile time — is independent of the band count (a 4096^2
+    f32 grid needs 64 bands)."""
+    Qd, NY, NX = f.shape
+    assert Qd == Q
+    B = int(bands)
+    K = int(k_steps)
+    if B < 2 or NY % B:
+        raise ValueError(f"bands={B} must be >= 2 and divide NY={NY}")
+    R = NY // B
+    if K > R:
+        raise ValueError(f"k_steps={K} exceeds band rows={R}; ghost "
+                         f"slices span one neighbor band only (fewer "
+                         f"bands or smaller K)")
+    itemsize = jnp.dtype(f.dtype).itemsize
+    if not check_vmem_multistep(R + 2 * K, NX, itemsize):
+        raise ValueError(
+            f"extended band ({R}+2*{K}) x {NX} exceeds the multistep "
+            f"kernel's VMEM budget (more bands or smaller K)")
+
+    # wrap padding: band b's extended slab is rows [b*R, b*R + R + 2K)
+    # of the padded array — the b=0 / b=B-1 outer ghosts are the wrap
+    # slabs (garbage below the wall / above the lid, blocked in-kernel)
+    padded = jnp.concatenate([f[:, NY - K:, :], f, f[:, :K, :]], axis=1)
+
+    def band(b):
+        fe = jax.lax.dynamic_slice_in_dim(padded, b * R, R + 2 * K, axis=1)
+        wall = jnp.stack([
+            jnp.where(b == 0, jnp.float32(K), jnp.float32(-1.0)),
+            jnp.where(b == B - 1, jnp.float32(K + R - 1),
+                      jnp.float32(-1.0))])
+        fe = collide_stream_cavity_multistep_gated(
+            fe, step0, wall, tau=tau, k_steps=K, u_lid=u_lid,
+            sigma=sigma, interpret=interpret)
+        return fe[:, K:-K, :]
+
+    outs = jax.lax.map(band, jnp.arange(B, dtype=jnp.int32))
+    return jnp.moveaxis(outs, 0, 1).reshape(Q, NY, NX)
+
+
 def _pick_band(NY: int, NX: int, itemsize: int) -> int:
     """Largest feasible band height (multiple of 8 dividing NY).
 

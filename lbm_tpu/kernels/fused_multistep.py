@@ -572,3 +572,99 @@ def collide_stream_multistep(
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         **kw,
     )(f, g, Ex.astype(cdt), Ey.astype(cdt), *mats)
+
+def pick_multistep_bands_plasma(NY: int, NX: int, itemsize: int,
+                                k_steps: int) -> int | None:
+    """Smallest band count B >= 2 such that NY % B == 0, K <= NY // B, and
+    the K-deep-ghost extended (NY // B + 2K, NX) band passes
+    check_vmem_multistep_plasma. None when no such split exists."""
+    for B in range(2, NY + 1):
+        if NY % B:
+            continue
+        R = NY // B
+        if k_steps > R:
+            return None  # growing B only shrinks R further
+        if check_vmem_multistep_plasma(R + 2 * k_steps, NX, itemsize):
+            return B
+    return None
+
+
+def collide_stream_multistep_banded(
+    f: jnp.ndarray,    # (3, Q, NY, NX)
+    g: jnp.ndarray,
+    Ex: jnp.ndarray,   # (NY, NX) — the window's starting field
+    Ey: jnp.ndarray,
+    *,
+    taus,
+    q_e: float, q_i: float, m_e: float, m_i: float,
+    cs2: float, kb: float,
+    neutral_ref: float = 0.0,
+    k_steps: int,
+    kill_field: bool = True,
+    bands: int,
+    interpret: bool = False,
+):
+    """Temporal blocking past the whole-state VMEM budget (NONE solver +
+    PERIODIC BC only): the single-device analog of
+    parallel.fused_sharded.make_fused_sharded_multistep_rollout, with the
+    K-deep ghost slabs sliced straight from the global arrays instead of
+    ppermuted from neighbor chips.
+
+    The grid splits into `bands` row-bands of R = NY // bands rows; each
+    band is extended by K ghost rows on both sides — under PERIODIC BCs
+    the wrap slices are the TRUE physical neighbors for every band
+    (including the boundary ones), so no gating is needed at all. The
+    unchanged multistep kernel runs K steps on the extended
+    (R + 2K, NX) band; its own periodic y-wrap is wrong on the extension
+    but corrupts at one row per step < the K-deep ghost, so the [K:-K]
+    interior is exact (the sharded rollout's trapezoid argument
+    verbatim). One HBM read of (1 + 2K*B/NY) states + one write per
+    K-step window replaces the per-step read+write.
+
+    Window field semantics are the whole-grid kernel's: step 1 collides
+    with the given E (ghost-extended the same way), later steps with 0
+    under the compat quirk (kill_field). The caller zeroes the state's E
+    after the window exactly like the per-step NONE dispatch.
+
+    Structure: each array is padded once with its K-row wrap slabs and a
+    lax.map marches the bands through ONE traced kernel instance
+    (dynamic_slice at b*R), so program size and compile time are
+    independent of the band count."""
+    S, Qd, NY, NX = f.shape
+    assert (S, Qd) == (_S, _Q)
+    B = int(bands)
+    K = int(k_steps)
+    if B < 2 or NY % B:
+        raise ValueError(f"bands={B} must be >= 2 and divide NY={NY}")
+    R = NY // B
+    if K > R:
+        raise ValueError(f"k_steps={K} exceeds band rows={R}; ghost "
+                         f"slices span one neighbor band only (fewer "
+                         f"bands or smaller K)")
+    itemsize = jnp.dtype(f.dtype).itemsize
+    if not check_vmem_multistep_plasma(R + 2 * K, NX, itemsize):
+        raise ValueError(
+            f"extended band ({R}+2*{K}) x {NX} exceeds the multistep "
+            f"kernel's VMEM budget (more bands or smaller K)")
+
+    phys = dict(taus=tuple(taus), q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
+                cs2=cs2, kb=kb, neutral_ref=neutral_ref, k_steps=K,
+                kill_field=kill_field, interpret=interpret)
+
+    def pad(a):
+        return jnp.concatenate([a[..., NY - K:, :], a, a[..., :K, :]],
+                               axis=-2)
+
+    pf, pg, pex, pey = pad(f), pad(g), pad(Ex), pad(Ey)
+
+    def band(b):
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, b * R, R + 2 * K,
+                                                axis=-2)
+        fe, ge = collide_stream_multistep(sl(pf), sl(pg), sl(pex),
+                                          sl(pey), **phys)
+        return fe[..., K:-K, :], ge[..., K:-K, :]
+
+    fo, go = jax.lax.map(band, jnp.arange(B, dtype=jnp.int32))
+    return (jnp.moveaxis(fo, 0, -3).reshape(f.shape),
+            jnp.moveaxis(go, 0, -3).reshape(g.shape))

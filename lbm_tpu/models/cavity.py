@@ -100,20 +100,35 @@ def make_step(cfg: CavityConfig) -> Callable[[CavityState], CavityState]:
     backend = getattr(cfg, "backend", "jnp")
 
     if backend == "fused":
-        from ..kernels.fused_cavity import (collide_stream_cavity,
-                                            collide_stream_cavity_lean,
-                                            collide_stream_cavity_multistep)
+        from ..kernels.fused_cavity import (
+            check_vmem_multistep, collide_stream_cavity,
+            collide_stream_cavity_lean, collide_stream_cavity_multistep,
+            collide_stream_cavity_multistep_banded, pick_multistep_bands)
 
         interpret = bool(getattr(cfg, "kernel_interpret", False))
 
         if getattr(cfg, "multistep", 0):
             # temporal blocking with k=1: same per-step math as the lean
             # kernel evaluated in the multistep program (make_rollout runs
-            # the real K-step windows; a single step can't amortize)
+            # the real K-step windows; a single step can't amortize).
+            # Grids past the whole-grid VMEM budget go through the banded
+            # variant with 1-deep ghosts.
+            itemsize = (2 if cfg.storage == "bf16"
+                        else jnp.dtype(cfg.dtype).itemsize)
+            bands_1 = (None if check_vmem_multistep(cfg.NY, cfg.NX, itemsize)
+                       else pick_multistep_bands(cfg.NY, cfg.NX, itemsize, 1))
+
             def step_ms(state: CavityState) -> CavityState:
-                f = collide_stream_cavity_multistep(
-                    state.f, state.step, tau=tau, k_steps=1,
-                    u_lid=cfg.u_lid, sigma=cfg.sigma, interpret=interpret)
+                if bands_1 is None:
+                    f = collide_stream_cavity_multistep(
+                        state.f, state.step, tau=tau, k_steps=1,
+                        u_lid=cfg.u_lid, sigma=cfg.sigma,
+                        interpret=interpret)
+                else:
+                    f = collide_stream_cavity_multistep_banded(
+                        state.f, state.step, tau=tau, k_steps=1,
+                        u_lid=cfg.u_lid, sigma=cfg.sigma, bands=bands_1,
+                        interpret=interpret)
                 rho, ux, uy = macros_of(cfg, f)
                 return CavityState(f=f, rho=rho, ux=ux, uy=uy,
                                    step=state.step + 1)
@@ -170,17 +185,34 @@ def make_rollout(cfg: CavityConfig, n: Optional[int] = None):
     if getattr(cfg, "multistep", 0) and cfg.backend == "fused":
         # temporal blocking: K steps per kernel launch, whole grid
         # VMEM-resident (kernels/fused_cavity.collide_stream_cavity_multistep)
-        from ..kernels.fused_cavity import collide_stream_cavity_multistep
+        # — or, past the whole-grid VMEM budget, K-deep-ghost row bands
+        # through the gated kernel (collide_stream_cavity_multistep_banded)
+        from ..kernels.fused_cavity import (
+            check_vmem_multistep, collide_stream_cavity_multistep,
+            collide_stream_cavity_multistep_banded, pick_multistep_bands)
 
         interpret = bool(getattr(cfg, "kernel_interpret", False))
         tau = cfg.tau
         K = min(int(cfg.multistep), max(n_steps, 1))
         full, rem = divmod(n_steps, K)
+        itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
+        bands = None
+        if not check_vmem_multistep(cfg.NY, cfg.NX, itemsize):
+            bands = pick_multistep_bands(cfg.NY, cfg.NX, itemsize, K)
+            if bands is None:
+                raise ValueError(
+                    f"multistep K={K} at {cfg.NY}x{cfg.NX}: no band split "
+                    f"fits the kernel's VMEM budget (smaller K)")
 
         def window(f, t, k):
-            f = collide_stream_cavity_multistep(
-                f, t, tau=tau, k_steps=k, u_lid=cfg.u_lid,
-                sigma=cfg.sigma, interpret=interpret)
+            if bands is None:
+                f = collide_stream_cavity_multistep(
+                    f, t, tau=tau, k_steps=k, u_lid=cfg.u_lid,
+                    sigma=cfg.sigma, interpret=interpret)
+            else:
+                f = collide_stream_cavity_multistep_banded(
+                    f, t, tau=tau, k_steps=k, u_lid=cfg.u_lid,
+                    sigma=cfg.sigma, bands=bands, interpret=interpret)
             return f, t + k
 
         def rollout(state: CavityState) -> CavityState:

@@ -373,7 +373,9 @@ def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):
     n_steps = cfg.nsteps if n is None else n
 
     if getattr(cfg, "multistep", 0):
-        from ..kernels.fused_multistep import collide_stream_multistep
+        from ..kernels.fused_multistep import (
+            check_vmem_multistep_plasma, collide_stream_multistep,
+            collide_stream_multistep_banded, pick_multistep_bands_plasma)
 
         u = cfg.units()
         kill = (cfg.poisson == PoissonSolver.NONE
@@ -395,12 +397,34 @@ def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):
                      interior_only, not periodic_bc)
         K = min(int(cfg.multistep), max(n_steps, 1))
         full, rem = divmod(n_steps, K)
+        bounce = cfg.bc == BC.BOUNCE_BACK
         kw = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e,
                   m_i=u.m_i, cs2=u.cs2, kb=u.kb,
                   neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0,
-                  kill_field=kill, bounce=cfg.bc == BC.BOUNCE_BACK,
+                  kill_field=kill, bounce=bounce,
                   solve_fft=solve, solve_iter=ispec,
                   interpret=cfg.kernel_interpret)
+
+        # Past the whole-state VMEM budget, NONE + periodic runs the
+        # K-deep-ghost BANDED windows (the ghost slabs are the true
+        # periodic neighbors — collide_stream_multistep_banded)
+        itemsize = (2 if cfg.storage == "bf16"
+                    else jnp.dtype(cfg.dtype).itemsize)
+        bands = None
+        if not check_vmem_multistep_plasma(
+                cfg.NY, cfg.NX, itemsize,
+                solve=bool(solve) or ispec is not None):
+            if solve or ispec or bounce:
+                raise ValueError(
+                    f"multistep at {cfg.NY}x{cfg.NX} exceeds the kernel's "
+                    f"whole-state VMEM budget, and banded temporal "
+                    f"blocking covers NONE + periodic only (the solvers "
+                    f"are global; bounce-back walls are ungated)")
+            bands = pick_multistep_bands_plasma(cfg.NY, cfg.NX, itemsize, K)
+            if bands is None:
+                raise ValueError(
+                    f"multistep K={K} at {cfg.NY}x{cfg.NX}: no band split "
+                    f"fits the kernel's VMEM budget (smaller K)")
 
         def window(state: PlasmaState, k: int) -> PlasmaState:
             if solve or ispec:
@@ -410,8 +434,15 @@ def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):
                 return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey,
                                    phi=phi.astype(state.phi.dtype),
                                    step=state.step + k)
-            f, g = collide_stream_multistep(state.f, state.g, state.Ex,
-                                            state.Ey, k_steps=k, **kw)
+            if bands is not None:
+                kwb = {k2: v for k2, v in kw.items()
+                       if k2 not in ("bounce", "solve_fft", "solve_iter")}
+                f, g = collide_stream_multistep_banded(
+                    state.f, state.g, state.Ex, state.Ey, k_steps=k,
+                    bands=bands, **kwb)
+            else:
+                f, g = collide_stream_multistep(
+                    state.f, state.g, state.Ex, state.Ey, k_steps=k, **kw)
             Ex, Ey = ((jnp.zeros_like(state.Ex), jnp.zeros_like(state.Ey))
                       if kill else (state.Ex, state.Ey))
             return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=state.phi,

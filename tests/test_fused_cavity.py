@@ -517,3 +517,91 @@ def test_multistep_sharded_cavity_validation():
                                              dtype=jnp.float64),
                                 backend="fused", kernel_interpret=True,
                                 multistep=24), _mesh_ms(2), 24)
+
+def test_multistep_banded_matches_jnp_f64():
+    """BANDED temporal blocking (grids past the whole-grid VMEM budget):
+    K-deep-ghost row bands through the GATED kernel, ghost slabs sliced
+    from the global array. 23 steps as 5-step windows + remainder across
+    the lid ramp must reproduce the per-step jnp trajectory at f64-ulp,
+    and be BITWISE equal to the whole-grid multistep kernel."""
+    from lbm_tpu.kernels.fused_cavity import (
+        collide_stream_cavity_multistep, collide_stream_cavity_multistep_banded)
+
+    cfg = CavityConfig(NX=48, NY=32, nsteps=23, dtype=jnp.float64)
+    ref = _run(cfg, 23)
+
+    f = cavity.init_state(cfg).f
+    fw = f
+    t = jnp.asarray(0)
+    for k in (5, 5, 5, 5, 3):
+        f = collide_stream_cavity_multistep_banded(
+            f, t, tau=cfg.tau, k_steps=k, u_lid=cfg.u_lid,
+            sigma=cfg.sigma, bands=4, interpret=True)
+        fw = collide_stream_cavity_multistep(
+            fw, t, tau=cfg.tau, k_steps=k, u_lid=cfg.u_lid,
+            sigma=cfg.sigma, interpret=True)
+        t = t + k
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref.f),
+                               rtol=1e-12, atol=1e-15)
+    assert float(jnp.max(jnp.abs(f - fw))) == 0.0  # bitwise vs whole-grid
+
+
+def test_multistep_banded_rollout_dispatch(monkeypatch):
+    """make_rollout auto-picks the banded variant when the whole grid
+    fails the VMEM check (forced here by shrinking the budget so only
+    sub-32-row extents pass)."""
+    from lbm_tpu.kernels import fused_cavity as fc
+
+    real = fc.check_vmem_multistep
+    monkeypatch.setattr(fc, "check_vmem_multistep",
+                        lambda NY, NX, it, budget=0: NY < 32)
+    try:
+        cfg = CavityConfig(NX=48, NY=32, nsteps=23, dtype=jnp.float64,
+                           backend="fused", kernel_interpret=True,
+                           multistep=5)
+        s = jax.jit(cavity.make_rollout(cfg))(cavity.init_state(cfg))
+    finally:
+        monkeypatch.setattr(fc, "check_vmem_multistep", real)
+    ref = _run(CavityConfig(NX=48, NY=32, nsteps=0, dtype=jnp.float64), 23)
+    assert int(s.step) == 23
+    np.testing.assert_allclose(np.asarray(s.f), np.asarray(ref.f),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(s.ux), np.asarray(ref.ux),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_multistep_banded_validation():
+    from lbm_tpu.kernels.fused_cavity import (
+        collide_stream_cavity_multistep_banded, pick_multistep_bands)
+
+    f = jnp.zeros((9, 32, 32), jnp.float32)
+    kw = dict(tau=0.6, u_lid=0.1, sigma=10.0, interpret=True)
+    with pytest.raises(ValueError, match="divide"):
+        collide_stream_cavity_multistep_banded(f, 0, k_steps=4, bands=3,
+                                               **kw)
+    with pytest.raises(ValueError, match="band rows"):
+        collide_stream_cavity_multistep_banded(f, 0, k_steps=9, bands=4,
+                                               **kw)
+    # pick: smallest feasible band count; None when K too deep
+    assert pick_multistep_bands(2048, 2048, 4, 16) == 16
+    assert pick_multistep_bands(2048, 2048, 4, 4096) is None
+
+
+def test_multistep_banded_k_equals_rows():
+    """K == R (ghost slabs span the whole neighbor band): the global wall
+    rows land exactly on the extension edges, where the corruption-cone
+    argument already covers them — must stay exact."""
+    from lbm_tpu.kernels.fused_cavity import (
+        collide_stream_cavity_multistep_banded)
+
+    cfg = CavityConfig(NX=24, NY=16, nsteps=0, dtype=jnp.float64)
+    ref = _run(cfg, 16)
+    f = cavity.init_state(cfg).f
+    t = jnp.asarray(0)
+    for k in (8, 8):
+        f = collide_stream_cavity_multistep_banded(
+            f, t, tau=cfg.tau, k_steps=k, u_lid=cfg.u_lid,
+            sigma=cfg.sigma, bands=2, interpret=True)
+        t = t + k
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref.f),
+                               rtol=1e-12, atol=1e-15)

@@ -346,3 +346,82 @@ def test_multistep_rejects_oversized_grid():
                                  q_e=-1.0, q_i=1.0, m_e=1.0, m_i=1836.0,
                                  cs2=1 / 3, kb=1.0, k_steps=2,
                                  interpret=True)
+
+@pytest.mark.parametrize("delta", [False, True])
+def test_multistep_banded_matches_jnp_f64(delta):
+    """BANDED temporal blocking (NONE + periodic past the whole-state
+    VMEM budget): K-deep ghost slabs sliced from the global arrays are
+    the TRUE periodic neighbors for every band, so the windows must be
+    bitwise the whole-grid multistep kernel's and track the per-step jnp
+    path at f64-ulp (11 steps = 4+4+3 with the quirk's E zeroing
+    between windows)."""
+    from lbm_tpu.kernels.fused_multistep import (
+        collide_stream_multistep, collide_stream_multistep_banded)
+
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4,
+               neutral_delta=delta)
+    ref = _ref_run(cfg, 11)
+    u = cfg.units()
+    kw = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+              cs2=u.cs2, kb=u.kb,
+              neutral_ref=u.rho_n_init if delta else 0.0,
+              kill_field=True, interpret=True)
+    st = plasma.init_state(cfg)
+    f, g, Ex, Ey = st.f, st.g, st.Ex, st.Ey
+    fw, gw = f, g
+    for k in (4, 4, 3):
+        f, g = collide_stream_multistep_banded(f, g, Ex, Ey, k_steps=k,
+                                               bands=4, **kw)
+        fw, gw = collide_stream_multistep(fw, gw, Ex, Ey, k_steps=k, **kw)
+        Ex, Ey = jnp.zeros_like(Ex), jnp.zeros_like(Ey)
+    assert float(jnp.max(jnp.abs(f - fw))) == 0.0  # bitwise vs whole-grid
+    assert float(jnp.max(jnp.abs(g - gw))) == 0.0
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref.f),
+                               rtol=1e-11, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref.g),
+                               rtol=1e-11, atol=1e-22)
+
+
+def test_multistep_banded_rollout_dispatch(monkeypatch):
+    """make_rollout auto-picks banded windows when the whole state fails
+    the VMEM check (forced by a shrunk budget); solver/bounce configs
+    past the budget raise the documented error instead."""
+    from lbm_tpu.kernels import fused_multistep as fm
+
+    real = fm.check_vmem_multistep_plasma
+    monkeypatch.setattr(
+        fm, "check_vmem_multistep_plasma",
+        lambda NY, NX, it, budget=0, solve=False: NY < 16)
+    try:
+        cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4)
+        s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+        with pytest.raises(ValueError, match="NONE \\+ periodic"):
+            plasma.make_rollout(_cfg(backend="fused", kernel_interpret=True,
+                                     multistep=4,
+                                     poisson=PoissonSolver.FFT))
+        with pytest.raises(ValueError, match="NONE \\+ periodic"):
+            plasma.make_rollout(_cfg(backend="fused", kernel_interpret=True,
+                                     multistep=4, bc=BC.BOUNCE_BACK))
+    finally:
+        monkeypatch.setattr(fm, "check_vmem_multistep_plasma", real)
+    ref = _ref_run(_cfg(), 11)
+    assert int(s.step) == 11
+    _assert_states_close(s, ref, rtol=1e-11, atol=1e-22)
+
+
+def test_multistep_banded_validation():
+    from lbm_tpu.kernels.fused_multistep import (
+        collide_stream_multistep_banded, pick_multistep_bands_plasma)
+
+    f = jnp.zeros((3, 9, 16, 16), jnp.float32)
+    g = jnp.zeros_like(f)
+    E = jnp.zeros((16, 16), jnp.float32)
+    kw = dict(taus=(5., 3., 1., 6., 4., 2.), q_e=-1., q_i=1., m_e=1.,
+              m_i=1836., cs2=1. / 3., kb=1., k_steps=8, interpret=True)
+    with pytest.raises(ValueError, match="divide"):
+        collide_stream_multistep_banded(f, g, E, E, bands=3, **kw)
+    with pytest.raises(ValueError, match="band rows"):
+        collide_stream_multistep_banded(f, g, E, E, bands=4, **kw)
+    # K deeper than any feasible band height -> no split
+    assert pick_multistep_bands_plasma(512, 512, 4, 512) is None
+    assert pick_multistep_bands_plasma(512, 512, 4, 32) == 8
