@@ -62,7 +62,8 @@ from ..constants import D2Q9
 from ..ops.collide import collide_species_dirs
 from ..ops.equilibrium import equilibrium_wpolys
 from ..ops.macros import update_macro
-from ..ops.stream import HOLE_SLOTS, bounceback_fix_dirs
+from ..ops.stream import (HOLE_SLOTS, bounceback_fix_dirs,
+                          bounceback_fix_dirs_gated)
 
 _CX = [int(c) for c in D2Q9.CX]
 _CY = [int(c) for c in D2Q9.CY]
@@ -197,8 +198,8 @@ def _dft_solve_mats(NY: int, NX: int):
 
 
 def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False,
-                 solve=False):
-    def one_step(wf, wg, Ex, Ey):
+                 solve=False, gated=False):
+    def one_step(wf, wg, Ex, Ey, masks=None):
         """One full plasma step on the scratch state (macros -> equilibria
         -> collide -> periodic push-stream [-> bounce-back edge fixups]),
         species-sequential to bound the live plane set."""
@@ -230,13 +231,25 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False,
                 # post-collision f for the g pass — species 2's classic
                 # leak gets the delta background added back
                 # (models/plasma._g_holes_with_background)
-                f_holes = [_corner11(fs[i], y, x) for (i, y, x) in HOLE_SLOTS]
                 bg = params["neutral_ref"] if s == 2 else 0.0
-                g_holes = [
-                    _corner11(f_dirs[i], y, x) + bg * float(D2Q9.W[i])
-                    for (i, y, x) in HOLE_SLOTS]
-                f_out = bounceback_fix_dirs(f_out, f_dirs, f_holes)
-                g_out = bounceback_fix_dirs(g_out, g_dirs, g_holes)
+                if masks is not None:
+                    # gated (K-deep-ghost band/shard) variant: traced
+                    # wall-row masks; holes read the stale planes in place
+                    stale_f = {i: fs[i] for i in (5, 6, 7, 8)}
+                    stale_g = {i: f_dirs[i] + bg * float(D2Q9.W[i])
+                               for i in (5, 6, 7, 8)}
+                    f_out = bounceback_fix_dirs_gated(
+                        f_out, f_dirs, stale_f, *masks)
+                    g_out = bounceback_fix_dirs_gated(
+                        g_out, g_dirs, stale_g, *masks)
+                else:
+                    f_holes = [_corner11(fs[i], y, x)
+                               for (i, y, x) in HOLE_SLOTS]
+                    g_holes = [
+                        _corner11(f_dirs[i], y, x) + bg * float(D2Q9.W[i])
+                        for (i, y, x) in HOLE_SLOTS]
+                    f_out = bounceback_fix_dirs(f_out, f_dirs, f_holes)
+                    g_out = bounceback_fix_dirs(g_out, g_dirs, g_holes)
             for q in range(_Q):
                 wf[s, q] = f_out[q]
                 wg[s, q] = g_out[q]
@@ -410,10 +423,42 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False,
         fo_ref[:] = wf[:].astype(fo_ref.dtype)
         go_ref[:] = wg[:].astype(go_ref.dtype)
 
+    def kernel_gated(f_ref, g_ref, ex_ref, ey_ref, bl_ref,
+                     fo_ref, go_ref, wf, wg):
+        """The bounce-back kernel with TRACED wall rows (bl_ref (2, NX):
+        [bottom row, top row] broadcast rows; -1 disables) — the
+        K-deep-ghost extended band/shard applies the global walls only
+        where it holds them (see ops/stream.bounceback_fix_dirs_gated)."""
+        cdt = wf.dtype
+        wf[:] = f_ref[:].astype(cdt)
+        wg[:] = g_ref[:].astype(cdt)
+        Ex = ex_ref[:]
+        Ey = ey_ref[:]
+        NYv = Ex.shape[0]
+        fi = jax.lax.broadcasted_iota(jnp.int32, (NYv, 1), 0).astype(cdt)
+        masks = (fi == bl_ref[0:1, :], fi == bl_ref[1:2, :])  # (NY, NX)
+
+        one_step(wf, wg, Ex, Ey, masks)
+        if k_steps > 1:
+            if kill_field:
+                Ex = jnp.zeros_like(Ex)
+                Ey = jnp.zeros_like(Ey)
+
+            def body(_, carry):
+                one_step(wf, wg, Ex, Ey, masks)
+                return carry
+
+            jax.lax.fori_loop(1, k_steps, body, 0)
+
+        fo_ref[:] = wf[:].astype(fo_ref.dtype)
+        go_ref[:] = wg[:].astype(go_ref.dtype)
+
     if solve == "fft":
         return kernel_solve
     if solve:
         return kernel_solve_iter
+    if gated:
+        return kernel_gated
     return kernel
 
 
@@ -573,6 +618,85 @@ def collide_stream_multistep(
         **kw,
     )(f, g, Ex.astype(cdt), Ey.astype(cdt), *mats)
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("taus", "q_e", "q_i", "m_e", "m_i", "cs2", "kb",
+                     "neutral_ref", "k_steps", "kill_field", "interpret"))
+def collide_stream_multistep_gated(
+    f: jnp.ndarray,    # (3, Q, NY_ext, NX) — K-deep-ghost extended band
+    g: jnp.ndarray,
+    Ex: jnp.ndarray,   # (NY_ext, NX) — the window's starting field
+    Ey: jnp.ndarray,
+    wall_rows,         # traced (2,): [bottom row, top row]; -1 = off
+    *,
+    taus,
+    q_e: float, q_i: float, m_e: float, m_i: float,
+    cs2: float, kb: float,
+    neutral_ref: float = 0.0,
+    k_steps: int,
+    kill_field: bool = True,
+    interpret: bool = False,
+):
+    """Bounce-back multistep window with TRACED wall rows — the banded /
+    multi-chip form of collide_stream_multistep(bounce=True): a K-deep-
+    ghost extended band applies the global bottom/top wall reflections
+    (and their corner-hole staleness quirks) only at the traced rows it
+    actually holds, while the x-wall columns apply on every row (each
+    band spans the full x extent). Because the wall overwrite consumes
+    same-row data only, the gated wall also BLOCKS the boundary bands'
+    garbage wrap-ghost rows from streaming inward; interior bands follow
+    the periodic trapezoid argument. Covers the reference's NONE +
+    bounce-back rows (kill_field=True under the compat quirk) and FFT +
+    bounce-back (the no-op solve, src/poisson.cpp:76-77 — E constant,
+    kill_field=False). Returns (f_new, g_new); the caller slices the
+    exact [K:-K] interior."""
+    S, Qd, NY, NX = f.shape
+    assert (S, Qd) == (_S, _Q)
+    dt = f.dtype
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    if not check_vmem_multistep_plasma(NY, NX, jnp.dtype(dt).itemsize):
+        raise ValueError(
+            f"{NY}x{NX} exceeds the plasma multistep kernel's whole-state "
+            f"VMEM budget (more bands / smaller K)")
+    if k_steps < 1:
+        raise ValueError("k_steps must be >= 1")
+
+    params = dict(taus=tuple(taus), q_e=q_e, q_i=q_i, m_e=m_e, m_i=m_i,
+                  cs2=cs2, kb=kb, neutral_ref=neutral_ref)
+    kernel = _make_kernel(params, int(k_steps), bool(kill_field),
+                          dt_store=(dt if dt == jnp.bfloat16 else None),
+                          bounce=True, gated=True)
+    pop = pl.BlockSpec((_S, _Q, NY, NX), lambda k: (0, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    fld = pl.BlockSpec((NY, NX), lambda k: (0, 0),
+                       memory_space=pltpu.VMEM)
+    bl = jnp.broadcast_to(
+        jnp.asarray(wall_rows).astype(cdt).reshape(2, 1), (2, NX))
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pop, pop, fld, fld,
+                  pl.BlockSpec((2, NX), lambda k: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pop, pop),
+        out_shape=(jax.ShapeDtypeStruct(f.shape, dt),
+                   jax.ShapeDtypeStruct(g.shape, dt)),
+        scratch_shapes=[
+            pltpu.VMEM((_S, _Q, NY, NX), cdt),
+            pltpu.VMEM((_S, _Q, NY, NX), cdt),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=int(1500 * NY * NX) * int(k_steps),
+            bytes_accessed=4 * _S * _Q * NY * NX * jnp.dtype(dt).itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(f, g, Ex.astype(cdt), Ey.astype(cdt), bl)
+
+
 def pick_multistep_bands_plasma(NY: int, NX: int, itemsize: int,
                                 k_steps: int) -> int | None:
     """Smallest band count B >= 2 such that NY % B == 0, K <= NY // B, and
@@ -601,14 +725,16 @@ def collide_stream_multistep_banded(
     neutral_ref: float = 0.0,
     k_steps: int,
     kill_field: bool = True,
+    bounce: bool = False,
     bands: int,
     interpret: bool = False,
 ):
-    """Temporal blocking past the whole-state VMEM budget (NONE solver +
-    PERIODIC BC only): the single-device analog of
-    parallel.fused_sharded.make_fused_sharded_multistep_rollout, with the
-    K-deep ghost slabs sliced straight from the global arrays instead of
-    ppermuted from neighbor chips.
+    """Temporal blocking past the whole-state VMEM budget (every
+    constant-E configuration: NONE under either BC, plus FFT +
+    bounce-back — the reference's no-op solve): the single-device analog
+    of parallel.fused_sharded.make_fused_sharded_multistep_rollout, with
+    the K-deep ghost slabs sliced straight from the global arrays instead
+    of ppermuted from neighbor chips.
 
     The grid splits into `bands` row-bands of R = NY // bands rows; each
     band is extended by K ghost rows on both sides — under PERIODIC BCs
@@ -620,6 +746,15 @@ def collide_stream_multistep_banded(
     interior is exact (the sharded rollout's trapezoid argument
     verbatim). One HBM read of (1 + 2K*B/NY) states + one write per
     K-step window replaces the per-step read+write.
+
+    bounce=True runs the GATED bounce-back kernel instead
+    (collide_stream_multistep_gated): the traced bottom/top wall rows
+    land only on the bands that hold them (extended rows K and K + R - 1
+    on the first/last band) and — the wall overwrite consuming same-row
+    data only — BLOCK the boundary bands' garbage wrap-ghosts from
+    streaming inward, while the x-wall columns run on every band
+    unconditionally. Covers NONE + bounce-back (kill_field per the compat
+    quirk) and FFT + bounce-back (kill_field=False, E constant).
 
     Window field semantics are the whole-grid kernel's: step 1 collides
     with the given E (ghost-extended the same way), later steps with 0
@@ -661,8 +796,16 @@ def collide_stream_multistep_banded(
         def sl(a):
             return jax.lax.dynamic_slice_in_dim(a, b * R, R + 2 * K,
                                                 axis=-2)
-        fe, ge = collide_stream_multistep(sl(pf), sl(pg), sl(pex),
-                                          sl(pey), **phys)
+        if bounce:
+            wall = jnp.stack([
+                jnp.where(b == 0, jnp.float32(K), jnp.float32(-1.0)),
+                jnp.where(b == B - 1, jnp.float32(K + R - 1),
+                          jnp.float32(-1.0))])
+            fe, ge = collide_stream_multistep_gated(
+                sl(pf), sl(pg), sl(pex), sl(pey), wall, **phys)
+        else:
+            fe, ge = collide_stream_multistep(sl(pf), sl(pg), sl(pex),
+                                              sl(pey), **phys)
         return fe[..., K:-K, :], ge[..., K:-K, :]
 
     fo, go = jax.lax.map(band, jnp.arange(B, dtype=jnp.int32))

@@ -405,21 +405,23 @@ def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):
                   solve_fft=solve, solve_iter=ispec,
                   interpret=cfg.kernel_interpret)
 
-        # Past the whole-state VMEM budget, NONE + periodic runs the
-        # K-deep-ghost BANDED windows (the ghost slabs are the true
-        # periodic neighbors — collide_stream_multistep_banded)
+        # Past the whole-state VMEM budget, every constant-E config —
+        # NONE under either BC, FFT + bounce-back (the no-op solve) —
+        # runs the K-deep-ghost BANDED windows (periodic: the ghost slabs
+        # are the true neighbors; bounce-back: the GATED kernel's traced
+        # walls block the boundary bands' garbage ghosts)
         itemsize = (2 if cfg.storage == "bf16"
                     else jnp.dtype(cfg.dtype).itemsize)
         bands = None
         if not check_vmem_multistep_plasma(
                 cfg.NY, cfg.NX, itemsize,
                 solve=bool(solve) or ispec is not None):
-            if solve or ispec or bounce:
+            if solve or ispec:
                 raise ValueError(
                     f"multistep at {cfg.NY}x{cfg.NX} exceeds the kernel's "
                     f"whole-state VMEM budget, and banded temporal "
-                    f"blocking covers NONE + periodic only (the solvers "
-                    f"are global; bounce-back walls are ungated)")
+                    f"blocking needs a window-constant E (the in-kernel "
+                    f"solvers are global)")
             bands = pick_multistep_bands_plasma(cfg.NY, cfg.NX, itemsize, K)
             if bands is None:
                 raise ValueError(
@@ -436,7 +438,7 @@ def make_rollout(cfg: PlasmaConfig, n: Optional[int] = None):
                                    step=state.step + k)
             if bands is not None:
                 kwb = {k2: v for k2, v in kw.items()
-                       if k2 not in ("bounce", "solve_fft", "solve_iter")}
+                       if k2 not in ("solve_fft", "solve_iter")}
                 f, g = collide_stream_multistep_banded(
                     state.f, state.g, state.Ex, state.Ey, k_steps=k,
                     bands=bands, **kwb)

@@ -281,6 +281,99 @@ def bounceback_fix_dirs(out: list, fd: list, holes: list) -> list:
     return out
 
 
+def _shift(a: jnp.ndarray, sy: int, sx: int) -> jnp.ndarray:
+    """Periodic shift on a loaded plane (kernel-safe concatenate form):
+    out[y, x] = a[y - sy, x - sx]."""
+    if sx:
+        a = jnp.concatenate((a[..., :, -sx:], a[..., :, :-sx]), axis=-1)
+    if sy:
+        a = jnp.concatenate((a[..., -sy:, :], a[..., :-sy, :]), axis=-2)
+    return a
+
+
+def bounceback_fix_dirs_gated(out: list, fd: list, stale: dict,
+                              is_b: jnp.ndarray, is_t: jnp.ndarray) -> list:
+    """bounceback_fix_dirs with TRACED wall-row masks — the K-deep-ghost
+    band/shard form used by the temporally-blocked bounce-back kernels.
+
+    The global bottom/top wall rows become the (NY, NX) masks is_b / is_t
+    (built from traced row indices; all-False on bands that hold neither
+    wall), so an extended band applies the y-wall reflections only where
+    it actually holds them. The x-wall column fixups stay unconditional:
+    every band spans the full x extent, so on true rows they reproduce the
+    global rows' own fixups and on the boundary bands' garbage wrap-ghost
+    rows they are inert. The 8 corner holes read the stale buffer IN PLACE
+    (out[i][y, x] = stale[i][y, x], see HOLE_SLOTS), which makes every
+    hole entry a same-row select — and since all y-wall sources are
+    same-row too (reflections consume the wall row's own post-collision
+    values), the gated wall overwrite BLOCKS the boundary bands' garbage
+    ghosts from ever streaming inward, exactly the cavity gated kernel's
+    argument (kernels/fused_cavity._make_multistep_kernel, gated=True).
+
+    out:   Q periodic-rolled (NY, NX) planes (push streaming of fd).
+    fd:    post-collision pre-streaming planes.
+    stale: {5, 6, 7, 8} -> full stale plane (pre-collision f for the f
+           pass; post-collision f [+ the species-2 delta background] for
+           the g pass — models/plasma._g_holes_with_background).
+    is_b / is_t: (NY, NX) traced wall-row masks.
+
+    Fixup order replicates bounceback_fix_dirs exactly (the column/row
+    write order encodes the reference's serial corner winners,
+    src/streaming.cpp:70-105); with masks pinned to the static edges the
+    result is bitwise bounceback_fix_dirs' (pinned by tests)."""
+    is_b1 = is_b[..., :, 0:1]
+    is_t1 = is_t[..., :, 0:1]
+
+    def set_col0(a, col):
+        return jnp.concatenate((col, a[..., :, 1:]), axis=-1)
+
+    def set_colN(a, col):
+        return jnp.concatenate((a[..., :, :-1], col), axis=-1)
+
+    def cat(*parts):
+        return jnp.concatenate(parts, axis=-1)
+
+    # Axis directions: x-wall columns unconditional, y-wall rows gated.
+    out[1] = set_col0(out[1], fd[3][..., :, 0:1])
+    out[3] = set_colN(out[3], fd[1][..., :, -1:])
+    out[2] = jnp.where(is_b, fd[4], out[2])
+    out[4] = jnp.where(is_t, fd[2], out[4])
+
+    # Diagonals. Sources are bounceback_fix_dirs' read from fd via whole-
+    # plane shifts; each hole entry is the stale plane at its own row.
+    # dir 5 (+1,+1) <- 7: column (hole (5,-1,0) at the top wall row),
+    # then the bottom wall row (hole (5,0,-1); the row wins corner (5,b,0))
+    col5 = jnp.where(is_t1, stale[5][..., :, 0:1],
+                     _shift(fd[7], -1, 0)[..., :, 0:1])
+    out[5] = set_col0(out[5], col5)
+    row5 = cat(_shift(fd[7], 0, -1)[..., :, :-1], stale[5][..., :, -1:])
+    out[5] = jnp.where(is_b, row5, out[5])
+    # dir 6 (-1,+1) <- 8: bottom row first (hole (6,0,0)), then the
+    # column (hole (6,-1,-1); the column wins corner (6,b,NX-1))
+    row6 = cat(stale[6][..., :, 0:1], _shift(fd[8], 0, 1)[..., :, 1:])
+    out[6] = jnp.where(is_b, row6, out[6])
+    col6 = jnp.where(is_t1, stale[6][..., :, -1:],
+                     _shift(fd[8], -1, 0)[..., :, -1:])
+    out[6] = set_colN(out[6], col6)
+    # dir 7 (-1,-1) <- 5: column (hole (7,0,-1) at the bottom wall row),
+    # then the top wall row (hole (7,-1,0); corner (7,t,NX-1) takes the
+    # in-place reflect fd[5][t, -1] — the reference's serial winner)
+    col7 = jnp.where(is_b1, stale[7][..., :, -1:],
+                     _shift(fd[5], 1, 0)[..., :, -1:])
+    out[7] = set_colN(out[7], col7)
+    row7 = cat(stale[7][..., :, 0:1], _shift(fd[5], 0, 1)[..., :, 1:-1],
+               fd[5][..., :, -1:])
+    out[7] = jnp.where(is_t, row7, out[7])
+    # dir 8 (+1,-1) <- 6: column (hole (8,0,0) at the bottom wall row),
+    # then the top wall row (hole (8,-1,-1); the row wins corner (8,t,0))
+    col8 = jnp.where(is_b1, stale[8][..., :, 0:1],
+                     _shift(fd[6], 1, 0)[..., :, 0:1])
+    out[8] = set_col0(out[8], col8)
+    row8 = cat(_shift(fd[6], 0, -1)[..., :, :-1], stale[8][..., :, -1:])
+    out[8] = jnp.where(is_t, row8, out[8])
+    return out
+
+
 def stream_bounceback(f: jnp.ndarray, stale: jnp.ndarray | None = None) -> jnp.ndarray:
     """Push streaming with bounce-back walls on all four edges.
 

@@ -830,8 +830,17 @@ def make_fused_sharded_multistep_rollout(
     extra work per device) and the exchange ships K rows instead of 1 —
     the window amortizes K latencies into one.
 
-    Requires: NONE solver + periodic BC (the blockable configuration with
-    no global stage and no wall fixups), cfg.multistep = K with K % 8 == 0
+    Bounce-back configs (NONE + BB, FFT + BB — the reference's no-op
+    solve, E constant) run the GATED kernel
+    (kernels/fused_multistep.collide_stream_multistep_gated): the traced
+    bottom/top wall rows land only on the first/last shard's extended
+    grid, and — the wall overwrite consuming same-row data only — they
+    BLOCK the ring ppermute's garbage wrap-ghosts from streaming inward,
+    exactly the cavity analog below.
+
+    Requires: a window-constant E — NONE + periodic (no global stage, no
+    wall fixups), NONE + bounce-back, or FFT + bounce-back;
+    cfg.multistep = K with K % 8 == 0
     (the extended grid must keep 8-row alignment), NY % (8 * n_dev) == 0,
     and the extended (rows + 2K, NX) state within the multistep kernel's
     VMEM budget. Windows follow models/plasma.make_rollout's dispatch:
@@ -841,7 +850,8 @@ def make_fused_sharded_multistep_rollout(
     (deeper than needed — still exact).
     """
     from ..kernels.fused_multistep import (check_vmem_multistep_plasma,
-                                           collide_stream_multistep)
+                                           collide_stream_multistep,
+                                           collide_stream_multistep_gated)
 
     if AXIS_Y not in mesh.axis_names:
         raise ValueError(f"mesh must have a '{AXIS_Y}' axis")
@@ -854,9 +864,14 @@ def make_fused_sharded_multistep_rollout(
     if K <= 0 or K % 8:
         raise ValueError("sharded multistep needs cfg.multistep = K with "
                          f"K % 8 == 0 (8-row alignment), got {K}")
-    if cfg.poisson != PoissonSolver.NONE or cfg.bc != BC.PERIODIC:
-        raise ValueError("sharded multistep supports NONE + periodic (the "
-                         "solvers run per-step on the sharded paths)")
+    bounce = cfg.bc == BC.BOUNCE_BACK
+    blockable = (cfg.poisson == PoissonSolver.NONE
+                 or (bounce and cfg.poisson == PoissonSolver.FFT))
+    if not blockable:
+        raise ValueError("sharded multistep needs a window-constant E: "
+                         "NONE under either BC, or FFT + bounce-back (the "
+                         "no-op solve); other solvers run per-step on the "
+                         "sharded paths)")
     if cfg.NY % (8 * n_dev):
         raise ValueError(f"NY={cfg.NY} must be divisible by 8*{n_dev}")
     rows = cfg.NY // n_dev
@@ -876,7 +891,8 @@ def make_fused_sharded_multistep_rollout(
         interpret = mesh.devices.flat[0].platform == "cpu"
 
     u = cfg.units()
-    kill = cfg.compat.none_solver_kills_external_field
+    kill = (cfg.poisson == PoissonSolver.NONE
+            and cfg.compat.none_solver_kills_external_field)
     phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
                 cs2=u.cs2, kb=u.kb,
                 neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0,
@@ -901,8 +917,22 @@ def make_fused_sharded_multistep_rollout(
                 dn = xchg(a, slice(0, K), bwd)       # rows below my last
                 return jnp.concatenate([up, a, dn], axis=-2)
 
-            fe, ge = collide_stream_multistep(
-                ext(f), ext(g), ext(Ex), ext(Ey), k_steps=k, **phys)
+            if bounce:
+                # gated walls: the bottom wall sits at extended row K on
+                # shard 0, the top at K + rows - 1 on the last shard; the
+                # ring ppermute's wrap slabs are garbage there and the
+                # gated wall blocks them (see the gated kernel docstring)
+                idx = jax.lax.axis_index(AXIS_Y)
+                wall = jnp.stack([
+                    jnp.where(idx == 0, jnp.float32(K), jnp.float32(-1.0)),
+                    jnp.where(idx == n_dev - 1, jnp.float32(K + rows - 1),
+                              jnp.float32(-1.0))])
+                fe, ge = collide_stream_multistep_gated(
+                    ext(f), ext(g), ext(Ex), ext(Ey), wall, k_steps=k,
+                    **phys)
+            else:
+                fe, ge = collide_stream_multistep(
+                    ext(f), ext(g), ext(Ex), ext(Ey), k_steps=k, **phys)
             return fe[..., K:-K, :], ge[..., K:-K, :]
 
         return local_window
