@@ -14,7 +14,15 @@ carries the f32-native headline grid, the BASELINE target grid (4096^2 by
 default, both storage modes, with its own vs_baseline_4096_bf16 ratio) and
 the 3-D fused kernel. Env knobs: BENCH_N, BENCH_STEPS, BENCH_BACKEND,
 BENCH_STORAGE (headline mode: bf16|native), BENCH_N_EXTRA, BENCH_N_3D,
-BENCH_3D_WIDE (cross-section of the 64-deep wide-3-D extra; 0 disables).
+BENCH_3D_WIDE (cross-section of the 64-deep wide-3-D extra; 0 disables),
+BENCH_BUDGET_S (wall budget for the extras, default 720 s — an extra only
+starts under budget; skipped ones record "skipped: budget"),
+BENCH_SKIP_EXTRAS=1 (headline only — the crash-retry path sets this).
+
+Driver contract: the headline JSON line is printed and flushed the moment
+the primary measurement returns, and the full line is RE-printed after
+every completed extra — the driver takes the last parseable line, so a
+timeout at any point still captures everything finished by then.
 
 Timing notes: under the axon tunnel block_until_ready returns before the
 device work drains, so we synchronize by fetching a scalar from the final
@@ -236,34 +244,44 @@ def _supervised_main() -> int:
 
     The axon TPU worker occasionally dies mid-run ("TPU worker process
     crashed or restarted") and the in-process jax runtime stays wedged —
-    only a fresh process reconnects. The child prints the JSON line; the
-    parent forwards the last one it sees."""
+    only a fresh process reconnects.
+
+    Driver-proofing (round 4): the child prints a complete JSON line after
+    the headline AND after every extra; the parent streams the child's
+    stdout line-by-line (no buffering), so even if the parent itself is
+    killed mid-extras the headline line is already on OUR stdout and the
+    driver's last-parseable-line rule picks up whatever completed. The
+    crash retry re-runs WITHOUT extras so its worst case is one headline
+    measurement."""
     import subprocess
 
-    env = dict(os.environ, BENCH_CHILD="1")
     last = None
     for attempt in range(2):
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True, text=True)
-        for ln in (r.stdout or "").splitlines():
+        env = dict(os.environ, BENCH_CHILD="1")
+        if attempt > 0:
+            env["BENCH_SKIP_EXTRAS"] = "1"  # retry = headline only
+        p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=subprocess.PIPE, text=True,
+                             bufsize=1)
+        assert p.stdout is not None
+        for ln in p.stdout:
+            ln = ln.rstrip("\n")
             if ln.startswith("{"):
                 last = ln
-        if r.returncode == 0 and last:
-            print(last)
+            print(ln, flush=True)  # stream through immediately
+        rc = p.wait()
+        if rc == 0 and last:
             return 0
-        sys.stderr.write(r.stderr[-2000:] if r.stderr else "")
         sys.stderr.write(f"\nbench child attempt {attempt + 1} failed "
-                         f"(rc={r.returncode}); retrying in a fresh "
+                         f"(rc={rc}); retrying headline-only in a fresh "
                          f"process\n")
-    if last:  # crashed during extras but the line was printed
-        print(last)
-        return 0
-    return 1
+    return 0 if last else 1
 
 
 def main() -> None:
     import jax
 
+    t_start = time.perf_counter()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -275,6 +293,11 @@ def main() -> None:
     # fast path); the f32-native number rides in extra for continuity
     storage = os.environ.get("BENCH_STORAGE", "bf16")
     n_extra = int(os.environ.get("BENCH_N_EXTRA", "4096"))
+    # wall-clock budget for the EXTRAS (seconds since process start): an
+    # extra only starts while under budget; everything skipped is recorded.
+    # Round 3's bench died rc=124 because ~15 extras each compiled fresh
+    # kernels through the slow remote helper with no bound anywhere.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "720"))
 
     mlups = measure(n, steps, backend, storage)
     tag = "" if storage == "native" else f"_{storage}"
@@ -284,20 +307,31 @@ def main() -> None:
         "unit": "MLUPS",
         "vs_baseline": round(mlups / BASELINE_MLUPS, 1),
     }
-    # the extras must never cost the primary metric: each is best-effort
-    # (a blown-up window at a big grid, a pool-contended compile, etc.
-    # report as an error string instead of killing the JSON line)
+    # the headline goes out IMMEDIATELY — a timeout mid-extras must never
+    # cost the primary metric (the driver takes the last parseable line,
+    # and every re-print below is a complete superset of this one)
+    print(json.dumps(out), flush=True)
+    if os.environ.get("BENCH_SKIP_EXTRAS"):
+        return
+
+    # extras: best-effort AND budget-bound, in priority order (the
+    # BASELINE 4096^2 grid first). Each failure reports an error string
+    # instead of killing the JSON line; each completion re-prints the full
+    # updated line so a kill at ANY point leaves the maximum on stdout.
     extra = {}
+    out["extra"] = extra
 
     def attempt(key, fn):
+        if time.perf_counter() - t_start > budget_s:
+            extra[key] = "skipped: budget"
+            return
         try:
             extra[key] = round(fn(), 2)
         except Exception as e:  # noqa: BLE001 - report, don't die
             extra[key] = f"error: {type(e).__name__}: {e}"[:200]
+        print(json.dumps(out), flush=True)
 
     other = "native" if storage == "bf16" else "bf16"
-    attempt(f"plasma_mlups_{n}x{n}_{other}",
-            lambda: measure(n, steps, backend, other))
     if n_extra and n_extra != n:
         # the BASELINE target grid, both storage modes; short windows (the
         # golden parameters blow up fast at 4096^2 — and bf16 storage
@@ -309,17 +343,26 @@ def main() -> None:
         v = extra.get(f"plasma_mlups_{n_extra}x{n_extra}_bf16")
         if isinstance(v, float):
             extra[f"vs_baseline_{n_extra}_bf16"] = round(v / BASELINE_MLUPS, 1)
-    n3d = int(os.environ.get("BENCH_N_3D", "128"))
-    if n3d:
-        # the 3-D D3Q19 fused kernel (bf16 storage: its fast mode)
-        attempt(f"plasma3d_mlups_{n3d}^3_bf16",
-                lambda: measure3d(n3d, max(steps // 2, 10), "bf16"))
-    nw = int(os.environ.get("BENCH_3D_WIDE", "512"))
-    if nw:
-        # wide cross-section (y-paneled kernel); short window — the golden
-        # instability grows with the seeded-box size
-        attempt(f"plasma3d_mlups_{nw}x{nw}x64_bf16",
-                lambda: measure3d(nw, 8, "bf16", nz=64))
+    attempt(f"plasma_mlups_{n}x{n}_{other}",
+            lambda: measure(n, steps, backend, other))
+    ngms = int(os.environ.get("BENCH_PLASMA_GOLDEN_MULTISTEP", "200"))
+    if ngms and jax.default_backend() != "cpu":
+        # the GOLDEN configuration (200^2, FFT + periodic) temporally
+        # blocked with the spectral solve in-kernel (MXU DFT matmuls);
+        # the reference's best run of this exact config is 0.99 MLUPS
+        attempt(f"plasma_mlups_{ngms}x{ngms}_fft_multistep",
+                lambda: measure_plasma_multistep(ngms, 10240, "native",
+                                                 solver="FFT"))
+        attempt(f"plasma_mlups_{ngms}x{ngms}_fft_multistep_bf16",
+                lambda: measure_plasma_multistep(ngms, 10240, "bf16",
+                                                 solver="FFT"))
+    npms = int(os.environ.get("BENCH_PLASMA_MULTISTEP", "256"))
+    if npms and jax.default_backend() != "cpu":
+        # plasma temporal blocking (NONE solver — the reference's own
+        # most-benchmarked configuration; measured 2.4-3.3 GLUPS bf16 at
+        # 200^2-256^2, STATUS)
+        attempt(f"plasma_mlups_{npms}x{npms}_none_multistep_bf16",
+                lambda: measure_plasma_multistep(npms, 10240, "bf16"))
     ncav = int(os.environ.get("BENCH_CAVITY", "1000"))
     if ncav:
         # the reference's second benchmarked workload; its own 1000^2 row
@@ -333,13 +376,6 @@ def main() -> None:
         # cavity's own fast mode, fused backend only
         attempt(f"cavity_mlups_{ncav}x{ncav}_bf16",
                 lambda: measure_cavity(ncav, 2000, "bf16"))
-    nms = int(os.environ.get("BENCH_CAVITY_MULTISTEP", "512"))
-    if nms and jax.default_backend() != "cpu":
-        # temporal blocking: K steps per kernel launch, whole grid
-        # VMEM-resident (the small-grid regime the banded kernels ran
-        # launch-bound; measured 20-35 GLUPS at 128^2-512^2, STATUS)
-        attempt(f"cavity_mlups_{nms}x{nms}_multistep",
-                lambda: measure_cavity(nms, 20000, multistep=256))
     nbms = int(os.environ.get("BENCH_CAVITY_MULTISTEP_BANDED", "2048"))
     if nbms and jax.default_backend() != "cpu":
         # BANDED temporal blocking: grids past the whole-grid VMEM budget
@@ -352,27 +388,25 @@ def main() -> None:
                 lambda: measure_cavity(nbms, 2048, multistep=32))
         attempt(f"cavity_mlups_{nbms}x{nbms}_multistep_banded_bf16",
                 lambda: measure_cavity(nbms, 2048, "bf16", multistep=16))
-    npms = int(os.environ.get("BENCH_PLASMA_MULTISTEP", "256"))
-    if npms and jax.default_backend() != "cpu":
-        # plasma temporal blocking (NONE solver — the reference's own
-        # most-benchmarked configuration; measured 2.4-3.3 GLUPS bf16 at
-        # 200^2-256^2, STATUS)
-        attempt(f"plasma_mlups_{npms}x{npms}_none_multistep_bf16",
-                lambda: measure_plasma_multistep(npms, 10240, "bf16"))
-    ngms = int(os.environ.get("BENCH_PLASMA_GOLDEN_MULTISTEP", "200"))
-    if ngms and jax.default_backend() != "cpu":
-        # the GOLDEN configuration (200^2, FFT + periodic) temporally
-        # blocked with the spectral solve in-kernel (MXU DFT matmuls);
-        # the reference's best run of this exact config is 0.99 MLUPS
-        attempt(f"plasma_mlups_{ngms}x{ngms}_fft_multistep",
-                lambda: measure_plasma_multistep(ngms, 10240, "native",
-                                                 solver="FFT"))
-        attempt(f"plasma_mlups_{ngms}x{ngms}_fft_multistep_bf16",
-                lambda: measure_plasma_multistep(ngms, 10240, "bf16",
-                                                 solver="FFT"))
-    if extra:
-        out["extra"] = extra
-    print(json.dumps(out))
+    nms = int(os.environ.get("BENCH_CAVITY_MULTISTEP", "512"))
+    if nms and jax.default_backend() != "cpu":
+        # temporal blocking: K steps per kernel launch, whole grid
+        # VMEM-resident (the small-grid regime the banded kernels ran
+        # launch-bound; measured 20-35 GLUPS at 128^2-512^2, STATUS)
+        attempt(f"cavity_mlups_{nms}x{nms}_multistep",
+                lambda: measure_cavity(nms, 20000, multistep=256))
+    n3d = int(os.environ.get("BENCH_N_3D", "128"))
+    if n3d:
+        # the 3-D D3Q19 fused kernel (bf16 storage: its fast mode)
+        attempt(f"plasma3d_mlups_{n3d}^3_bf16",
+                lambda: measure3d(n3d, max(steps // 2, 10), "bf16"))
+    nw = int(os.environ.get("BENCH_3D_WIDE", "512"))
+    if nw:
+        # wide cross-section (y-paneled kernel); short window — the golden
+        # instability grows with the seeded-box size
+        attempt(f"plasma3d_mlups_{nw}x{nw}x64_bf16",
+                lambda: measure3d(nw, 8, "bf16", nz=64))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -85,20 +85,50 @@ _LABELS = {
     "velocity": [["ux_e", "uy_e", "|u_e|"], ["ux_i", "uy_i", "|u_i|"]],
     "temperature": [["T_e", "T_i", "T_n"]],
 }
-_LABEL_H = 14  # pixels per label strip
+_LABEL_H = 30  # pixels per label strip (name + value legend + colorbar)
+
+# panel label -> io.colormap.RANGES key where they differ
+_RANGE_KEYS = {"|u_e|": "u_mag_e", "|u_i|": "u_mag_i"}
+
+
+def _fmt_value(v: float) -> str:
+    """Compact legend number: fixed-point when readable, scientific for
+    the tiny fixed ranges (|u| <= 1e-7)."""
+    if v == 0:
+        return "0"
+    a = abs(v)
+    return f"{v:.2f}" if 0.01 <= a < 1000 else f"{v:.0e}"
 
 
 def _label_strip(labels, width: int) -> np.ndarray:
-    """A text strip naming each panel (the reference labels its tiles,
-    src/visualize.cpp:326). Rendered once per stream with PIL."""
+    """A text strip naming each panel WITH its value legend: the fixed
+    normalization range (min | mid | max) and a JET colorbar — the
+    per-quantity legend panels of the reference's debug build
+    (old codes/Plasma debug/plasma_debug.hpp:234-262, makeColorLegend:
+    colorbar + max/mid/min values), folded into the label band so the
+    field tiles keep the release build's exact geometry. Rendered once
+    per stream with PIL."""
     from PIL import Image, ImageDraw
 
     img = Image.new("RGB", (width, _LABEL_H), (32, 32, 32))
     d = ImageDraw.Draw(img)
     panel_w = width // len(labels)
     for i, text in enumerate(labels):
-        d.text((i * panel_w + 4, 2), text, fill=(255, 255, 255))
-    return np.asarray(img)
+        vmin, vmax = colormap.RANGES[_RANGE_KEYS.get(text, text)]
+        mid = 0.5 * (vmin + vmax)
+        d.text((i * panel_w + 4, 0), text, fill=(255, 255, 255))
+        d.text((i * panel_w + 4, 11),
+               f"{_fmt_value(vmin)} | {_fmt_value(mid)} | {_fmt_value(vmax)}",
+               fill=(200, 200, 200))
+    arr = np.asarray(img).copy()
+    # horizontal JET colorbar (min -> max) along the bottom of each panel
+    pal = colormap.JET_PALETTE
+    for i in range(len(labels)):
+        x0, x1 = i * panel_w + 4, min((i + 1) * panel_w - 4, width)
+        if x1 - x0 > 8:
+            idx = np.linspace(0.0, 255.0, x1 - x0).astype(np.uint8)
+            arr[_LABEL_H - 6:_LABEL_H - 2, x0:x1] = pal[idx]
+    return arr
 
 
 class VideoRecorder:

@@ -436,7 +436,10 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False,
         Ey = ey_ref[:]
         NYv = Ex.shape[0]
         fi = jax.lax.broadcasted_iota(jnp.int32, (NYv, 1), 0).astype(cdt)
-        masks = (fi == bl_ref[0:1, :], fi == bl_ref[1:2, :])  # (NY, NX)
+        # load once, slice the VALUE (ref slices need 8-row sublane
+        # alignment; arbitrary offsets are only legal on loaded values)
+        bl = bl_ref[:]
+        masks = (fi == bl[0:1, :], fi == bl[1:2, :])  # (NY, NX)
 
         one_step(wf, wg, Ex, Ey, masks)
         if k_steps > 1:

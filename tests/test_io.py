@@ -364,3 +364,31 @@ def test_cavity_orbax_roundtrip(tmp_path):
                            state_cls=cavity.CavityState)
     for a, b in zip(s, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_golden_videos_match_reference():
+    """Frame-by-frame comparison of the committed golden videos vs the
+    reference's committed run (scripts/compare_golden_videos.py): both are
+    fps=1 renders of the 200^2/200 golden configuration with identical
+    fixed color ranges, so the 200 frames align 1:1. Gates: every tile
+    >= 95% of pixels within 2 JET bands; PSNR floors catch gross breakage
+    (wrong range / flip / trajectory)."""
+    import os
+    import sys
+
+    import pytest
+
+    pytest.importorskip("cv2")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ours = os.path.join(here, "artifacts/golden_200/video")
+    ref = "/root/reference/build/video_200x200_200TS"
+    if not (os.path.isdir(ours) and os.path.isdir(ref)):
+        pytest.skip("golden videos not available")
+    sys.path.insert(0, os.path.join(here, "scripts"))
+    try:
+        import compare_golden_videos as cgv
+    finally:
+        sys.path.pop(0)
+    results = cgv.compare(ours, ref)
+    fails = cgv.gates(results)
+    assert not fails, fails

@@ -106,3 +106,70 @@ def test_hole_values_from_periodic_recovers_post():
     recovered = S.hole_values_from_periodic(out_p)
     for d, r in zip(direct, recovered):
         np.testing.assert_array_equal(np.asarray(d), np.asarray(r))
+
+
+def test_bounceback_fix_dirs_gated_matches_ungated():
+    """bounceback_fix_dirs_gated with wall masks pinned to the static rows
+    0 / NY-1 is bitwise bounceback_fix_dirs (the claim its docstring makes:
+    the gated form exists for K-deep-ghost bands/shards whose wall rows are
+    traced; on a full grid the masks degenerate to the static edges)."""
+    import jax
+
+    from lbm_tpu.constants import D2Q9
+    from lbm_tpu.ops import stream as S
+
+    rng = np.random.default_rng(23)
+    for (NY, NX) in [(8, 8), (8, 16), (12, 20), (9, 11)]:
+        fd = [jnp.asarray(rng.standard_normal((NY, NX))) for _ in range(9)]
+        stale_pl = [jnp.asarray(rng.standard_normal((NY, NX)))
+                    for _ in range(9)]
+
+        def roll(a, sy, sx):
+            return jnp.roll(a, shift=(sy, sx), axis=(0, 1))
+
+        out = [roll(fd[q], int(D2Q9.CY[q]), int(D2Q9.CX[q]))
+               for q in range(9)]
+        holes = [stale_pl[i][y, x] for (i, y, x) in S.HOLE_SLOTS]
+        a = S.bounceback_fix_dirs(list(out), list(fd), holes)
+
+        iy = jax.lax.broadcasted_iota(jnp.int32, (NY, NX), 0)
+        is_b = iy == 0
+        is_t = iy == NY - 1
+        stale = {i: stale_pl[i] for i in (5, 6, 7, 8)}
+        b = S.bounceback_fix_dirs_gated(list(out), list(fd), stale,
+                                        is_b, is_t)
+        for q in range(9):
+            np.testing.assert_array_equal(np.asarray(a[q]), np.asarray(b[q]),
+                                          err_msg=f"dir {q} at {NY}x{NX}")
+
+
+def test_bounceback_fix_dirs_gated_all_false_is_periodic_x_walls():
+    """With both wall masks all-False (an interior band) only the x-wall
+    column fixups apply — every y-wall row and corner hole stays the
+    periodic result (the property the banded/sharded trapezoid argument
+    needs: interior bands never see wall physics)."""
+    from lbm_tpu.constants import D2Q9
+    from lbm_tpu.ops import stream as S
+
+    rng = np.random.default_rng(24)
+    NY, NX = 12, 16
+    fd = [jnp.asarray(rng.standard_normal((NY, NX))) for _ in range(9)]
+
+    def roll(a, sy, sx):
+        return jnp.roll(a, shift=(sy, sx), axis=(0, 1))
+
+    out = [roll(fd[q], int(D2Q9.CY[q]), int(D2Q9.CX[q])) for q in range(9)]
+    stale = {i: jnp.asarray(rng.standard_normal((NY, NX)))
+             for i in (5, 6, 7, 8)}
+    false = jnp.zeros((NY, NX), bool)
+    got = S.bounceback_fix_dirs_gated(list(out), list(fd), stale,
+                                      false, false)
+    for q in range(9):
+        g = np.asarray(got[q])
+        p = np.asarray(out[q])
+        if q in (1, 5, 8):    # x-wall fixup owns column 0
+            np.testing.assert_array_equal(g[:, 1:], p[:, 1:])
+        elif q in (3, 6, 7):  # x-wall fixup owns the last column
+            np.testing.assert_array_equal(g[:, :-1], p[:, :-1])
+        else:                 # rest/axis-y dirs: untouched without walls
+            np.testing.assert_array_equal(g, p)
