@@ -968,6 +968,147 @@ def make_fused_sharded_multistep_rollout(
                    out_shardings=shardings)
 
 
+def make_fused_sharded_multistep_rollout_2d(
+    cfg: PlasmaConfig,
+    mesh: Mesh,
+    n: int,
+    interpret: bool | None = None,
+):
+    """n-step multi-chip temporally-blocked rollout over a 2-D (dy, dx)
+    mesh — the 2-D extension of make_fused_sharded_multistep_rollout
+    (SURVEY section 2.3: 2-D domain decomposition is the TPU-native
+    equivalent of the reference's collapse(2) OpenMP loops,
+    src/plasma.cpp:333).
+
+    Ghost protocol: each K-step window does a TWO-PHASE slab exchange —
+    first K-deep row slabs along dy (extending every shard to
+    (rows + 2K, cols)), then K-deep COLUMN slabs of the ALREADY-EXTENDED
+    arrays along dx. The x-slabs of an extended array contain the
+    y-ghosts it just received, which are exactly the K x K corner blocks
+    the diagonal (two-hop) neighbors own — the same corner trick as the
+    3-D (dz, dy) per-step protocol (make_fused_sharded_step3d_yz), with
+    K-deep slabs instead of single rows. The unchanged multistep kernel
+    runs on the (rows + 2K, cols + 2K) extension; both of its periodic
+    wraps are wrong there, but wrap corruption travels one cell per step
+    in each axis, so after K steps it fills the l-inf-radius-(K-1) shell
+    and the [K:-K, K:-K] interior is exact (the 2-D trapezoid — a
+    pyramid — argument: every interior cell's K-step dependency cone is
+    an l-inf ball of radius K inside the true-valued extension).
+
+    NONE + PERIODIC only: the gated bounce-back kernel gates y-wall rows
+    but applies x-wall columns unconditionally, which is wrong on
+    x-interior shards — bounce-back 2-D meshes use the per-step paths.
+    Requires K % 8 == 0, NY % (8 * ndy) == 0, NX % ndx == 0, and the
+    extended shard within the kernel's VMEM budget."""
+    from ..kernels.fused_multistep import (check_vmem_multistep_plasma,
+                                           collide_stream_multistep)
+
+    for ax in (AXIS_Y, AXIS_X):
+        if ax not in mesh.axis_names:
+            raise ValueError(f"mesh must have a '{ax}' axis")
+    ndy = mesh.shape[AXIS_Y]
+    ndx = mesh.shape[AXIS_X]
+    K = int(getattr(cfg, "multistep", 0))
+    if K <= 0 or K % 8:
+        raise ValueError("2-D sharded multistep needs cfg.multistep = K "
+                         f"with K % 8 == 0, got {K}")
+    if cfg.poisson != PoissonSolver.NONE or cfg.bc != BC.PERIODIC:
+        raise ValueError("2-D sharded multistep is NONE + periodic only "
+                         "(the gated kernel's x-wall fixups are "
+                         "unconditional; bounce-back 2-D meshes run the "
+                         "per-step paths)")
+    if cfg.NY % (8 * ndy):
+        raise ValueError(f"NY={cfg.NY} must be divisible by 8*{ndy}")
+    if cfg.NX % ndx:
+        raise ValueError(f"NX={cfg.NX} must be divisible by {ndx}")
+    rows = cfg.NY // ndy
+    cols = cfg.NX // ndx
+    if K > rows or (ndx > 1 and K > cols):
+        raise ValueError(f"multistep K={K} exceeds rows/shard={rows} or "
+                         f"cols/shard={cols}; the one-hop ghost exchange "
+                         f"needs K <= both (smaller K or fewer devices)")
+    itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
+    ext_cols = cols + (2 * K if ndx > 1 else 0)
+    if not check_vmem_multistep_plasma(rows + 2 * K, ext_cols, itemsize):
+        raise ValueError(
+            f"extended shard ({rows}+2*{K}) x {ext_cols} exceeds the "
+            f"multistep kernel's VMEM budget (smaller K or more devices)")
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+
+    u = cfg.units()
+    kill = cfg.compat.none_solver_kills_external_field
+    phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb,
+                neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0,
+                kill_field=kill, interpret=interpret)
+
+    pop_spec = P(None, None, AXIS_Y, AXIS_X)
+    fld_spec = P(AXIS_Y, AXIS_X)
+    fwd_y = [(d, (d + 1) % ndy) for d in range(ndy)]  # recv from d-1
+    bwd_y = [(d, (d - 1) % ndy) for d in range(ndy)]  # recv from d+1
+    fwd_x = [(d, (d + 1) % ndx) for d in range(ndx)]
+    bwd_x = [(d, (d - 1) % ndx) for d in range(ndx)]
+
+    def make_window(k):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(pop_spec, pop_spec, fld_spec, fld_spec),
+                 out_specs=(pop_spec, pop_spec),
+                 check_vma=False)
+        def local_window(f, g, Ex, Ey):
+            def ext(a):
+                # phase 1: row slabs along dy
+                up = jax.lax.ppermute(a[..., -K:, :], AXIS_Y, fwd_y)
+                dn = jax.lax.ppermute(a[..., :K, :], AXIS_Y, bwd_y)
+                a = jnp.concatenate([up, a, dn], axis=-2)
+                if ndx > 1:
+                    # phase 2: column slabs of the EXTENDED array along
+                    # dx — these carry the just-received y-ghost rows,
+                    # i.e. the diagonal neighbors' K x K corner blocks
+                    lf = jax.lax.ppermute(a[..., :, -K:], AXIS_X, fwd_x)
+                    rt = jax.lax.ppermute(a[..., :, :K], AXIS_X, bwd_x)
+                    a = jnp.concatenate([lf, a, rt], axis=-1)
+                return a
+
+            fe, ge = collide_stream_multistep(
+                ext(f), ext(g), ext(Ex), ext(Ey), k_steps=k, **phys)
+            if ndx > 1:
+                fe, ge = fe[..., :, K:-K], ge[..., :, K:-K]
+            return fe[..., K:-K, :], ge[..., K:-K, :]
+
+        return local_window
+
+    win_full = make_window(K)
+    rem = n % K if n > 0 else 0
+    win_rem = make_window(rem) if rem else None
+    full = n // K
+
+    def window(state: PlasmaState, local, k):
+        f, g = local(state.f, state.g, state.Ex, state.Ey)
+        Ex, Ey = ((jnp.zeros_like(state.Ex), jnp.zeros_like(state.Ey))
+                  if kill else (state.Ex, state.Ey))
+        return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=state.phi,
+                           step=state.step + k)
+
+    def rollout(state: PlasmaState) -> PlasmaState:
+        if full:
+            def body(s, _):
+                return window(s, win_full, K), None
+            state, _ = jax.lax.scan(body, state, None, length=full)
+        if rem:
+            state = window(state, win_rem, rem)
+        return state
+
+    shardings = PlasmaState(
+        f=NamedSharding(mesh, pop_spec), g=NamedSharding(mesh, pop_spec),
+        Ex=NamedSharding(mesh, fld_spec), Ey=NamedSharding(mesh, fld_spec),
+        phi=NamedSharding(mesh, fld_spec),
+        step=NamedSharding(mesh, P()),
+    )
+    return jax.jit(rollout, in_shardings=(shardings,),
+                   out_shardings=shardings)
+
+
 def make_fused_sharded_cavity_multistep_rollout(
     cfg,
     mesh: Mesh,

@@ -384,8 +384,10 @@ def test_multistep_banded_matches_jnp_f64(delta):
 
 def test_multistep_banded_rollout_dispatch(monkeypatch):
     """make_rollout auto-picks banded windows when the whole state fails
-    the VMEM check (forced by a shrunk budget); solver/bounce configs
-    past the budget raise the documented error instead."""
+    the VMEM check (forced by a shrunk budget); in-kernel-SOLVER configs
+    past the budget raise the documented error (the solvers are global —
+    bounce-back configs instead route through the gated banded kernel,
+    see test_multistep_banded_bounceback_rollout_dispatch)."""
     from lbm_tpu.kernels import fused_multistep as fm
 
     real = fm.check_vmem_multistep_plasma
@@ -395,13 +397,13 @@ def test_multistep_banded_rollout_dispatch(monkeypatch):
     try:
         cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4)
         s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
-        with pytest.raises(ValueError, match="NONE \\+ periodic"):
+        with pytest.raises(ValueError, match="window-constant E"):
             plasma.make_rollout(_cfg(backend="fused", kernel_interpret=True,
                                      multistep=4,
                                      poisson=PoissonSolver.FFT))
-        with pytest.raises(ValueError, match="NONE \\+ periodic"):
+        with pytest.raises(ValueError, match="window-constant E"):
             plasma.make_rollout(_cfg(backend="fused", kernel_interpret=True,
-                                     multistep=4, bc=BC.BOUNCE_BACK))
+                                     multistep=4, poisson=PoissonSolver.GS))
     finally:
         monkeypatch.setattr(fm, "check_vmem_multistep_plasma", real)
     ref = _ref_run(_cfg(), 11)
@@ -425,3 +427,184 @@ def test_multistep_banded_validation():
     # K deeper than any feasible band height -> no split
     assert pick_multistep_bands_plasma(512, 512, 4, 512) is None
     assert pick_multistep_bands_plasma(512, 512, 4, 32) == 8
+
+
+@pytest.mark.parametrize("solver,bands", [
+    (PoissonSolver.NONE, 2),   # K=4 < R=8
+    (PoissonSolver.NONE, 4),   # K == R: ghost spans the whole neighbor band
+    (PoissonSolver.FFT, 2),    # FFT+BB = the no-op solve, E kept
+])
+def test_multistep_banded_bounceback_matches_whole_grid(solver, bands):
+    """Banded bounce-back windows (the GATED kernel with traced wall rows
+    on the first/last band) must match the whole-grid bounce kernel at
+    f64-ulp-of-scale and the per-step jnp path at 1e-11 — the gated wall
+    overwrite blocks the boundary bands' garbage wrap-ghosts (same-row
+    sources only), and interior bands follow the periodic trapezoid
+    argument. NOT bitwise: gated and ungated are different programs, so
+    XLA's fusion context flips last bits on the huge classic-neutral
+    scale (the repo-wide cross-program convention; measured ~2e-15 of
+    scale here)."""
+    from lbm_tpu.kernels.fused_multistep import (
+        collide_stream_multistep, collide_stream_multistep_banded)
+
+    kill = solver == PoissonSolver.NONE
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4,
+               bc=BC.BOUNCE_BACK, poisson=solver)
+    ref = _ref_run(cfg, 11)
+    u = cfg.units()
+    kw = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+              cs2=u.cs2, kb=u.kb, neutral_ref=0.0,
+              kill_field=kill, bounce=True, interpret=True)
+    st = plasma.init_state(cfg)
+    f, g, Ex, Ey = st.f, st.g, st.Ex, st.Ey
+    fw, gw = f, g
+    for k in (4, 4, 3):
+        f, g = collide_stream_multistep_banded(f, g, Ex, Ey, k_steps=k,
+                                               bands=bands, **kw)
+        fw, gw = collide_stream_multistep(fw, gw, Ex, Ey, k_steps=k, **kw)
+        if kill:
+            Ex, Ey = jnp.zeros_like(Ex), jnp.zeros_like(Ey)
+    for a, b in ((f, fw), (g, gw)):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-300)
+        rel = float(jnp.max(jnp.abs(a - b))) / scale
+        assert rel < 1e-13, rel  # f64-ulp-of-scale vs whole-grid
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref.f),
+                               rtol=1e-11, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref.g),
+                               rtol=1e-11, atol=1e-22)
+
+
+def test_multistep_banded_bounceback_neutral_delta():
+    """Delta-stored neutrals through the gated banded path: the g-pass
+    corner holes must get the species-2 background added back on the wall
+    bands only."""
+    from lbm_tpu.kernels.fused_multistep import \
+        collide_stream_multistep_banded
+
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4,
+               bc=BC.BOUNCE_BACK, neutral_delta=True)
+    ref = _ref_run(cfg, 8)
+    u = cfg.units()
+    kw = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+              cs2=u.cs2, kb=u.kb, neutral_ref=u.rho_n_init,
+              kill_field=True, bounce=True, interpret=True)
+    st = plasma.init_state(cfg)
+    f, g, Ex, Ey = st.f, st.g, st.Ex, st.Ey
+    for k in (4, 4):
+        f, g = collide_stream_multistep_banded(f, g, Ex, Ey, k_steps=k,
+                                               bands=2, **kw)
+        Ex, Ey = jnp.zeros_like(Ex), jnp.zeros_like(Ey)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(ref.f),
+                               rtol=1e-11, atol=1e-22)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref.g),
+                               rtol=1e-11, atol=1e-22)
+
+
+def test_multistep_banded_bounceback_rollout_dispatch(monkeypatch):
+    """make_rollout routes past-VMEM BOUNCE-BACK multistep configs through
+    the gated banded kernel (NONE + BB and FFT + BB are window-constant-E;
+    the in-kernel solver configs still raise — they are global)."""
+    from lbm_tpu.kernels import fused_multistep as fm
+
+    monkeypatch.setattr(
+        fm, "check_vmem_multistep_plasma",
+        lambda NY, NX, it, budget=0, solve=False: NY < 16)
+    cfg = _cfg(backend="fused", kernel_interpret=True, multistep=4,
+               bc=BC.BOUNCE_BACK)
+    s = jax.jit(plasma.make_rollout(cfg))(plasma.init_state(cfg))
+    monkeypatch.undo()
+    ref = _ref_run(cfg, 11)
+    assert int(s.step) == 11
+    _assert_states_close(s, ref, rtol=1e-11, atol=1e-22)
+
+
+@pytest.mark.parametrize("n_dev,solver,steps", [
+    (2, PoissonSolver.NONE, 19),   # remainder window (19 = 2*8 + 3)
+    (4, PoissonSolver.NONE, 16),
+    (2, PoissonSolver.FFT, 19),    # FFT+BB: no-op solve, E constant
+])
+def test_multistep_sharded_bounceback_matches_jnp_f64(n_dev, solver, steps):
+    """Multi-chip temporal blocking under BOUNCE-BACK walls: the gated
+    kernel's traced wall rows land only on the first/last shard and block
+    the ring ppermute's garbage wrap-ghosts; gates at f64 ulp vs the
+    single-device jnp rollout, remainder window included."""
+    from lbm_tpu.parallel.fused_sharded import \
+        make_fused_sharded_multistep_rollout
+
+    cfg = _cfg(NX=24, NY=64, nsteps=steps, backend="fused",
+               kernel_interpret=True, multistep=8, bc=BC.BOUNCE_BACK,
+               poisson=solver)
+    ref = _ref_run(cfg, steps)
+    roll = make_fused_sharded_multistep_rollout(cfg, _mesh(n_dev), steps)
+    s = roll(plasma.init_state(cfg))
+    assert int(s.step) == steps
+    if solver == PoissonSolver.FFT:
+        assert float(jnp.abs(s.Ex).max()) > 0  # the no-op solve kept E
+    # f64-ulp-of-scale, not bitwise: the gated kernel is a different
+    # program from the jnp step, so fusion context flips last bits on the
+    # classic-neutral scale (repo-wide cross-program convention)
+    for name in ("f", "g", "Ex"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-13, name
+
+
+def _mesh2d(ndy, ndx):
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
+    devs = jax.devices("cpu")[:ndy * ndx]
+    return Mesh(np.asarray(devs).reshape(ndy, ndx), (AXIS_Y, AXIS_X))
+
+
+@pytest.mark.parametrize("ndy,ndx,steps", [
+    (2, 2, 19),   # remainder window (19 = 2*8 + 3)
+    (2, 4, 16),
+])
+def test_multistep_sharded_2d_matches_jnp_f64(ndy, ndx, steps):
+    """2-D (dy, dx) mesh temporal blocking: two-phase K-slab exchange
+    (row slabs along dy, then column slabs of the EXTENDED arrays along
+    dx, which carries the diagonal neighbors' K x K corner blocks), the
+    unchanged kernel on the (rows+2K, cols+2K) extension, interior slice
+    exact by the 2-D trapezoid argument. f64-ulp vs single-device jnp."""
+    from lbm_tpu.parallel.fused_sharded import \
+        make_fused_sharded_multistep_rollout_2d
+
+    cfg = _cfg(NX=8 * ndx, NY=16 * ndy, nsteps=steps, backend="fused",
+               kernel_interpret=True, multistep=8)
+    ref = _ref_run(cfg, steps)
+    roll = make_fused_sharded_multistep_rollout_2d(
+        cfg, _mesh2d(ndy, ndx), steps)
+    s = roll(plasma.init_state(cfg))
+    assert int(s.step) == steps
+    for name in ("f", "g", "Ex"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-13, name
+
+
+def test_multistep_sharded_2d_validation():
+    from lbm_tpu.parallel.fused_sharded import \
+        make_fused_sharded_multistep_rollout_2d
+
+    m = _mesh2d(2, 2)
+    with pytest.raises(ValueError, match="K % 8"):
+        make_fused_sharded_multistep_rollout_2d(
+            _cfg(NX=16, NY=32, backend="fused", kernel_interpret=True,
+                 multistep=4), m, 8)
+    with pytest.raises(ValueError, match="NONE \\+ periodic"):
+        make_fused_sharded_multistep_rollout_2d(
+            _cfg(NX=16, NY=32, backend="fused", kernel_interpret=True,
+                 multistep=8, bc=BC.BOUNCE_BACK), m, 8)
+    with pytest.raises(ValueError, match="divisible"):
+        make_fused_sharded_multistep_rollout_2d(
+            _cfg(NX=15, NY=32, backend="fused", kernel_interpret=True,
+                 multistep=8), m, 8)
+    with pytest.raises(ValueError, match="cols/shard"):
+        # K deeper than a shard's columns: one-hop x-exchange impossible
+        make_fused_sharded_multistep_rollout_2d(
+            _cfg(NX=8, NY=32, backend="fused", kernel_interpret=True,
+                 multistep=8), m, 8)
