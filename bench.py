@@ -43,17 +43,19 @@ import time
 BASELINE_MLUPS = 0.99  # reference best (BASELINE.md: 200x200, 13 cores)
 
 
-def measure(n: int, steps: int, backend: str, storage: str = "native") -> float:
+def measure(n: int, steps: int, backend: str, storage: str = "native",
+            solver: str | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
-    from lbm_tpu.config import PlasmaConfig
+    from lbm_tpu.config import PlasmaConfig, PoissonSolver
     from lbm_tpu.models import plasma
 
     cfg = dataclasses.replace(
         PlasmaConfig(), NX=n, NY=n, nsteps=steps, dtype=jnp.float32,
         backend=backend, storage=storage,
         neutral_delta=(storage == "bf16"),
+        **({"poisson": PoissonSolver[solver]} if solver else {}),
     )
     # Timing design: scanned rollouts (one dispatch + one sync each), every
     # trial re-started from the initial state (blown-up states must not be
@@ -343,6 +345,12 @@ def main() -> None:
         v = extra.get(f"plasma_mlups_{n_extra}x{n_extra}_bf16")
         if isinstance(v, float):
             extra[f"vs_baseline_{n_extra}_bf16"] = round(v / BASELINE_MLUPS, 1)
+        # the BASELINE grid with the NONE solver (a first-class reference
+        # workload: poisson=0 rows throughout its scalability CSV). No
+        # per-step rfft2 -> pure LBM roofline; measured 2,190 MLUPS bf16
+        # on v5e (2026-08-20) = the >=2,000 BASELINE bar on ONE chip.
+        attempt(f"plasma_mlups_{n_extra}x{n_extra}_none_periodic_bf16",
+                lambda: measure(n_extra, 10, backend, "bf16", "NONE"))
     attempt(f"plasma_mlups_{n}x{n}_{other}",
             lambda: measure(n, steps, backend, other))
     ngms = int(os.environ.get("BENCH_PLASMA_GOLDEN_MULTISTEP", "200"))

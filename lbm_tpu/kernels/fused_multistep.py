@@ -116,13 +116,29 @@ def check_vmem_multistep_plasma(NY: int, NX: int, itemsize: int,
     """Whole-state VMEM feasibility: f+g in/out blocks, the f32 working
     scratch pair, and the macro/equilibrium live set (~80 planes). With
     the in-kernel spectral solve, add the DFT matrices, the (phi, Ex, Ey)
-    scratch, and the half-spectrum matmul intermediates."""
+    scratch, and the half-spectrum matmul intermediates.
+
+    bf16 storage (itemsize 2) is calibrated against measured v5e compile
+    failures, NOT the analytic sum: both (48, 2048) and (24, 4096)
+    extended bands hit "scoped allocation 101.50M(iB) > 100.00M(iB)
+    limit" = exactly 1083 B/site, well over the analytic 752 (Mosaic
+    materializes f32 conversion copies of the bf16 blocks on the kernel
+    stack). The calibrated need is checked against the 100 MiB scoped
+    limit with a 2 MiB safety margin — keeping the validated 304^2
+    whole-grid bf16 point (95.4 MiB measured-equivalent) admitted while
+    rejecting the measured OOM shapes."""
     planes = _S * _Q
-    need = (
-        2 * 2 * planes * NY * NX * itemsize  # f+g, in + out
-        + 2 * planes * NY * NX * 4           # f32 working scratch pair
-        + 80 * NY * NX * 4                   # mac + live temporaries
-    )
+    if itemsize == 2:
+        need = 1083 * NY * NX            # measured 106.43e6 B / 98,304 sites
+        if not solve:
+            return need < 98 * 1024 * 1024
+        budget = 98 * 1024 * 1024
+    else:
+        need = (
+            2 * 2 * planes * NY * NX * itemsize  # f+g, in + out
+            + 2 * planes * NY * NX * 4           # f32 working scratch pair
+            + 80 * NY * NX * 4                   # mac + live temporaries
+        )
     if solve:
         Hp = _pad_half(NX)
         need += (

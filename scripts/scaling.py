@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -238,6 +239,32 @@ def cmd_run(args):
                     ny = n * k if args.weak else n
                     measure(n, ny, sol, k)
 
+    # Sidecar provenance: rows from a virtual CPU mesh exercise the
+    # IDENTICAL sharded program a TPU pod would run (partitioning,
+    # collectives, halo protocol), but their absolute times carry
+    # host-CPU execution + per-device dispatch costs — they validate
+    # SHAPE, not speed. cmd_plot stamps this on every figure so the
+    # device sweeps never read as "multi-chip makes it slower".
+    meta_path = args.csv + ".meta.json"
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    meta["platform"] = jax.default_backend()
+    meta["virtual_mesh"] = bool(device_counts) or meta.get(
+        "virtual_mesh", False)
+    if meta["virtual_mesh"]:
+        meta["note"] = (
+            f"device counts ran on a VIRTUAL {n_virt if device_counts else 8}"
+            "-device CPU mesh: same sharded program as a TPU pod "
+            "(shape-level validation); absolute times include host-CPU "
+            "execution + per-device dispatch and are NOT TPU times")
+    else:
+        meta.setdefault(
+            "note", f"measured on {jax.devices()[0].device_kind}")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
+
 
 def _load_rows(csv_path):
     import numpy as np
@@ -280,9 +307,17 @@ def cmd_plot(args):
     # columns: 0 nx, 1 ny, 2 steps, 3 cores, 4 poisson, 5 bc, 6 ms
     written = []
 
+    note = None
+    if os.path.exists(args.csv + ".meta.json"):
+        with open(args.csv + ".meta.json") as fh:
+            note = json.load(fh).get("note")
+
     def save(fig, name):
         path = os.path.join(out_dir, name)
         fig.tight_layout()
+        if note:
+            fig.subplots_adjust(bottom=0.17)
+            fig.text(0.01, 0.01, note, fontsize=6.5, alpha=0.8, wrap=True)
         fig.savefig(path)
         plt.close(fig)
         written.append(name)

@@ -429,6 +429,32 @@ def test_multistep_banded_validation():
     assert pick_multistep_bands_plasma(512, 512, 4, 32) == 8
 
 
+def test_vmem_check_bf16_calibration():
+    """The bf16 VMEM estimate is calibrated against measured v5e compile
+    failures: (48, 2048) and (24, 4096) extended bands both hit "scoped
+    allocation 101.50MiB > 100.00MiB" (= 1083 B/site, well over the
+    analytic 752 — Mosaic materializes f32 conversion copies of the bf16
+    blocks). These pins keep the feasibility boundary exactly where the
+    hardware put it."""
+    from lbm_tpu.kernels.fused_multistep import (
+        check_vmem_multistep_plasma, pick_multistep_bands_plasma)
+
+    # the two measured OOM shapes must now be rejected
+    assert not check_vmem_multistep_plasma(48, 2048, 2)
+    assert not check_vmem_multistep_plasma(24, 4096, 2)
+    # measured-good shapes stay admitted: (80, 1024) banded bf16 ran on
+    # v5e (84.6 MB), (32, 2048) fits (67.7 MB), and the 304^2 whole-grid
+    # bf16 point (96.1 MB incl. margin) keeps its documented capability
+    assert check_vmem_multistep_plasma(80, 1024, 2)
+    assert check_vmem_multistep_plasma(32, 2048, 2)
+    assert check_vmem_multistep_plasma(304, 304, 2)
+    # picker consequences at the BASELINE grids: 2048^2 bf16 K=8 lands on
+    # R=16 (B=128, 2x redundancy); 4096^2 is infeasible in BOTH storages
+    assert pick_multistep_bands_plasma(2048, 2048, 2, 8) == 128
+    assert pick_multistep_bands_plasma(4096, 4096, 2, 8) is None
+    assert pick_multistep_bands_plasma(4096, 4096, 4, 8) is None
+
+
 @pytest.mark.parametrize("solver,bands", [
     (PoissonSolver.NONE, 2),   # K=4 < R=8
     (PoissonSolver.NONE, 4),   # K == R: ghost spans the whole neighbor band
