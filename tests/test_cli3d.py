@@ -139,14 +139,17 @@ def test_cli2d_multistep_golden_config(tmp_path):
         assert len(fh.read().strip().splitlines()) == 4
 
 
-def test_cli2d_multistep_rejects_shard():
+def test_cli2d_multistep_shard_rejects_unaligned_k():
+    """--shard N --multistep K is supported (see test_cli2d_multistep_shard)
+    but the ghost-slab protocol needs K % 8 == 0 (8-row sublane alignment);
+    an unaligned K must fail fast with the contract in the message."""
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "run_plasma.py"),
          "--cpu", "--nx", "16", "--ny", "16", "--steps", "4",
          "--multistep", "2", "--shard", "2", "--no-video", "--no-plots"],
         capture_output=True, text=True, cwd=REPO, timeout=120)
     assert r.returncode != 0
-    assert "single-device" in (r.stderr + r.stdout)
+    assert "K % 8 == 0" in (r.stderr + r.stdout)
 
 
 def test_cli2d_multistep_shard(tmp_path):
