@@ -138,6 +138,19 @@ class PlasmaConfig:
     # would be wrong).
     fft_engine: str = "auto"  # "auto" | "xla" | "pallas"
 
+    # Engine for the ITERATIVE solvers (GS/SOR/NPS): "xla" runs
+    # ops/poisson's roll-based sweeps (every sweep round-trips phi
+    # through HBM), "pallas" runs the whole warm-started while_loop
+    # VMEM-resident in one launch (kernels/poisson_iter.py; identical
+    # sweep/stopping semantics — fused_multistep.solve_iter_val, the
+    # same function the temporally-blocked windows run). "pallas" needs
+    # the grid inside the kernel's whole-grid VMEM budget (~1024^2 f32).
+    # "auto" currently resolves to "xla" pending a hardware measurement
+    # (scripts/measure_poisson_iter.py; project rule: ablate before
+    # optimizing); sharded constructors always force "xla" (a
+    # shard-local sweep would be wrong).
+    iter_engine: str = "auto"  # "auto" | "xla" | "pallas"
+
     # Temporal blocking (fused backend, 2-D): run this many steps per
     # kernel launch with the whole (f, g) state resident in VMEM
     # (kernels/fused_multistep.py; feasible to ~256^2 f32 / ~304^2 bf16 —
@@ -171,6 +184,9 @@ class PlasmaConfig:
         if self.fft_engine not in ("auto", "xla", "pallas"):
             raise ValueError(f"fft_engine must be auto|xla|pallas, "
                              f"got {self.fft_engine!r}")
+        if self.iter_engine not in ("auto", "xla", "pallas"):
+            raise ValueError(f"iter_engine must be auto|xla|pallas, "
+                             f"got {self.iter_engine!r}")
         if self.multistep:
             if self.multistep < 0:
                 raise ValueError(f"multistep must be >= 0, "

@@ -102,6 +102,83 @@ def _efield_neumann_val(phi: jnp.ndarray):
     return close(Ex), close(Ey)
 
 
+def solve_iter_val(rho_q: jnp.ndarray, phi0: jnp.ndarray, spec):
+    """In-kernel iterative Poisson sweep on loaded values: red-black
+    GS/SOR or 4-color 9-point (NPS), the exact functional form of
+    ops/poisson.solve_gs / solve_9point (src/poisson.cpp:90-142,
+    216-279, 429-483), run under a Mosaic lax.while_loop until
+    maxErr < tol or max_iter (the C++ do-loop always sweeps once —
+    err starts at inf). Masks are built from in-kernel iotas (array
+    constants cannot be captured); phi0 is the caller's warm start
+    (the reference's translation-unit-static phi).
+
+    spec = (kind, omega, max_iter, tol, interior_only, neumann);
+    kind "gs" covers GS and, with omega, SOR; "nps" the 9-point.
+    Returns (phi, Ex, Ey) — E by the neumann/periodic closure named in
+    the spec, or (phi, None, None) when neumann is None (the standalone
+    per-step kernel leaves E to the caller's jnp path to save two VMEM
+    output planes). Shared by the temporally-blocked window kernel
+    (below) and kernels/poisson_iter.py."""
+    kind, omega, max_iter, tol, interior_only, neumann = spec
+    shape = rho_q.shape
+    NYv, NXv = shape
+    cdt = rho_q.dtype
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    if kind == "gs":
+        m = ((iy + ix) % 2) == 0
+        masks = [m, jnp.logical_not(m)]
+    else:  # "nps": color = 2*(x%2) + (y%2), swept 0..3
+        color = 2 * (ix % 2) + (iy % 2)
+        masks = [color == c for c in range(4)]
+    if interior_only:
+        inside = ((iy >= 1) & (iy < NYv - 1)
+                  & (ix >= 1) & (ix < NXv - 1))
+        masks = [jnp.logical_and(mk, inside) for mk in masks]
+    zero = jnp.zeros((), cdt)
+
+    def nb5(p):
+        return (_roll2(p, 0, 1) + _roll2(p, 0, -1)
+                + _roll2(p, 1, 0) + _roll2(p, -1, 0))
+
+    def nb_diag(p):
+        return (_roll2(p, 1, 1) + _roll2(p, 1, -1)
+                + _roll2(p, -1, 1) + _roll2(p, -1, -1))
+
+    def sweep(p):
+        err = zero
+        for mk in masks:
+            if kind == "gs":
+                new = 0.25 * (nb5(p) + rho_q)
+                if omega is not None:
+                    new = (1.0 - omega) * p + omega * new
+            else:
+                new = (4.0 * nb5(p) + nb_diag(p) + 6.0 * rho_q) / 20.0
+            upd = jnp.where(mk, new, p)
+            err = jnp.maximum(
+                err, jnp.max(jnp.where(mk, jnp.abs(upd - p), zero)))
+            p = upd
+        return p, err
+
+    def cond(c):
+        it, err, _ = c
+        return jnp.logical_and(it < max_iter, err >= tol)
+
+    def body(c):
+        it, _, p = c
+        p2, err = sweep(p)
+        return it + 1, err, p2
+
+    _, _, phi = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, cdt), phi0))
+    if neumann is None:
+        return phi, None, None
+    Ex, Ey = (_efield_neumann_val(phi) if neumann
+              else _efield_periodic_val(phi))
+    return phi, Ex, Ey
+
+
 def _corner11(v: jnp.ndarray, y: int, x: int) -> jnp.ndarray:
     """A (1, 1) STATIC corner slice of a loaded plane (y, x in {0, -1});
     scalar extractions from values are fragile under Mosaic — 2-D slices
@@ -293,69 +370,7 @@ def _make_kernel(params, k_steps, kill_field, dt_store=None, bounce=False,
         return phi, Ex, Ey
 
     def solve_field_iter(rho_q, phi0):
-        """In-kernel iterative Poisson sweep: red-black GS/SOR or 4-color
-        9-point (NPS), the exact functional form of ops/poisson.solve_gs /
-        solve_9point, run under a Mosaic lax.while_loop until
-        maxErr < tol or max_iter (the C++ do-loop always sweeps once —
-        err starts at inf). Masks are built from in-kernel iotas (array
-        constants cannot be captured); warm-started phi rides the window
-        scratch like the reference's translation-unit-static phi."""
-        kind, omega, max_iter, tol, interior_only, neumann = solve
-        shape = rho_q.shape
-        NYv, NXv = shape
-        cdt = rho_q.dtype
-        iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        if kind == "gs":
-            m = ((iy + ix) % 2) == 0
-            masks = [m, jnp.logical_not(m)]
-        else:  # "nps": color = 2*(x%2) + (y%2), swept 0..3
-            color = 2 * (ix % 2) + (iy % 2)
-            masks = [color == c for c in range(4)]
-        if interior_only:
-            inside = ((iy >= 1) & (iy < NYv - 1)
-                      & (ix >= 1) & (ix < NXv - 1))
-            masks = [jnp.logical_and(mk, inside) for mk in masks]
-        zero = jnp.zeros((), cdt)
-
-        def nb5(p):
-            return (_roll2(p, 0, 1) + _roll2(p, 0, -1)
-                    + _roll2(p, 1, 0) + _roll2(p, -1, 0))
-
-        def nb_diag(p):
-            return (_roll2(p, 1, 1) + _roll2(p, 1, -1)
-                    + _roll2(p, -1, 1) + _roll2(p, -1, -1))
-
-        def sweep(p):
-            err = zero
-            for mk in masks:
-                if kind == "gs":
-                    new = 0.25 * (nb5(p) + rho_q)
-                    if omega is not None:
-                        new = (1.0 - omega) * p + omega * new
-                else:
-                    new = (4.0 * nb5(p) + nb_diag(p) + 6.0 * rho_q) / 20.0
-                upd = jnp.where(mk, new, p)
-                err = jnp.maximum(
-                    err, jnp.max(jnp.where(mk, jnp.abs(upd - p), zero)))
-                p = upd
-            return p, err
-
-        def cond(c):
-            it, err, _ = c
-            return jnp.logical_and(it < max_iter, err >= tol)
-
-        def body(c):
-            it, _, p = c
-            p2, err = sweep(p)
-            return it + 1, err, p2
-
-        _, _, phi = jax.lax.while_loop(
-            cond, body,
-            (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, cdt), phi0))
-        Ex, Ey = (_efield_neumann_val(phi) if neumann
-                  else _efield_periodic_val(phi))
-        return phi, Ex, Ey
+        return solve_iter_val(rho_q, phi0, solve)
 
     def kernel_solve_iter(f_ref, g_ref, ex_ref, ey_ref, phi_ref,
                           fo_ref, go_ref, exo_ref, eyo_ref, phio_ref,

@@ -114,6 +114,30 @@ def _use_pallas_fft(cfg: PlasmaConfig, shape) -> bool:
     return False
 
 
+def _use_pallas_iter(cfg: PlasmaConfig, shape) -> bool:
+    """Resolve cfg.iter_engine for this grid (see config.py): the
+    VMEM-resident while_loop kernel vs the jnp roll sweeps. The jnp
+    backend always keeps xla (CPU parity runs); sharded constructors
+    force xla (a shard-local sweep would be wrong)."""
+    if cfg.iter_engine == "xla":
+        return False
+    from ..kernels import poisson_iter
+    fits = poisson_iter.check_vmem_iter(
+        shape[0], shape[1], jnp.dtype(cfg.dtype).itemsize)
+    if cfg.iter_engine == "pallas":
+        if not fits:
+            raise ValueError(
+                f"iter_engine='pallas': {shape[0]}x{shape[1]} exceeds the "
+                f"solve kernel's whole-grid VMEM budget (use 'auto'/'xla')")
+        return True
+    # "auto" resolves to xla until the kernel is measured on hardware
+    # (project rule: ablate before optimizing — the pallas FFT looked
+    # like a sure win too and measured 1.6x slower). Flip to the kernel
+    # here once scripts/measure_poisson_iter.py lands a positive ledger
+    # entry in docs/STATUS.md.
+    return False
+
+
 def reconstruct_phi(cfg: PlasmaConfig, state: "PlasmaState") -> jnp.ndarray:
     """The electrostatic potential of the CURRENT state's charge density.
 
@@ -171,15 +195,28 @@ def _solve_poisson(
     # run even under periodic BCs, matching the reference's dispatcher; the
     # E-field reconstruction still follows the BC type.
     iter_periodic = periodic_bc and not compat.dirichlet_iterative_under_periodic
-    kw = dict(periodic=iter_periodic, max_iter=cfg.poisson_max_iter, tol=cfg.poisson_tol)
-    if sol == PoissonSolver.GS:
-        phi = poisson_ops.solve_gs(phi, rho_q, **kw)
-    elif sol == PoissonSolver.SOR:
-        phi = poisson_ops.solve_gs(phi, rho_q, omega=cfg.omega_sor, **kw)
-    elif sol == PoissonSolver.NPS:
-        phi = poisson_ops.solve_9point(phi, rho_q, **kw)
-    else:  # pragma: no cover
-        raise ValueError(f"unknown solver {sol}")
+    if _use_pallas_iter(cfg, rho_q.shape):
+        # whole warm-started while_loop VMEM-resident in one launch;
+        # same sweep/stopping function the multistep windows run
+        # (fused_multistep.solve_iter_val) — see kernels/poisson_iter.py
+        from ..kernels import poisson_iter
+        kind = "nps" if sol == PoissonSolver.NPS else "gs"
+        omega = cfg.omega_sor if sol == PoissonSolver.SOR else None
+        spec = (kind, omega, cfg.poisson_max_iter, cfg.poisson_tol,
+                not iter_periodic)
+        phi = poisson_iter.solve_iter_tpu(phi, rho_q, spec=spec,
+                                          interpret=cfg.kernel_interpret)
+    else:
+        kw = dict(periodic=iter_periodic, max_iter=cfg.poisson_max_iter,
+                  tol=cfg.poisson_tol)
+        if sol == PoissonSolver.GS:
+            phi = poisson_ops.solve_gs(phi, rho_q, **kw)
+        elif sol == PoissonSolver.SOR:
+            phi = poisson_ops.solve_gs(phi, rho_q, omega=cfg.omega_sor, **kw)
+        elif sol == PoissonSolver.NPS:
+            phi = poisson_ops.solve_9point(phi, rho_q, **kw)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown solver {sol}")
 
     if periodic_bc:
         Ex2, Ey2 = poisson_ops.efield_periodic(phi)

@@ -90,8 +90,9 @@ def make_fused_sharded_step(
 
     def step(state: PlasmaState) -> PlasmaState:
         f, g, rho_q = local_step(state.f, state.g, state.Ex, state.Ey)
-        # GSPMD-partitionable XLA FFT only (pallas would run shard-local)
-        Ex, Ey, phi = _solve_poisson(_dc.replace(cfg, fft_engine="xla"),
+        # GSPMD-partitionable XLA solves only (a pallas FFT or
+        # VMEM-resident iterative sweep would run shard-local)
+        Ex, Ey, phi = _solve_poisson(_dc.replace(cfg, fft_engine="xla", iter_engine="xla"),
                                      rho_q, state.phi,
                                      state.Ex, state.Ey)
         return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi,
@@ -185,8 +186,9 @@ def make_fused_sharded_step_2d(
 
     def step(state: PlasmaState) -> PlasmaState:
         f, g, rho_q = local_step(state.f, state.g, state.Ex, state.Ey)
-        # GSPMD-partitionable XLA FFT only (pallas would run shard-local)
-        Ex, Ey, phi = _solve_poisson(_dc.replace(cfg, fft_engine="xla"),
+        # GSPMD-partitionable XLA solves only (a pallas FFT or
+        # VMEM-resident iterative sweep would run shard-local)
+        Ex, Ey, phi = _solve_poisson(_dc.replace(cfg, fft_engine="xla", iter_engine="xla"),
                                      rho_q, state.phi,
                                      state.Ex, state.Ey)
         return PlasmaState(f=f, g=g, Ex=Ex, Ey=Ey, phi=phi,

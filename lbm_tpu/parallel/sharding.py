@@ -49,9 +49,9 @@ def make_sharded_step(
 ) -> Callable[[PlasmaState], PlasmaState]:
     """Jitted single step with lattice-sharded inputs/outputs."""
     sh = state_shardings(mesh)
-    # the FFT must be the partitionable XLA path under GSPMD (a pallas
-    # solve would run shard-local, which is wrong)
-    cfg = _dc.replace(cfg, fft_engine="xla")
+    # solves must be the partitionable XLA paths under GSPMD (a pallas
+    # FFT or VMEM-resident iterative sweep would run shard-local)
+    cfg = _dc.replace(cfg, fft_engine="xla", iter_engine="xla")
     step = make_step(cfg)
     return jax.jit(
         step,
