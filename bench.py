@@ -17,7 +17,11 @@ BENCH_STORAGE (headline mode: bf16|native), BENCH_N_EXTRA, BENCH_N_3D,
 BENCH_3D_WIDE (cross-section of the 64-deep wide-3-D extra; 0 disables),
 BENCH_BUDGET_S (wall budget for the extras, default 720 s — an extra only
 starts under budget; skipped ones record "skipped: budget"),
-BENCH_SKIP_EXTRAS=1 (headline only — the crash-retry path sets this).
+BENCH_SKIP_EXTRAS=1 (headline only — the crash-retry path sets this),
+BENCH_CHILD_TIMEOUT_S / BENCH_RETRY_TIMEOUT_S (hard per-attempt deadlines,
+default 2400/900 s — a hung axon tunnel can block a child with NO output;
+the parent kills it, retries headline-only, and on total failure emits an
+honest value=0 line with an "error" field so the record is parseable).
 
 Driver contract: the headline JSON line is printed and flushed the moment
 the primary measurement returns, and the full line is RE-printed after
@@ -255,9 +259,20 @@ def _supervised_main() -> int:
     driver's last-parseable-line rule picks up whatever completed. The
     crash retry re-runs WITHOUT extras so its worst case is one headline
     measurement."""
+    import json
     import subprocess
+    import threading
+
+    # a child that HANGS (axon tunnel degraded: even a trivial jit can
+    # block forever in the remote compile helper) would stall the
+    # streaming loop with no output at all — enforce a hard per-attempt
+    # deadline from a watchdog thread. Attempt 2 is headline-only and
+    # gets a shorter leash.
+    timeouts = (float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "2400")),
+                float(os.environ.get("BENCH_RETRY_TIMEOUT_S", "900")))
 
     last = None
+    rc = None
     for attempt in range(2):
         env = dict(os.environ, BENCH_CHILD="1")
         if attempt > 0:
@@ -266,18 +281,33 @@ def _supervised_main() -> int:
                              env=env, stdout=subprocess.PIPE, text=True,
                              bufsize=1)
         assert p.stdout is not None
+        killer = threading.Timer(timeouts[attempt], p.kill)
+        killer.daemon = True
+        killer.start()
         for ln in p.stdout:
             ln = ln.rstrip("\n")
             if ln.startswith("{"):
                 last = ln
             print(ln, flush=True)  # stream through immediately
         rc = p.wait()
+        killer.cancel()
         if rc == 0 and last:
             return 0
         sys.stderr.write(f"\nbench child attempt {attempt + 1} failed "
                          f"(rc={rc}); retrying headline-only in a fresh "
                          f"process\n")
-    return 0 if last else 1
+    if last:
+        return 0
+    # total failure (device unavailable / both children hung): emit an
+    # honest parseable line so the round's record says WHY there is no
+    # number instead of an empty tail
+    print(json.dumps({
+        "metric": "plasma_mlups_2048x2048_fft_periodic_1chip_bf16",
+        "value": 0.0, "unit": "MLUPS", "vs_baseline": 0.0,
+        "error": f"no measurement: bench children produced no output "
+                 f"(last rc={rc}; TPU tunnel hung or worker dead)",
+    }), flush=True)
+    return 1
 
 
 def main() -> None:
