@@ -94,6 +94,9 @@ def solve_iter_tpu(
             bytes_accessed=3 * NY * NX * jnp.dtype(dt).itemsize,
             transcendentals=0,
         ),
+        # phi0 is dead after the load — write the result into its HBM
+        # buffer (same in-place idiom as the fused step kernels)
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
