@@ -145,10 +145,12 @@ class PlasmaConfig:
     # sweep/stopping semantics — fused_multistep.solve_iter_val, the
     # same function the temporally-blocked windows run). "pallas" needs
     # the grid inside the kernel's whole-grid VMEM budget (~1024^2 f32).
-    # "auto" currently resolves to "xla" pending a hardware measurement
-    # (scripts/measure_poisson_iter.py; project rule: ablate before
-    # optimizing); sharded constructors always force "xla" (a
-    # shard-local sweep would be wrong).
+    # "auto" resolves to the kernel for kernel backends + f32 +
+    # VMEM-feasible grids on a real accelerator (measured v5e-1: GS/SOR
+    # fused steps 1.7-2.2x, phi bitwise — docs/STATUS.md round-4 ledger,
+    # scripts/measure_poisson_iter.py) and to "xla" otherwise; sharded
+    # constructors always force "xla" (a shard-local sweep would be
+    # wrong).
     iter_engine: str = "auto"  # "auto" | "xla" | "pallas"
 
     # Temporal blocking (fused backend, 2-D): run this many steps per

@@ -130,12 +130,18 @@ def _use_pallas_iter(cfg: PlasmaConfig, shape) -> bool:
                 f"iter_engine='pallas': {shape[0]}x{shape[1]} exceeds the "
                 f"solve kernel's whole-grid VMEM budget (use 'auto'/'xla')")
         return True
-    # "auto" resolves to xla until the kernel is measured on hardware
-    # (project rule: ablate before optimizing — the pallas FFT looked
-    # like a sure win too and measured 1.6x slower). Flip to the kernel
-    # here once scripts/measure_poisson_iter.py lands a positive ledger
-    # entry in docs/STATUS.md.
-    return False
+    # "auto": the kernel, where it applies — measured on v5e-1 (2026-08-20,
+    # scripts/measure_poisson_iter.py; docs/STATUS.md round-4 ledger):
+    # solve-only GS 100 sweeps 1.4/1.6/1.7x at 256^2/512^2/1024^2 with
+    # BITWISE-identical phi, full fused-step GS/SOR 2.0-2.2x end-to-end.
+    # Gates: kernel backends only (the jnp backend serves CPU/f64 parity
+    # runs), f32 (Mosaic can't lower x64 traces), VMEM-feasible grid, and
+    # a real accelerator (interpret-on-CPU would be slower than XLA).
+    import jax as _jax
+    return (fits
+            and cfg.backend in ("fused", "pallas")
+            and jnp.dtype(cfg.dtype) == jnp.float32
+            and (_jax.default_backend() != "cpu" or cfg.kernel_interpret))
 
 
 def reconstruct_phi(cfg: PlasmaConfig, state: "PlasmaState") -> jnp.ndarray:

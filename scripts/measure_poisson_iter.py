@@ -26,10 +26,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-GRIDS = [256, 512, 1024]
-ITERS = 100
-STEPS = 12
-BEST_OF = 3
+GRIDS = [int(g) for g in
+         os.environ.get("MPI_GRIDS", "256,512,1024").split(",")]
+ITERS = int(os.environ.get("MPI_ITERS", "100"))
+STEPS = int(os.environ.get("MPI_STEPS", "12"))
+BEST_OF = int(os.environ.get("MPI_BEST_OF", "3"))
+SOLVE_ONLY = bool(int(os.environ.get("MPI_SOLVE_ONLY", "0")))
 
 
 def main() -> int:
@@ -75,14 +77,28 @@ def main() -> int:
         a = k_solve(phi0, rho); sync(a)
         b = j_solve(phi0, rho); sync(b)
         drift = float(jnp.abs(a - b).max() / jnp.abs(b).max())
-        t_k = best(lambda: sync(k_solve(phi0, rho)))
-        t_j = best(lambda: sync(j_solve(phi0, rho)))
+        # the ~30 ms tunnel sync would swamp a single solve — chain REPS
+        # warm-started solves in one dispatch so the sync amortizes out
+        REPS = int(os.environ.get("MPI_REPS", "50"))
+
+        def chain(solve):
+            def body(p, _):
+                return solve(p, rho), None
+            return jax.jit(lambda p: jax.lax.scan(body, p, None,
+                                                  length=REPS)[0])
+        kc, jc = chain(k_solve), chain(j_solve)
+        sync(kc(phi0)); sync(jc(phi0))  # compile+warm
+        t_k = best(lambda: sync(kc(phi0))) / REPS
+        t_j = best(lambda: sync(jc(phi0))) / REPS
         print(json.dumps({
             "leg": "solve_only_gs", "grid": N, "iters": ITERS,
+            "reps": REPS,
             "kernel_ms": round(t_k * 1e3, 3), "xla_ms": round(t_j * 1e3, 3),
             "speedup": round(t_j / t_k, 2), "rel_drift": drift,
         }), flush=True)
 
+        if SOLVE_ONLY:
+            continue
         for sol in (PoissonSolver.GS, PoissonSolver.SOR):
             row = {"leg": f"step_{sol.name.lower()}", "grid": N,
                    "steps": STEPS}

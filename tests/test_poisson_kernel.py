@@ -90,9 +90,21 @@ def test_step_iter_engine_bitwise_vs_jnp_backend(sol, bc):
                                 iter_engine="pallas", **base)
     assert plasma._use_pallas_iter(cfg_k, (16, 24))
     assert not plasma._use_pallas_iter(cfg_j, (16, 24))
-    # "auto" stays on the jnp path until the hardware ledger lands
+    # "auto" resolution (v5e ledger 2026-08-20, docs/STATUS.md round 4):
+    # kernel backends + f32 + VMEM-fit + real accelerator (or interpret).
+    # These f64 parity cfgs stay on the xla path under auto (Mosaic
+    # can't lower x64 traces); f32 picks the kernel.
     assert not plasma._use_pallas_iter(
         dataclasses.replace(cfg_k, iter_engine="auto"), (16, 24))
+    cfg_f32 = dataclasses.replace(cfg_k, iter_engine="auto",
+                                  dtype=jnp.float32)
+    assert plasma._use_pallas_iter(cfg_f32, (16, 24))
+    # the jnp backend keeps xla even in f32 auto
+    assert not plasma._use_pallas_iter(
+        dataclasses.replace(cfg_j, iter_engine="auto", dtype=jnp.float32),
+        (16, 24))
+    # past the VMEM budget auto falls back instead of raising
+    assert not plasma._use_pallas_iter(cfg_f32, (4096, 4096))
     sj, sk = plasma.init_state(cfg_j), plasma.init_state(cfg_k)
     stj = jax.jit(plasma.make_step(cfg_j))
     stk = jax.jit(plasma.make_step(cfg_k))
