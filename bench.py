@@ -245,6 +245,27 @@ def measure_cavity(n: int, steps: int, storage: str = "native",
     return n * n * eff / dt / 1e6
 
 
+def _prior_extra_keys() -> set:
+    """Extras keys captured numerically in ANY prior round's driver record
+    (BENCH_r*.json at the repo root). Used to rotate the extras order:
+    never-captured keys run first, so every perf family eventually lands
+    in a driver capture instead of the same four rows winning each round
+    (round-4 verdict item 2)."""
+    import glob
+    seen = set()
+    root = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            with open(p) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+            for k, v in (parsed.get("extra") or {}).items():
+                if isinstance(v, (int, float)):
+                    seen.add(k)
+        except Exception:  # noqa: BLE001 - a bad record must not kill bench
+            continue
+    return seen
+
+
 def _supervised_main() -> int:
     """Run the measurement in a child process and retry once on a crash.
 
@@ -346,10 +367,15 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_EXTRAS"):
         return
 
-    # extras: best-effort AND budget-bound, in priority order (the
-    # BASELINE 4096^2 grid first). Each failure reports an error string
-    # instead of killing the JSON line; each completion re-prints the full
-    # updated line so a kill at ANY point leaves the maximum on stdout.
+    # extras: best-effort AND budget-bound. Each failure reports an error
+    # string instead of killing the JSON line; each completion re-prints
+    # the full updated line so a kill at ANY point leaves the maximum on
+    # stdout. ORDER (round-5): jobs whose key was never captured in a
+    # prior BENCH_r*.json run FIRST, round-robin across perf families
+    # (cavity / plasma-multistep / 3-D / plasma), so every family gets a
+    # driver-captured number at least once instead of the same four
+    # plasma rows starving the tail each round; already-captured keys
+    # re-run last as budget allows.
     extra = {}
     out["extra"] = extra
 
@@ -363,44 +389,61 @@ def main() -> None:
             extra[key] = f"error: {type(e).__name__}: {e}"[:200]
         print(json.dumps(out), flush=True)
 
+    jobs = []  # (key, family, fn, post)
+
+    def add(key, family, fn, post=None):
+        jobs.append((key, family, fn, post))
+
     other = "native" if storage == "bf16" else "bf16"
     if n_extra and n_extra != n:
         # the BASELINE target grid, both storage modes; short windows (the
         # golden parameters blow up fast at 4096^2 — and bf16 storage
         # shortens the window to ~10-12 steps, CLAUDE.md)
-        for st, st_steps in (("bf16", 10), ("native", max(steps // 2, 10))):
-            attempt(f"plasma_mlups_{n_extra}x{n_extra}_{st}",
-                    lambda st=st, k=st_steps: measure(n_extra, k,
-                                                      backend, st))
-        v = extra.get(f"plasma_mlups_{n_extra}x{n_extra}_bf16")
-        if isinstance(v, float):
-            extra[f"vs_baseline_{n_extra}_bf16"] = round(v / BASELINE_MLUPS, 1)
+        def post_ratio():
+            v = extra.get(f"plasma_mlups_{n_extra}x{n_extra}_bf16")
+            if isinstance(v, float):
+                extra[f"vs_baseline_{n_extra}_bf16"] = round(
+                    v / BASELINE_MLUPS, 1)
+        add(f"plasma_mlups_{n_extra}x{n_extra}_bf16", "plasma",
+            lambda: measure(n_extra, 10, backend, "bf16"), post_ratio)
+        add(f"plasma_mlups_{n_extra}x{n_extra}_native", "plasma",
+            lambda: measure(n_extra, max(steps // 2, 10), backend, "native"))
         # the BASELINE grid with the NONE solver (a first-class reference
         # workload: poisson=0 rows throughout its scalability CSV). No
         # per-step rfft2 -> pure LBM roofline; measured 2,190 MLUPS bf16
         # on v5e (2026-08-20) = the >=2,000 BASELINE bar on ONE chip.
-        attempt(f"plasma_mlups_{n_extra}x{n_extra}_none_periodic_bf16",
-                lambda: measure(n_extra, 10, backend, "bf16", "NONE"))
-    attempt(f"plasma_mlups_{n}x{n}_{other}",
-            lambda: measure(n, steps, backend, other))
+        add(f"plasma_mlups_{n_extra}x{n_extra}_none_periodic_bf16", "plasma",
+            lambda: measure(n_extra, 10, backend, "bf16", "NONE"))
+    add(f"plasma_mlups_{n}x{n}_{other}", "plasma",
+        lambda: measure(n, steps, backend, other))
+    on_cpu = jax.default_backend() == "cpu"
+    ngit = int(os.environ.get("BENCH_PLASMA_GS_ITER", "256"))
+    if ngit and not on_cpu:
+        # the GS solver through the VMEM-resident per-step iterative
+        # kernel (iter_engine="auto" -> kernels/poisson_iter.py on
+        # hardware; measured 1.7-2.2x full GS/SOR steps, phi bitwise —
+        # STATUS round-4 ledger; reference solver-ranking rows:
+        # build/simulation_time_plasma_details.csv 100x100 poisson=1)
+        add(f"plasma_mlups_{ngit}x{ngit}_gs_iter", "plasma",
+            lambda: measure(ngit, 40, backend, "native", "GS"))
     ngms = int(os.environ.get("BENCH_PLASMA_GOLDEN_MULTISTEP", "200"))
-    if ngms and jax.default_backend() != "cpu":
+    if ngms and not on_cpu:
         # the GOLDEN configuration (200^2, FFT + periodic) temporally
         # blocked with the spectral solve in-kernel (MXU DFT matmuls);
         # the reference's best run of this exact config is 0.99 MLUPS
-        attempt(f"plasma_mlups_{ngms}x{ngms}_fft_multistep",
-                lambda: measure_plasma_multistep(ngms, 10240, "native",
-                                                 solver="FFT"))
-        attempt(f"plasma_mlups_{ngms}x{ngms}_fft_multistep_bf16",
-                lambda: measure_plasma_multistep(ngms, 10240, "bf16",
-                                                 solver="FFT"))
+        add(f"plasma_mlups_{ngms}x{ngms}_fft_multistep", "plasma_ms",
+            lambda: measure_plasma_multistep(ngms, 10240, "native",
+                                             solver="FFT"))
+        add(f"plasma_mlups_{ngms}x{ngms}_fft_multistep_bf16", "plasma_ms",
+            lambda: measure_plasma_multistep(ngms, 10240, "bf16",
+                                             solver="FFT"))
     npms = int(os.environ.get("BENCH_PLASMA_MULTISTEP", "256"))
-    if npms and jax.default_backend() != "cpu":
+    if npms and not on_cpu:
         # plasma temporal blocking (NONE solver — the reference's own
         # most-benchmarked configuration; measured 2.4-3.3 GLUPS bf16 at
         # 200^2-256^2, STATUS)
-        attempt(f"plasma_mlups_{npms}x{npms}_none_multistep_bf16",
-                lambda: measure_plasma_multistep(npms, 10240, "bf16"))
+        add(f"plasma_mlups_{npms}x{npms}_none_multistep_bf16", "plasma_ms",
+            lambda: measure_plasma_multistep(npms, 10240, "bf16"))
     ncav = int(os.environ.get("BENCH_CAVITY", "1000"))
     if ncav:
         # the reference's second benchmarked workload; its own 1000^2 row
@@ -408,42 +451,63 @@ def main() -> None:
         # number the plasma ratios don't cover
         # f32 in lean-macro mode: populations-only traffic (72 B/site),
         # Ghia errors identical to the stored-macro path (STATUS)
-        attempt(f"cavity_mlups_{ncav}x{ncav}",
-                lambda: measure_cavity(ncav, 2000, lean=True))
+        add(f"cavity_mlups_{ncav}x{ncav}", "cavity",
+            lambda: measure_cavity(ncav, 2000, lean=True))
         # bf16 delta storage (60 B/site; Ghia-identical accuracy) — the
         # cavity's own fast mode, fused backend only
-        attempt(f"cavity_mlups_{ncav}x{ncav}_bf16",
-                lambda: measure_cavity(ncav, 2000, "bf16"))
+        add(f"cavity_mlups_{ncav}x{ncav}_bf16", "cavity",
+            lambda: measure_cavity(ncav, 2000, "bf16"))
     nbms = int(os.environ.get("BENCH_CAVITY_MULTISTEP_BANDED", "2048"))
-    if nbms and jax.default_backend() != "cpu":
+    if nbms and not on_cpu:
         # BANDED temporal blocking: grids past the whole-grid VMEM budget
         # run K-deep-ghost row bands through the gated kernel
         # (make_rollout auto-picks it) — measured 14.5 GLUPS f32 (K=32) /
         # 17.9 GLUPS bf16 (K=16) at 2048^2 vs the per-step banded
         # kernels' 9.2 / 11.1 (STATUS round-3; bf16 halves the window
         # traffic so its optimum K is lower)
-        attempt(f"cavity_mlups_{nbms}x{nbms}_multistep_banded",
-                lambda: measure_cavity(nbms, 2048, multistep=32))
-        attempt(f"cavity_mlups_{nbms}x{nbms}_multistep_banded_bf16",
-                lambda: measure_cavity(nbms, 2048, "bf16", multistep=16))
+        add(f"cavity_mlups_{nbms}x{nbms}_multistep_banded", "cavity",
+            lambda: measure_cavity(nbms, 2048, multistep=32))
+        add(f"cavity_mlups_{nbms}x{nbms}_multistep_banded_bf16", "cavity",
+            lambda: measure_cavity(nbms, 2048, "bf16", multistep=16))
     nms = int(os.environ.get("BENCH_CAVITY_MULTISTEP", "512"))
-    if nms and jax.default_backend() != "cpu":
+    if nms and not on_cpu:
         # temporal blocking: K steps per kernel launch, whole grid
         # VMEM-resident (the small-grid regime the banded kernels ran
         # launch-bound; measured 20-35 GLUPS at 128^2-512^2, STATUS)
-        attempt(f"cavity_mlups_{nms}x{nms}_multistep",
-                lambda: measure_cavity(nms, 20000, multistep=256))
+        add(f"cavity_mlups_{nms}x{nms}_multistep", "cavity",
+            lambda: measure_cavity(nms, 20000, multistep=256))
     n3d = int(os.environ.get("BENCH_N_3D", "128"))
     if n3d:
         # the 3-D D3Q19 fused kernel (bf16 storage: its fast mode)
-        attempt(f"plasma3d_mlups_{n3d}^3_bf16",
-                lambda: measure3d(n3d, max(steps // 2, 10), "bf16"))
+        add(f"plasma3d_mlups_{n3d}^3_bf16", "3d",
+            lambda: measure3d(n3d, max(steps // 2, 10), "bf16"))
     nw = int(os.environ.get("BENCH_3D_WIDE", "512"))
     if nw:
         # wide cross-section (y-paneled kernel); short window — the golden
         # instability grows with the seeded-box size
-        attempt(f"plasma3d_mlups_{nw}x{nw}x64_bf16",
-                lambda: measure3d(nw, 8, "bf16", nz=64))
+        add(f"plasma3d_mlups_{nw}x{nw}x64_bf16", "3d",
+            lambda: measure3d(nw, 8, "bf16", nz=64))
+
+    # rotation: never-captured keys first, interleaved round-robin across
+    # families (so a budget death after 3-4 extras still covers cavity,
+    # multistep AND 3-D); previously-captured keys last, original order
+    seen = _prior_extra_keys()
+    fresh = [j for j in jobs if j[0] not in seen]
+    stale = [j for j in jobs if j[0] in seen]
+    by_family = {}
+    for j in fresh:
+        by_family.setdefault(j[1], []).append(j)
+    ordered = []
+    fam_cycle = ["cavity", "plasma_ms", "3d", "plasma"]
+    while any(by_family.get(f) for f in fam_cycle):
+        for f in fam_cycle:
+            if by_family.get(f):
+                ordered.append(by_family[f].pop(0))
+    ordered += stale
+    for key, _family, fn, post in ordered:
+        attempt(key, fn)
+        if post is not None:
+            post()
     print(json.dumps(out), flush=True)
 
 

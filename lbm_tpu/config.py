@@ -199,8 +199,13 @@ class PlasmaConfig:
             # NONE (either BC) and FFT+bounce-back leave E constant;
             # FFT+periodic runs the spectral solve in-kernel (MXU DFT
             # matmuls); GS/SOR/NPS sweep in-kernel under a while_loop
-            if self.NZ:
-                raise ValueError("multistep is 2-D only")
+            if self.NZ and self.poisson != PoissonSolver.NONE:
+                # 3-D temporal blocking exists only as the multi-chip
+                # K-slab ghost protocol (parallel/fused_sharded.
+                # make_fused_sharded_multistep_rollout_3d), which needs a
+                # window-constant E — the NONE solver
+                raise ValueError("3-D multistep supports the NONE solver "
+                                 "only (window-constant E)")
             if self.compat.debug_variant:
                 raise ValueError("multistep is incompatible with "
                                  "debug_variant (jnp-only mode)")

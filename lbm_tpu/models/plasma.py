@@ -129,6 +129,14 @@ def _use_pallas_iter(cfg: PlasmaConfig, shape) -> bool:
             raise ValueError(
                 f"iter_engine='pallas': {shape[0]}x{shape[1]} exceeds the "
                 f"solve kernel's whole-grid VMEM budget (use 'auto'/'xla')")
+        if (jnp.dtype(cfg.dtype) != jnp.float32
+                and not cfg.kernel_interpret):
+            # the compiled kernel computes in f32 (Mosaic can't lower x64
+            # traces); fail clearly here rather than deep in lowering —
+            # same guard as _use_pallas_fft (interpret mode runs f64 and
+            # serves the bitwise CPU tests)
+            raise ValueError("iter_engine='pallas' is f32-only on hardware "
+                             "(the xla engine serves f64 parity runs)")
         return True
     # "auto": the kernel, where it applies — measured on v5e-1 (2026-08-20,
     # scripts/measure_poisson_iter.py; docs/STATUS.md round-4 ledger):
@@ -137,11 +145,14 @@ def _use_pallas_iter(cfg: PlasmaConfig, shape) -> bool:
     # Gates: kernel backends only (the jnp backend serves CPU/f64 parity
     # runs), f32 (Mosaic can't lower x64 traces), VMEM-feasible grid, and
     # a real accelerator (interpret-on-CPU would be slower than XLA).
-    import jax as _jax
+    # The cfg.kernel_interpret escape exists for the CPU bitwise tests:
+    # an interpret-mode fused run on CPU deliberately routes the solve
+    # through the interpret while_loop kernel (slow at large max_iter —
+    # force iter_engine='xla' if that bites a CPU run).
     return (fits
             and cfg.backend in ("fused", "pallas")
             and jnp.dtype(cfg.dtype) == jnp.float32
-            and (_jax.default_backend() != "cpu" or cfg.kernel_interpret))
+            and (jax.default_backend() != "cpu" or cfg.kernel_interpret))
 
 
 def reconstruct_phi(cfg: PlasmaConfig, state: "PlasmaState") -> jnp.ndarray:

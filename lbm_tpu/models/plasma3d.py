@@ -204,6 +204,13 @@ def make_step(cfg: PlasmaConfig) -> Callable[[Plasma3DState], Plasma3DState]:
     u = cfg.units()
     if cfg.poisson not in (PoissonSolver.FFT, PoissonSolver.NONE):
         raise ValueError("3-D model supports FFT/NONE Poisson")
+    if getattr(cfg, "multistep", 0):
+        # 3-D temporal blocking is the multi-chip K-slab protocol only
+        # (one ghost exchange per K steps); single-device 3-D has nothing
+        # to amortize — the per-step kernel is already one HBM pass
+        raise ValueError(
+            "3-D multistep is multi-chip only: use parallel/fused_sharded."
+            "make_fused_sharded_multistep_rollout_3d")
 
     storage_bf16 = cfg.storage == "bf16"
     neutral_ref = u.rho_n_init if cfg.neutral_delta else 0.0

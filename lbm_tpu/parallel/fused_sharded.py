@@ -1111,6 +1111,146 @@ def make_fused_sharded_multistep_rollout_2d(
                    out_shardings=shardings)
 
 
+def make_fused_sharded_multistep_rollout_3d(
+    cfg: PlasmaConfig,
+    mesh: Mesh,
+    n: int,
+    interpret: bool | None = None,
+):
+    """n-step multi-chip temporally-blocked 3-D (D3Q19) plasma rollout:
+    K-deep ghost z-SLABS exchanged once per window instead of 1-slice
+    halos every step — the 3-D member of the multistep matrix (the 2-D
+    analogs above; SURVEY.md section 7.2 phase 8 completeness).
+
+    The (3, 19, NZ, NY, NX) lattice is z-sharded over a 1-D ("dz") mesh.
+    Each k-step window every device ppermutes its edge K z-slabs of f, g
+    (and the E components — step 1 collides with the state's field) to
+    its z-neighbors, concatenates them around its shard, and runs the
+    per-step fused 3-D kernel (kernels/fused_step3d.collide_stream3d) k
+    times locally on the extended (slices + 2K) volume. The kernel's
+    periodic z-wrap is wrong on the extended volume, but the corruption
+    it injects at the two extreme slices travels inward exactly one
+    slice per step (the D3Q19 stencil is 1-deep in z), so after k <= K
+    steps the interior slice [K:-K] — the shard — is EXACT. One ghost
+    exchange per K steps; z is the kernel's pipeline axis, so the 2K
+    extra slices cost no VMEM (check_vmem3d gates cross-section only).
+
+    Unlike the 2-D row protocol there is NO K % 8 constraint: z-slabs
+    slice the third-minor axis (sublane alignment lives in (NY, NX)),
+    so any K >= 1 with K <= slices-per-shard works.
+
+    Requires a window-constant E: the NONE solver (either compat — under
+    the reference quirk, src/poisson.cpp:34-43, step 1 collides with the
+    state's E and later steps with 0, and the rollout zeroes E after
+    every window). FFT is a global solve and runs per-step
+    (make_fused_sharded_step3d); see docs/STATUS.md for why blocked
+    global solves cannot shard.
+    """
+    from ..kernels.fused_step3d import check_vmem3d, collide_stream3d
+    from ..models.plasma3d import Plasma3DState
+
+    if AXIS_Z not in mesh.axis_names:
+        raise ValueError(f"mesh must have a '{AXIS_Z}' axis")
+    n_dev = mesh.shape[AXIS_Z]
+    extra = [a for a in mesh.axis_names if a != AXIS_Z and mesh.shape[a] != 1]
+    if extra:
+        raise ValueError("3-D sharded multistep is 1-D (dz) only; got "
+                         f"nontrivial axes {extra}")
+    K = int(getattr(cfg, "multistep", 0))
+    if K <= 0:
+        raise ValueError(f"cfg.multistep must be >= 1, got {K}")
+    if cfg.poisson != PoissonSolver.NONE:
+        raise ValueError("3-D sharded multistep needs a window-constant E: "
+                         "the NONE solver only (FFT is a global per-step "
+                         "solve — use make_fused_sharded_step3d)")
+    if cfg.NZ % n_dev:
+        raise ValueError(f"NZ={cfg.NZ} must be divisible by {n_dev}")
+    slices = cfg.NZ // n_dev
+    if K > slices:
+        raise ValueError(f"multistep K={K} exceeds z-slices/shard={slices}; "
+                         f"the one-hop ghost exchange needs K <= slices")
+    itemsize = 2 if cfg.storage == "bf16" else jnp.dtype(cfg.dtype).itemsize
+    check_vmem3d(cfg.NY, cfg.NX, itemsize)
+    if interpret is None:
+        interpret = mesh.devices.flat[0].platform == "cpu"
+
+    u = cfg.units()
+    kill = cfg.compat.none_solver_kills_external_field
+    phys = dict(taus=cfg.taus, q_e=u.q_e, q_i=u.q_i, m_e=u.m_e, m_i=u.m_i,
+                cs2=u.cs2, kb=u.kb,
+                neutral_ref=u.rho_n_init if cfg.neutral_delta else 0.0,
+                interpret=interpret)
+
+    pop_spec = P(None, None, AXIS_Z, None, None)
+    fld_spec = P(AXIS_Z, None, None)
+    fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]  # recv from d-1
+    bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]  # recv from d+1
+
+    def make_window(k):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(pop_spec, pop_spec, fld_spec, fld_spec, fld_spec),
+                 out_specs=(pop_spec, pop_spec),
+                 check_vma=False)
+        def local_window(f, g, Ex, Ey, Ez):
+            def ext(a):
+                up = jax.lax.ppermute(a[..., -K:, :, :], AXIS_Z, fwd)
+                dn = jax.lax.ppermute(a[..., :K, :, :], AXIS_Z, bwd)
+                return jnp.concatenate([up, a, dn], axis=-3)
+
+            fe, ge = ext(f), ext(g)
+            Exe, Eye, Eze = ext(Ex), ext(Ey), ext(Ez)
+            # step 1 collides with the state's E; steps 2..k with 0 under
+            # the kill quirk (E constant over the window either way)
+            fe, ge, _ = collide_stream3d(fe, ge, Exe, Eye, Eze, **phys)
+            if k > 1:
+                if kill:
+                    Exe = jnp.zeros_like(Exe)
+                    Eye = jnp.zeros_like(Eye)
+                    Eze = jnp.zeros_like(Eze)
+
+                def body(carry, _):
+                    fc, gc = carry
+                    fc, gc, _ = collide_stream3d(fc, gc, Exe, Eye, Eze,
+                                                 **phys)
+                    return (fc, gc), None
+                (fe, ge), _ = jax.lax.scan(body, (fe, ge), None,
+                                           length=k - 1)
+            return fe[..., K:-K, :, :], ge[..., K:-K, :, :]
+
+        return local_window
+
+    win_full = make_window(K)
+    rem = n % K if n > 0 else 0
+    win_rem = make_window(rem) if rem else None
+    full = n // K
+
+    def window(state, local, k):
+        f, g = local(state.f, state.g, state.Ex, state.Ey, state.Ez)
+        z = jnp.zeros_like(state.Ex)
+        Ex, Ey, Ez = ((z, z, z) if kill
+                      else (state.Ex, state.Ey, state.Ez))
+        return Plasma3DState(f=f, g=g, Ex=Ex, Ey=Ey, Ez=Ez, phi=state.phi,
+                             step=state.step + k)
+
+    def rollout(state):
+        if full:
+            def body(s, _):
+                return window(s, win_full, K), None
+            state, _ = jax.lax.scan(body, state, None, length=full)
+        if rem:
+            state = window(state, win_rem, rem)
+        return state
+
+    shardings = Plasma3DState(
+        f=NamedSharding(mesh, pop_spec), g=NamedSharding(mesh, pop_spec),
+        Ex=NamedSharding(mesh, fld_spec), Ey=NamedSharding(mesh, fld_spec),
+        Ez=NamedSharding(mesh, fld_spec), phi=NamedSharding(mesh, fld_spec),
+        step=NamedSharding(mesh, P()),
+    )
+    return jax.jit(rollout, in_shardings=(shardings,),
+                   out_shardings=shardings)
+
+
 def make_fused_sharded_cavity_multistep_rollout(
     cfg,
     mesh: Mesh,

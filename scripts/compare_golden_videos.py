@@ -52,9 +52,21 @@ REF_BORDER, REF_LABEL = 10, 30            # src/visualize.cpp:51-52
 # >= 95% of pixels still agree within 2 JET bands. The primary gate is
 # therefore the close-pixel fraction; PSNR gates catch gross breakage
 # (wrong range, wrong flip, wrong trajectory all land < 12 dB).
-GATE_MEAN_PSNR = 22.0   # dB, per tile over 200 frames
-GATE_MIN_PSNR = 15.0    # dB, worst single frame
-GATE_CLOSE_FRAC = 0.95  # mean fraction of pixels within CLOSE_TOL
+#
+# The "f32 = chaos" attribution is PROVEN by the f64 leg (round 5,
+# artifacts/golden_200/video_compare_f64.json): rendered from the f64
+# engine, the sign-sensitive velocity tiles jump 16-20 dB -> 37-38 dB
+# min PSNR / 0.999 close-frac, so the f32 floor is trajectory chaos, not
+# a renderer defect. The |u_e| / |u_i| / T_i floors are IDENTICAL between
+# the f32 and f64 renders (23.8 / 27.2 / ~19 dB): deterministic JET-band
+# boundary flips at the tiny fixed ranges vs OpenCV's JET, bounded by the
+# close-frac gate. The f64 leg therefore carries tighter gates.
+GATES = {
+    # mean_psnr (dB/tile), min_psnr (dB, worst frame), close_frac
+    "f32": (22.0, 15.0, 0.95),
+    "f64": (25.0, 18.0, 0.955),
+}
+GATE_MEAN_PSNR, GATE_MIN_PSNR, GATE_CLOSE_FRAC = GATES["f32"]
 CLOSE_TOL = 32.0        # ~2 JET colormap steps (256-entry LUT, 8 bands)
 
 
@@ -119,21 +131,22 @@ def compare(ours_dir: str, ref_dir: str) -> dict:
     return results
 
 
-def gates(results: dict) -> list:
+def gates(results: dict, profile: str = "f32") -> list:
+    mean_gate, min_gate, close_gate = GATES[profile]
     fails = []
     for kind, r in results.items():
         if r["frames"] != 200:
             fails.append(f"{kind}: {r['frames']} aligned frames != 200")
         for lb, m in r["tiles"].items():
-            if m["psnr_mean"] < GATE_MEAN_PSNR:
+            if m["psnr_mean"] < mean_gate:
                 fails.append(f"{kind}/{lb}: mean PSNR {m['psnr_mean']} "
-                             f"< {GATE_MEAN_PSNR}")
-            if m["psnr_min"] < GATE_MIN_PSNR:
+                             f"< {mean_gate}")
+            if m["psnr_min"] < min_gate:
                 fails.append(f"{kind}/{lb}: min PSNR {m['psnr_min']} "
-                             f"< {GATE_MIN_PSNR}")
-            if m["close_frac_mean"] < GATE_CLOSE_FRAC:
+                             f"< {min_gate}")
+            if m["close_frac_mean"] < close_gate:
                 fails.append(f"{kind}/{lb}: close-pixel fraction "
-                             f"{m['close_frac_mean']} < {GATE_CLOSE_FRAC}")
+                             f"{m['close_frac_mean']} < {close_gate}")
     return fails
 
 
@@ -146,11 +159,15 @@ def main() -> int:
                     default="/root/reference/build/video_200x200_200TS")
     ap.add_argument("--json", default=None,
                     help="write the metric tree to this path")
+    ap.add_argument("--gates", choices=sorted(GATES), default="f32",
+                    help="gate profile: f32 (committed artifacts) or the "
+                         "tighter f64 leg (chaos-free trajectories)")
     args = ap.parse_args()
 
     results = compare(args.ours, args.ref)
-    fails = gates(results)
-    out = {"results": results, "gates_failed": fails}
+    fails = gates(results, args.gates)
+    out = {"results": results, "gates_failed": fails,
+           "gate_profile": args.gates}
     print(json.dumps(out, indent=2))
     if args.json:
         with open(args.json, "w") as fh:

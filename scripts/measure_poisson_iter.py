@@ -99,7 +99,9 @@ def main() -> int:
 
         if SOLVE_ONLY:
             continue
-        for sol in (PoissonSolver.GS, PoissonSolver.SOR):
+        solvers = [PoissonSolver[s] for s in os.environ.get(
+            "MPI_SOLVERS", "GS,SOR,NPS").split(",")]
+        for sol in solvers:
             row = {"leg": f"step_{sol.name.lower()}", "grid": N,
                    "steps": STEPS}
             for eng in ("xla", "pallas"):

@@ -188,6 +188,61 @@ def test_sharded_fused_3d_yz_degenerate_axes():
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("n_dev,kill", [(4, True), (2, False)])
+def test_sharded_fused_3d_multistep_matches_jnp(n_dev, kill):
+    """3-D multi-chip temporal blocking: K-deep ghost z-slabs exchanged
+    once per window, the per-step fused 3-D kernel k times on the
+    extended volume, interior slice exact (z-wrap corruption travels one
+    slice/step and never crosses the K-slab ghost zone). f64 vs the
+    single-device jnp rollout, remainder window included (3 = 2 + 1)."""
+    from lbm_tpu.config import CompatFlags
+    from lbm_tpu.models import plasma3d
+
+    compat = (CompatFlags() if kill
+              else CompatFlags(none_solver_kills_external_field=False))
+    cfg = dataclasses.replace(
+        PlasmaConfig(), NX=16, NY=16, NZ=2 * n_dev, dtype=jnp.float64,
+        poisson=PoissonSolver.NONE, backend="fused", multistep=2,
+        kernel_interpret=True, compat=compat)
+    devs = np.asarray(jax.devices()[:n_dev]).reshape(n_dev)
+    mesh = Mesh(devs, (fused_sharded.AXIS_Z,))
+    roll = fused_sharded.make_fused_sharded_multistep_rollout_3d(
+        cfg, mesh, 3)
+    s = roll(plasma3d.init_state(cfg))
+    assert int(s.step) == 3
+    ref_cfg = dataclasses.replace(cfg, backend="jnp", multistep=0)
+    ref = jax.jit(plasma3d.make_rollout(ref_cfg, 3))(
+        plasma3d.init_state(ref_cfg))
+    for name in ("f", "g", "Ex", "Ez"):
+        a = np.asarray(getattr(ref, name), np.float64)
+        b = np.asarray(getattr(s, name), np.float64)
+        scale = max(np.abs(a).max(), 1e-300)
+        assert np.abs(a - b).max() / scale < 1e-13, name
+
+
+def test_sharded_fused_3d_multistep_validates():
+    devs4 = np.asarray(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs4, (fused_sharded.AXIS_Z,))
+    base = dict(NX=16, NY=16, NZ=8, backend="fused", kernel_interpret=True,
+                poisson=PoissonSolver.NONE)
+    with pytest.raises(ValueError, match="multistep"):
+        fused_sharded.make_fused_sharded_multistep_rollout_3d(
+            dataclasses.replace(PlasmaConfig(), **base, multistep=0),
+            mesh, 4)
+    with pytest.raises(ValueError, match="NONE"):
+        # 3-D multistep with a global solver is refused at config level
+        # already (config.py); the constructor must refuse too
+        fused_sharded.make_fused_sharded_multistep_rollout_3d(
+            dataclasses.replace(PlasmaConfig(),
+                                **{**base, "poisson": PoissonSolver.FFT},
+                                multistep=2), mesh, 4)
+    with pytest.raises(ValueError, match="one-hop"):
+        # K deeper than a shard's z extent
+        fused_sharded.make_fused_sharded_multistep_rollout_3d(
+            dataclasses.replace(PlasmaConfig(), **base, multistep=4),
+            mesh, 4)
+
+
 def test_sharded_fused_3d_yz_validates():
     from lbm_tpu.parallel.fused_sharded import AXIS_Z as _AZ
     from lbm_tpu.parallel.mesh import AXIS_Y as _AY
