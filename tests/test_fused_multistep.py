@@ -233,8 +233,17 @@ def test_multistep_config_validation():
     _cfg(backend="fused", multistep=4, poisson=PoissonSolver.GS)
     _cfg(backend="fused", multistep=4, poisson=PoissonSolver.SOR,
          bc=BC.BOUNCE_BACK)
-    with pytest.raises(ValueError, match="2-D"):
-        _cfg(backend="fused", multistep=4, NZ=8)
+    # 3-D multistep is valid config ONLY for the NONE solver (the
+    # multi-chip K-slab protocol needs a window-constant E)...
+    cfg3 = _cfg(backend="fused", multistep=4, NZ=8)
+    with pytest.raises(ValueError, match="NONE"):
+        _cfg(backend="fused", multistep=4, NZ=8,
+             poisson=PoissonSolver.FFT)
+    # ...and the single-device 3-D model refuses it (sharded-only mode:
+    # nothing to amortize on one chip)
+    from lbm_tpu.models import plasma3d
+    with pytest.raises(ValueError, match="multi-chip"):
+        plasma3d.make_step(cfg3)
 
 
 def test_multistep_unaligned_ny():
