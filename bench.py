@@ -245,7 +245,7 @@ def measure_cavity(n: int, steps: int, storage: str = "native",
     return n * n * eff / dt / 1e6
 
 
-def _prior_extra_keys() -> set:
+def _prior_extra_keys(root: str | None = None) -> set:
     """Extras keys captured numerically in ANY prior round's driver record
     (BENCH_r*.json at the repo root). Used to rotate the extras order:
     never-captured keys run first, so every perf family eventually lands
@@ -253,7 +253,8 @@ def _prior_extra_keys() -> set:
     (round-4 verdict item 2)."""
     import glob
     seen = set()
-    root = os.path.dirname(os.path.abspath(__file__))
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
     for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
         try:
             with open(p) as fh:
