@@ -288,7 +288,7 @@ def main():
         else:
             mac = plasma.compute_macros(cfg, state)
             state = step(state) if k == stride else step_rem(state)
-        timer.tick()
+        timer.tick(k)  # k lattice updates this window (k=1 per-step)
         if wd is not None:
             state = wd.check(t, state)
         rec.record(mac, state.Ex, state.Ey)

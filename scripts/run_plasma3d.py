@@ -37,6 +37,13 @@ def main():
                    action=argparse.BooleanOptionalAction, default=None,
                    help="store neutral populations as deltas from the "
                         "uniform background (default: on for f32)")
+    p.add_argument("--multistep", type=int, default=0, metavar="K",
+                   help="multi-chip temporal blocking (requires --shard N "
+                        "and --poisson NONE): K-deep ghost z-slab windows "
+                        "over a 1-D dz mesh, one neighbor exchange per K "
+                        "steps (parallel.fused_sharded.make_fused_sharded_"
+                        "multistep_rollout_3d); slices/checkpoints sample "
+                        "at window boundaries")
     p.add_argument("--shard", type=int, default=0, metavar="N",
                    help="shard the lattice over the first N devices via "
                         "parallel.fused_sharded.make_fused_sharded_step3d_"
@@ -75,13 +82,31 @@ def main():
         args.backend = "jnp"
     if args.storage == "bf16" and args.f64:
         raise SystemExit("--storage bf16 is an f32 fast mode (drop --f64)")
-    cfg = dataclasses.replace(
-        PlasmaConfig(), NX=args.n, NY=args.n, NZ=args.nz, nsteps=args.steps,
-        poisson=PoissonSolver[args.poisson], backend=args.backend,
-        dtype=jnp.float64 if args.f64 else jnp.float32,
-        storage=args.storage,
-        neutral_delta=(args.neutral_delta if args.neutral_delta is not None
-                       else not args.f64))
+    if args.multistep:
+        # 3-D temporal blocking is the multi-chip K-slab ghost protocol
+        # only (models/plasma3d rejects single-device multistep: the
+        # per-step kernel is already one HBM pass, nothing to amortize)
+        if not args.shard:
+            raise SystemExit("--multistep is multi-chip only in 3-D: add "
+                             "--shard N")
+        if args.poisson != "NONE":
+            raise SystemExit("--multistep (3-D) needs --poisson NONE "
+                             "(window-constant E; FFT is a global "
+                             "per-step solve)")
+        args.backend = "fused"
+    try:
+        cfg = dataclasses.replace(
+            PlasmaConfig(), NX=args.n, NY=args.n, NZ=args.nz,
+            nsteps=args.steps,
+            poisson=PoissonSolver[args.poisson], backend=args.backend,
+            dtype=jnp.float64 if args.f64 else jnp.float32,
+            storage=args.storage, multistep=args.multistep,
+            kernel_interpret=bool(args.multistep and args.cpu),
+            neutral_delta=(args.neutral_delta
+                           if args.neutral_delta is not None
+                           else not args.f64))
+    except ValueError as e:
+        raise SystemExit(str(e))
     os.makedirs(args.out, exist_ok=True)
 
     from lbm_tpu.io import checkpoint as ckpt
@@ -95,7 +120,33 @@ def main():
             raise SystemExit(f"--resume: {e}")
     else:
         state = plasma3d.init_state(cfg)
-    if args.shard:
+    step_rem = None
+    if args.shard and cfg.multistep:
+        # multi-chip temporal blocking: K-deep ghost z-slab windows over a
+        # 1-D dz mesh (+ a second compiled remainder window)
+        from jax.sharding import Mesh
+
+        from lbm_tpu.parallel.fused_sharded import (
+            AXIS_Z, make_fused_sharded_multistep_rollout_3d)
+
+        devs = jax.devices()
+        if len(devs) < args.shard:
+            raise SystemExit(f"--shard {args.shard}: only {len(devs)} "
+                             f"devices available")
+        mesh = Mesh(np.asarray(devs[:args.shard]).reshape(args.shard),
+                    (AXIS_Z,))
+        try:
+            step = make_fused_sharded_multistep_rollout_3d(
+                cfg, mesh, cfg.multistep)
+            rem_n = max(cfg.nsteps - int(state.step), 0) % cfg.multistep
+            step_rem = (make_fused_sharded_multistep_rollout_3d(
+                cfg, mesh, rem_n) if rem_n else None)
+        except ValueError as e:
+            raise SystemExit(f"--shard --multistep: {e}")
+        print(f"sharded 3-D multistep (K={cfg.multistep}-slab ghosts) "
+              f"over {args.shard}-device dz mesh")
+        step(plasma3d.init_state(cfg))  # compile outside timer
+    elif args.shard:
         from lbm_tpu.parallel.fused_sharded import \
             make_fused_sharded_step3d_auto
 
@@ -128,13 +179,17 @@ def main():
         print(f"resume: checkpoint already at step {start_step} >= "
               f"--steps {cfg.nsteps}; nothing to run (raise --steps to "
               f"continue further)")
-    for t in range(start_step, cfg.nsteps):
-        state = step(state)
-        timer.tick()
-        if args.checkpoint_every and (t + 1) % args.checkpoint_every == 0:
-            ckpt.save3d(os.path.join(args.out, f"ckpt_{t+1:06d}.npz"), state,
+    stride = cfg.multistep or 1
+    for t in range(start_step, cfg.nsteps, stride):
+        # under --multistep, observation lands on window boundaries (the
+        # 2-D CLI's documented sampling contract)
+        k = min(stride, cfg.nsteps - t)
+        state = step(state) if k == stride else step_rem(state)
+        timer.tick(k)
+        if args.checkpoint_every and (t + k) % args.checkpoint_every == 0:
+            ckpt.save3d(os.path.join(args.out, f"ckpt_{t+k:06d}.npz"), state,
                         neutral_delta=cfg.neutral_delta, storage=cfg.storage)
-        if args.slice_every and (t + 1) % args.slice_every == 0:
+        if args.slice_every and (t + k) % args.slice_every == 0:
             u = cfg.units()
             # observation honors the storage/delta contracts: upcast bf16
             # populations (moments/rho_q are near-cancellations) and pass
@@ -151,9 +206,9 @@ def main():
             im = axes[1].imshow(np.asarray(mac.rho_q[zmid]), origin="lower",
                                 cmap="RdBu_r")
             fig.colorbar(im, ax=axes[1], label="rho_q")
-            fig.suptitle(f"z-midplane, step {t + 1}")
+            fig.suptitle(f"z-midplane, step {t + k}")
             fig.tight_layout()
-            fig.savefig(os.path.join(args.out, f"slice_{t + 1:05d}.png"))
+            fig.savefig(os.path.join(args.out, f"slice_{t + k:05d}.png"))
             plt.close(fig)
     float(state.f[0, 0, 0, 0, 0])  # sync
     wall_ms = timer.wall_s * 1000
