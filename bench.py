@@ -267,6 +267,28 @@ def _prior_extra_keys(root: str | None = None) -> set:
     return seen
 
 
+def _rotate_jobs(jobs, seen):
+    """Order extras jobs [(key, family, fn, post), ...] for the run:
+    never-captured keys first, interleaved round-robin across families
+    (so a budget death after 3-4 extras still covers cavity, multistep
+    AND 3-D); previously-captured keys last, original order. Every job
+    always appears exactly once — a family tag outside the preferred
+    cycle degrades to "runs later", never "silently dropped"."""
+    fresh = [j for j in jobs if j[0] not in seen]
+    stale = [j for j in jobs if j[0] in seen]
+    by_family = {}
+    for j in fresh:
+        by_family.setdefault(j[1], []).append(j)
+    fam_cycle = ["cavity", "plasma_ms", "3d", "plasma"]
+    fam_cycle += [f for f in by_family if f not in fam_cycle]
+    ordered = []
+    while any(by_family.get(f) for f in fam_cycle):
+        for f in fam_cycle:
+            if by_family.get(f):
+                ordered.append(by_family[f].pop(0))
+    return ordered + stale
+
+
 def _supervised_main() -> int:
     """Run the measurement in a child process and retry once on a crash.
 
@@ -489,23 +511,7 @@ def main() -> None:
         add(f"plasma3d_mlups_{nw}x{nw}x64_bf16", "3d",
             lambda: measure3d(nw, 8, "bf16", nz=64))
 
-    # rotation: never-captured keys first, interleaved round-robin across
-    # families (so a budget death after 3-4 extras still covers cavity,
-    # multistep AND 3-D); previously-captured keys last, original order
-    seen = _prior_extra_keys()
-    fresh = [j for j in jobs if j[0] not in seen]
-    stale = [j for j in jobs if j[0] in seen]
-    by_family = {}
-    for j in fresh:
-        by_family.setdefault(j[1], []).append(j)
-    ordered = []
-    fam_cycle = ["cavity", "plasma_ms", "3d", "plasma"]
-    while any(by_family.get(f) for f in fam_cycle):
-        for f in fam_cycle:
-            if by_family.get(f):
-                ordered.append(by_family[f].pop(0))
-    ordered += stale
-    for key, _family, fn, post in ordered:
+    for key, _family, fn, post in _rotate_jobs(jobs, _prior_extra_keys()):
         attempt(key, fn)
         if post is not None:
             post()

@@ -32,9 +32,18 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_capture(cmd, timeout_s, env=None):
     """Run cmd streaming stdout through, with a hard deadline; return
-    (rc, lines). rc=124 on deadline (matching the driver's timeout(1))."""
+    (rc, lines). rc=124 on deadline (matching the driver's timeout(1)).
+
+    The child starts in its own process GROUP and the deadline kills the
+    whole group: bench.py is a supervisor whose BENCH_CHILD grandchild
+    inherits our pipe — killing only the supervisor would orphan a hung
+    grandchild holding the write end and the read loop would never see
+    EOF (the exact wedged-axon scenario preflight exists to catch)."""
+    import signal
+
     p = subprocess.Popen(cmd, cwd=ROOT, env=env, stdout=subprocess.PIPE,
-                         stderr=subprocess.STDOUT, text=True, bufsize=1)
+                         stderr=subprocess.STDOUT, text=True, bufsize=1,
+                         start_new_session=True)
     assert p.stdout is not None
     lines = []
     deadline = time.monotonic() + timeout_s
@@ -43,7 +52,10 @@ def run_capture(cmd, timeout_s, env=None):
     def killer():
         while p.poll() is None:
             if time.monotonic() > deadline:
-                p.kill()
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    p.kill()
                 return
             time.sleep(1.0)
 
@@ -86,9 +98,13 @@ def check_dryrun() -> bool:
     print(f"preflight: dryrun_multichip({n_dev}) "
           f"(deadline {timeout_s:.0f}s)...", flush=True)
     env = dict(os.environ)
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + f" --xla_force_host_platform_device_count={n_dev}"
-                        ).strip()
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        # same guard as __graft_entry__: a pre-existing count must not be
+        # duplicated (XLA's duplicate-flag resolution is unspecified)
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_dev}"
+        ).strip()
     env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("PYTHONUNBUFFERED", "1")
     rc, lines = run_capture(
@@ -107,6 +123,11 @@ def check_dryrun() -> bool:
 
 def main() -> int:
     args = sys.argv[1:]
+    if "--bench-only" in args and "--dryrun-only" in args:
+        print("preflight: --bench-only and --dryrun-only are mutually "
+              "exclusive (together they would verify nothing)",
+              file=sys.stderr)
+        return 2
     ok = True
     if "--dryrun-only" not in args:
         ok = check_bench() and ok

@@ -32,6 +32,29 @@ def test_prior_extra_keys_empty_dir(tmp_path):
     assert bench._prior_extra_keys(str(tmp_path)) == set()
 
 
+def test_rotate_jobs_never_drops_and_interleaves():
+    import bench
+
+    jobs = [
+        ("p1", "plasma", None, None),
+        ("p2", "plasma", None, None),
+        ("c1", "cavity", None, None),
+        ("m1", "plasma_ms", None, None),
+        ("d1", "3d", None, None),
+        ("x1", "mystery_family", None, None),  # unknown tag: must survive
+    ]
+    out = bench._rotate_jobs(jobs, seen=set())
+    assert sorted(j[0] for j in out) == sorted(j[0] for j in jobs)
+    # interleave: the four known families lead, one each
+    assert [j[0] for j in out][:4] == ["c1", "m1", "d1", "p1"]
+
+    # seen keys sink to the tail in original order
+    out = bench._rotate_jobs(jobs, seen={"c1", "p1"})
+    keys = [j[0] for j in out]
+    assert keys[-2:] == ["p1", "c1"]
+    assert set(keys) == {j[0] for j in jobs}
+
+
 def test_video_gate_profiles():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "scripts"))
