@@ -267,13 +267,17 @@ def _prior_extra_keys(root: str | None = None) -> set:
     return seen
 
 
-def _rotate_jobs(jobs, seen):
+def _rotate_jobs(jobs, seen, flagship=()):
     """Order extras jobs [(key, family, fn, post), ...] for the run:
-    never-captured keys first, interleaved round-robin across families
-    (so a budget death after 3-4 extras still covers cavity, multistep
-    AND 3-D); previously-captured keys last, original order. Every job
+    flagship keys first (headline-class numbers that should appear in
+    EVERY round's record, e.g. the BASELINE >=2,000-bar row), then
+    never-captured keys interleaved round-robin across families (so a
+    budget death after 3-4 extras still covers cavity, multistep AND
+    3-D); previously-captured keys last, original order. Every job
     always appears exactly once — a family tag outside the preferred
     cycle degrades to "runs later", never "silently dropped"."""
+    lead = [j for j in jobs if j[0] in flagship]
+    jobs = [j for j in jobs if j[0] not in flagship]
     fresh = [j for j in jobs if j[0] not in seen]
     stale = [j for j in jobs if j[0] in seen]
     by_family = {}
@@ -286,7 +290,7 @@ def _rotate_jobs(jobs, seen):
         for f in fam_cycle:
             if by_family.get(f):
                 ordered.append(by_family[f].pop(0))
-    return ordered + stale
+    return lead + ordered + stale
 
 
 def _supervised_main() -> int:
@@ -511,7 +515,11 @@ def main() -> None:
         add(f"plasma3d_mlups_{nw}x{nw}x64_bf16", "3d",
             lambda: measure3d(nw, 8, "bf16", nz=64))
 
-    for key, _family, fn, post in _rotate_jobs(jobs, _prior_extra_keys()):
+    # flagship: the BASELINE >=2,000-MLUPS-bar row rides first in every
+    # round's record (one ~90 s measurement; everything else rotates)
+    flagship = (f"plasma_mlups_{n_extra}x{n_extra}_none_periodic_bf16",)
+    for key, _family, fn, post in _rotate_jobs(jobs, _prior_extra_keys(),
+                                               flagship):
         attempt(key, fn)
         if post is not None:
             post()

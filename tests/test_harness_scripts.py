@@ -54,6 +54,13 @@ def test_rotate_jobs_never_drops_and_interleaves():
     assert keys[-2:] == ["p1", "c1"]
     assert set(keys) == {j[0] for j in jobs}
 
+    # flagship keys lead even when seen; nothing is lost
+    out = bench._rotate_jobs(jobs, seen={"c1", "p1"}, flagship=("p1",))
+    keys = [j[0] for j in out]
+    assert keys[0] == "p1"
+    assert keys[-1] == "c1"
+    assert set(keys) == {j[0] for j in jobs}
+
 
 def test_video_gate_profiles():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
